@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver testdata star schema (TESTDATA.md).
+  *
+  * Tables: region nation customer supplier part orders lineitem events
+  * documents embeddings — one parquet file each under the sf dir.
+  *
+  * Scale notes: every loader is a plain parquet scan, so Catalyst pushes
+  * filters/projections into the vectorized reader. At cluster scale these
+  * would be partitioned/bucketed tables; nothing here assumes a single
+  * file.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS), which Spark reads only as a long
+    // (spark.sql.legacy.parquet.nanosAsLong) — surface it as a proper
+    // microsecond timestamp, matching DuckDB's CAST(ts AS TIMESTAMP).
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+    else df
+  }
+
+  /** Register all tables as temp views (for spark.sql-based queries). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,360 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.util.Cols._
+
+/** SURVEY.md §2.1/.3/.4/.5/.6/.7/.8/.9 relational operators, one named
+  * query per inventory row, each with a DuckDB oracle.
+  *
+  * Scale-first notes baked into every query:
+  *  - filters/projections are plain Column exprs → pushed to the parquet
+  *    scan (PushedFilters / ReadSchema prune at the source);
+  *  - aggregations are declarative groupBy → partial (map-side) agg free;
+  *  - money math in decimal space (see graft.util.Cols) for cross-engine
+  *    exactness without sacrificing codegen.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- S1: scan + date-range predicate + projection (RF/randomforest_churn.scala:43-45)
+  private val s1: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .filter(to_date($"o_orderdate").between("1996-01-01", "1996-12-31"))
+      .select($"o_orderkey", $"o_custkey",
+        to_date($"o_orderdate").as("order_date"), $"o_orderpriority")
+  }
+
+  // ---- P1-P9: project / derive / drop / filter / cast / lit / na.fill
+  // (RF/randomforest_churn.scala:62-135, :180-200)
+  private val pOps: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .filter($"l_returnflag" =!= "R" && $"l_quantity" >= 1.0) // P4
+      .filter($"l_shipdate" >= lit("1995-06-01"))              // P5
+      .filter($"l_linestatus".isin("O", "F"))                  // P6
+      .withColumn("qty_int", $"l_quantity".cast("int"))        // P7
+      .withColumn("channel", lit("门店会员"))                   // P8 (CJK lit)
+      .withColumn("disc_price", discPrice($"l_extendedprice", $"l_discount")) // P2
+      .withColumn("disc_nullable",
+        when($"l_discount" === 0.0, lit(null)).otherwise($"l_discount"))
+      .na.fill(-1.0, Seq("disc_nullable"))                     // P9
+      .drop("l_shipdate", "l_comment")                         // P3 (tolerant drop)
+      .select($"l_orderkey", $"l_linenumber", $"qty_int", $"channel",
+        $"disc_price", $"disc_nullable", $"l_returnflag")      // P1
+  }
+
+  // ---- J1: SQL left outer join, aliased, predicates both sides (RF:47-51)
+  private val j1: Q = (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT a.l_orderkey, a.l_partkey, b.p_brand, b.p_type,
+        |       a.l_quantity
+        |FROM lineitem a LEFT JOIN part b ON a.l_partkey = b.p_partkey
+        |WHERE a.l_quantity > 45""".stripMargin)
+  }
+
+  // ---- J2: left-deep chain of same-key left_outer joins (RF:170-198)
+  private val j2: Q = (spark, dir) => {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+    val base = o.select($"o_custkey".as("k")).distinct()
+    val f1 = o.groupBy($"o_custkey".as("k"))
+      .agg(dsum($"o_totalprice").as("total_spend"))
+    val f2 = o.filter($"o_orderstatus" === "F").groupBy($"o_custkey".as("k"))
+      .agg(count(lit(1)).as("n_finished"))
+    val f3 = o.groupBy($"o_custkey".as("k"))
+      .agg(countDistinct($"o_orderpriority").as("n_priorities"))
+    base.join(f1, Seq("k"), "left_outer")
+      .join(f2, Seq("k"), "left_outer")
+      .join(f3, Seq("k"), "left_outer")
+      .na.fill(0, Seq("n_finished"))
+      .withColumnRenamed("k", "custkey")
+  }
+
+  // ---- J3: left join + na.fill as anti-join labeling (RF:218-220)
+  private val j3: Q = (spark, dir) => {
+    import spark.implicits._
+    val customer = Tables.load(spark, dir, "customer")
+    val buyers = Tables.load(spark, dir, "orders")
+      .filter(to_date($"o_orderdate").between("1996-07-01", "1996-09-30"))
+      .select($"o_custkey".as("c_custkey")).distinct()
+      .withColumn("label", lit(0))
+    customer.select($"c_custkey")
+      .join(buyers, Seq("c_custkey"), "left_outer")
+      .na.fill(1, Seq("label"))
+  }
+
+  // ---- A1: groupBy sum (RF:58) — TPC-H Q1 shape for bench relevance
+  private val a1: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        sum(dec2($"l_extendedprice") * (lit(1).cast(Money) - dec2($"l_discount")))
+          .cast("double").as("sum_disc_price"),
+        (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  // ---- A2: countDistinct = frequence (RF:74-76)
+  private val a2: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(countDistinct($"o_orderkey").as("frequence"),
+           countDistinct($"o_orderpriority").as("n_priorities"))
+  }
+
+  // ---- A3: groupBy count + rename (RF:84-85)
+  private val a3: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .filter($"l_discount" > 0.0) // "promo lines"
+      .groupBy($"l_suppkey").count()
+      .withColumnRenamed("count", "promote_items_count")
+  }
+
+  // ---- A4: bround(mean) (RF:129-130)
+  private val a4: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg((sum(dec2($"o_totalprice")) * 100).cast("long").as("n100"),
+           count($"o_totalprice").as("cnt"))
+      .select($"o_custkey", broundRatio2($"n100", $"cnt").as("avg_price"))
+  }
+
+  // ---- A5: distinct as "exists per key" projection (RF:72, :107)
+  private val a5: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .filter($"o_orderstatus" === "O")
+      .select($"o_custkey", $"o_orderpriority").distinct()
+  }
+
+  // ---- A6: filtered agg / HAVING (RF:90-92)
+  private val a6: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(countDistinct($"o_orderkey").as("n_orders"))
+      .filter($"n_orders" > 1)
+  }
+
+  // ---- W1-W4: unordered full-partition windows + distinct (RF:62-72)
+  // The reference's window+distinct idiom, kept verbatim for fidelity.
+  private val w14: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+    Tables.load(spark, dir, "orders")
+      .withColumn("last_order_date", max(to_date($"o_orderdate")).over(w))   // W1
+      .withColumn("first_order_date", min(to_date($"o_orderdate")).over(w))  // W2
+      .withColumn("monetary", sum(dec2($"o_totalprice")).over(w).cast("double")) // W3
+      .withColumn("orders_count", count($"o_orderkey").over(w))              // W4
+      .select($"o_custkey", $"last_order_date", $"first_order_date",
+        $"monetary", $"orders_count")
+      .distinct()
+  }
+
+  // ---- O1: global random shuffle (RF:21) — row set preserved, order random
+  private val o1: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "nation").orderBy(rand(42)).select($"n_nationkey", $"n_name")
+  }
+
+  // ---- O2: sort (RF:221)
+  private val o2: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "region").sort($"r_name")
+  }
+
+  // ---- F1-F10: scalar function suite (datediff/to_date/dayofweek/
+  // date_sub/round/bround/division/md5/concat; RF §2.8)
+  private val fScalar: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .select(
+        $"o_orderkey",
+        to_date($"o_orderdate").as("order_date"),                      // F2
+        datediff(lit("1998-01-01").cast("date"), to_date($"o_orderdate"))
+          .as("member_day"),                                           // F1
+        dayofweek(to_date($"o_orderdate")).as("dow"),                  // F3
+        dayofweek(to_date($"o_orderdate")).isin(1, 7).cast("int")
+          .as("is_weekend"),                                           // U2
+        date_sub(to_date($"o_orderdate"), 30).as("d_minus_30"),        // F4
+        round(dec2($"o_totalprice"), 1).cast("double").as("price_r"),  // F5
+        bround(dec2($"o_totalprice"), 1).cast("double").as("price_br"),// F6
+        ($"o_totalprice" / ($"o_orderkey" + 1)).as("ratio"),           // F7
+        md5($"o_orderpriority").as("prio_md5"),                        // F9
+        concat(substring(md5($"o_custkey".cast("string")), 1, 4),
+          lit("_"), $"o_custkey".cast("string")).as("salted_key"))     // F9/F10
+  }
+
+  // ---- T2/T4: recency sub-windows + days-since-last (RF:87-99, :65-66)
+  private val t2: Q = (spark, dir) => {
+    import spark.implicits._
+    val end = lit("1996-06-30").cast("date")
+    Tables.load(spark, dir, "orders")
+      .filter(to_date($"o_orderdate") >= date_sub(end, 90) &&
+              to_date($"o_orderdate") <= end)
+      .groupBy($"o_custkey")
+      .agg(countDistinct($"o_orderkey").as("frequence90"),
+           datediff(end, max(to_date($"o_orderdate"))).as("recent"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s1_scan_dates"      -> s1,
+    "p_column_ops"       -> pOps,
+    "j1_sql_left_join"   -> j1,
+    "j2_join_chain"      -> j2,
+    "j3_anti_label"      -> j3,
+    "a1_group_sum"       -> a1,
+    "a2_count_distinct"  -> a2,
+    "a3_group_count"     -> a3,
+    "a4_bround_mean"     -> a4,
+    "a5_distinct"        -> a5,
+    "a6_having"          -> a6,
+    "w14_window_rfm"     -> w14,
+    "o1_orderby_rand"    -> o1,
+    "o2_sort"            -> o2,
+    "f_scalar_suite"     -> fScalar,
+    "t2_recency_window"  -> t2)
+
+  val oracles: Map[String, String] = Map(
+    "s1_scan_dates" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+        |       o_orderpriority
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""".stripMargin,
+
+    "p_column_ops" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty_int,
+        |       '门店会员' AS channel,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |            (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_price,
+        |       COALESCE(CASE WHEN l_discount = 0.0 THEN NULL ELSE l_discount END, -1.0)
+        |         AS disc_nullable,
+        |       l_returnflag
+        |FROM lineitem
+        |WHERE l_returnflag <> 'R' AND l_quantity >= 1.0
+        |  AND l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |  AND l_linestatus IN ('O','F')""".stripMargin,
+
+    "j1_sql_left_join" ->
+      """SELECT a.l_orderkey, a.l_partkey, b.p_brand, b.p_type, a.l_quantity
+        |FROM lineitem a LEFT JOIN part b ON a.l_partkey = b.p_partkey
+        |WHERE a.l_quantity > 45""".stripMargin,
+
+    "j2_join_chain" ->
+      """WITH base AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        |f1 AS (SELECT o_custkey AS custkey,
+        |              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |       FROM orders GROUP BY 1),
+        |f2 AS (SELECT o_custkey AS custkey, COUNT(*) AS n_finished
+        |       FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        |f3 AS (SELECT o_custkey AS custkey, COUNT(DISTINCT o_orderpriority) AS n_priorities
+        |       FROM orders GROUP BY 1)
+        |SELECT base.custkey, f1.total_spend, COALESCE(f2.n_finished, 0) AS n_finished,
+        |       f3.n_priorities
+        |FROM base LEFT JOIN f1 USING (custkey) LEFT JOIN f2 USING (custkey)
+        |          LEFT JOIN f3 USING (custkey)""".stripMargin,
+
+    "j3_anti_label" ->
+      """SELECT c.c_custkey, COALESCE(b.label, 1) AS label
+        |FROM customer c LEFT JOIN (
+        |  SELECT DISTINCT o_custkey AS c_custkey, 0 AS label FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-07-01' AND DATE '1996-09-30'
+        |) b USING (c_custkey)""".stripMargin,
+
+    "a1_group_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a2_count_distinct" ->
+      """SELECT o_custkey, COUNT(DISTINCT o_orderkey) AS frequence,
+        |       COUNT(DISTINCT o_orderpriority) AS n_priorities
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "a3_group_count" ->
+      """SELECT l_suppkey, COUNT(*) AS promote_items_count
+        |FROM lineitem WHERE l_discount > 0.0 GROUP BY l_suppkey""".stripMargin,
+
+    "a4_bround_mean" ->
+      s"""SELECT o_custkey,
+         |  ${broundRatio2Sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)",
+                              "COUNT(o_totalprice)")} AS avg_price
+         |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "a5_distinct" ->
+      """SELECT DISTINCT o_custkey, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "a6_having" ->
+      """SELECT o_custkey, COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM orders GROUP BY o_custkey HAVING COUNT(DISTINCT o_orderkey) > 1""".stripMargin,
+
+    "w14_window_rfm" ->
+      """SELECT o_custkey,
+        |  MAX(CAST(o_orderdate AS DATE)) AS last_order_date,
+        |  MIN(CAST(o_orderdate AS DATE)) AS first_order_date,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary,
+        |  COUNT(o_orderkey) AS orders_count
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "o1_orderby_rand" ->
+      "SELECT n_nationkey, n_name FROM nation",
+
+    "o2_sort" ->
+      "SELECT r_regionkey, r_name FROM region",
+
+    "f_scalar_suite" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT)
+        |    AS member_day,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+        |  CAST(CASE WHEN dayofweek(CAST(o_orderdate AS DATE)) + 1 IN (1,7)
+        |       THEN 1 ELSE 0 END AS INT) AS is_weekend,
+        |  CAST(o_orderdate AS DATE) - 30 AS d_minus_30,
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r,
+        |  (CASE WHEN (CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)
+        |              - floor(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)/10)*10)*2 > 10
+        |         THEN floor(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)/10) + 1
+        |        WHEN (CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)
+        |              - floor(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)/10)*10)*2 < 10
+        |         THEN floor(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)/10)
+        |        ELSE floor(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)/10)
+        |             + (floor(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)/10) % 2)
+        |   END) / 10.0 AS price_br,
+        |  o_totalprice / (o_orderkey + 1) AS ratio,
+        |  md5(o_orderpriority) AS prio_md5,
+        |  substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4) || '_' ||
+        |    CAST(o_custkey AS VARCHAR) AS salted_key
+        |FROM orders""".stripMargin,
+
+    "t2_recency_window" ->
+      """SELECT o_custkey, COUNT(DISTINCT o_orderkey) AS frequence90,
+        |  CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '1996-06-30') AS INT)
+        |    AS recent
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-06-30' - 90
+        |  AND CAST(o_orderdate AS DATE) <= DATE '1996-06-30'
+        |GROUP BY o_custkey""".stripMargin)
+}

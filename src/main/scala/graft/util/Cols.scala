@@ -1,0 +1,67 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Oracle-safe numeric helpers.
+  *
+  * The driver hash-compares our parquet output against DuckDB. Double
+  * summation order differs between engines (ulp drift), so money math is
+  * done in exact decimal space and converted to double once at the end —
+  * the nearest-double conversion of the same exact decimal is bit-identical
+  * in both engines.
+  */
+object Cols {
+  val Money: DecimalType = DecimalType(18, 2)
+
+  /** Exact decimal view of a 2-decimal money double. */
+  def dec2(c: Column): Column = c.cast(Money)
+
+  /** sum(x) computed exactly in decimal, emitted as double. */
+  def dsum(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** sum(x*y) for 2-decimal x,y — exact decimal product then sum. */
+  def dsumProd(x: Column, y: Column): Column =
+    sum(dec2(x) * dec2(y)).cast("double")
+
+  /** x * (1 - y) in exact decimal space (TPC-H disc_price shape). */
+  def discPrice(price: Column, discount: Column): Column =
+    (dec2(price) * (lit(1).cast(Money) - dec2(discount))).cast("double")
+
+  /** Exact mean: decimal sum → double, divided by count (IEEE-identical
+    * across engines given identical numerator/denominator). */
+  def dmean(c: Column): Column = dsum(c) / count(c)
+
+  val Money4: DecimalType = DecimalType(18, 4)
+
+  /** Exact decimal view of a 4-decimal double (e.g. price*discount). */
+  def dec4(c: Column): Column = c.cast(Money4)
+
+  /** round(n/d, 2) HALF_UP computed deterministically: `num100` is the
+    * numerator pre-scaled by 100 (integral), `den` integral. All steps are
+    * IEEE-exact for |num100| < 2^52, so Spark and DuckDB agree bitwise —
+    * unlike round(double,2), whose half-way detection differs per engine.
+    * floor((2n+d)/(2d)) == floor(n/d + 1/2) for positive d. */
+  def roundRatio2(num100: Column, den: Column): Column =
+    floor((num100 * 2 + den) / (den * 2)) / 100.0
+
+  /** bround(n/d, 2) HALF_EVEN, same exact-integer technique:
+    * q=floor(n/d); tie (2r==d) rounds to even via q + q%2. */
+  def broundRatio2(num100: Column, den: Column): Column = {
+    val q = floor(num100 / den)
+    val r2 = (num100 - q * den) * 2
+    (when(r2 > den, q + 1).when(r2 < den, q).otherwise(q + q % 2)) / 100.0
+  }
+
+  /** DuckDB spellings of the two helpers (kept adjacent so they never
+    * drift from the Spark forms above). */
+  def roundRatio2Sql(num100: String, den: String): String =
+    s"floor(($num100 * 2 + $den) / ($den * 2)) / 100.0"
+
+  def broundRatio2Sql(num100: String, den: String): String = {
+    val q = s"floor($num100 / $den)"
+    val r2 = s"(($num100) - $q * ($den)) * 2"
+    s"(CASE WHEN $r2 > ($den) THEN $q + 1 WHEN $r2 < ($den) THEN $q ELSE $q + ($q % 2) END) / 100.0"
+  }
+}
