@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE SparkSession builder for every graft main (Verify, Bench) and
+  * test suite. Round-1 lesson (VERDICT r01 §wrong-1): Bench had its own
+  * builder missing `nanosAsLong`, so every query touching events.parquet
+  * (TIMESTAMP_NANOS) crashed at bench time while Verify stayed green.
+  *
+  * Config rationale:
+  *  - shuffle.partitions = cpus: local[N] has N slots; 200 partitions on a
+  *    laptop-scale run just adds scheduling overhead. On a real cluster
+  *    this would be sized to ~2-3× total cores (or left to AQE coalescing).
+  *  - ansi=false: reference semantics are pre-ANSI Spark 2.x (SURVEY §2
+  *    F7) — div-by-zero/overflow yield null, matching the DuckDB oracle
+  *    wrappers.
+  *  - UTC: deterministic date arithmetic across engines (SURVEY §5).
+  *  - AQE on: runtime coalescing + skew-join handling — the 100 TB story.
+  *  - nanosAsLong: events.ts is TIMESTAMP(NANOS); Spark reads it as long
+  *    and Tables.load converts to a microsecond timestamp.
+  */
+object Sessions {
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -16,11 +16,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("churn_wide_table")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Churn.queries
 
-  def oracleSql: Map[String, String] =
+  val oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Churn.oracles
 }
