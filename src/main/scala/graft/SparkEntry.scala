@@ -18,9 +18,11 @@ object SparkEntry {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.Churn.queries
+      graft.queries.Churn.queries ++
+      graft.ml.ChurnML.queries
 
   val oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-      graft.queries.Churn.oracles
+      graft.queries.Churn.oracles ++
+      graft.ml.ChurnML.oracles
 }

@@ -1,0 +1,251 @@
+package graft.ml
+
+import java.nio.file.Files
+
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
+import org.apache.spark.ml.classification.{FMClassifier, GBTClassifier, LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.feature.{OneHotEncoder, StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.eval.Metrics
+import graft.queries.Churn
+
+/** The reference's ML surface (SURVEY §2.11), Spark-first.
+  *
+  * M1 StringIndexer ×16 (handleInvalid="skip", RF/randomforest_churn.scala:243-248)
+  * M2 OneHotEncoder dropLast=false (:250-253; `OneHotEncoderEstimator` renamed in Spark 3+)
+  * M3 VectorAssembler 21 continuous + 16 one-hot (:255-257)
+  * M4 RandomForestClassifier trees=100 depth=10 bins=100 (:259-264)
+  * M5 XGBoostClassifier → GBTClassifier maxDepth=7 stepSize=0.1
+  *    (GBDT/spark/churn_xgb4j_spark.scala:53-61; no xgboost4j jar exists here —
+  *    same gradient-boosted-trees model class, Spark-internal impl)
+  * M7 Pipeline fit / transform / save / load (:274-280, :30-31)
+  * M8 LR (LR/model.py:65-119) → ml LogisticRegression
+  * M9 FM (FM/fm_libsvm/fm_churn_libsvm.py:17-32) → ml FMClassifier(factorSize=8)
+  * O3 randomSplit(0.8/0.2, seed) (:24; churn_xgb4j_spark.scala:20 seed=123)
+  * E1-E3 via [[graft.eval.Metrics]].
+  *
+  * Scale notes: Pipeline.fit runs the 16 indexer fits sequentially, each a
+  * countByValue aggregate over ONE cached pass of the wide table — we cache
+  * the training split exactly like the reference (RF:235). Tree induction
+  * is MLlib's distributed per-node split-stats aggregation; nothing here
+  * collects the dataset to the driver.
+  */
+object ChurnML {
+
+  /** Wide-table column groups — the reference's 21 continuous + 16
+    * categorical split (RF/randomforest_churn.scala:236-241). */
+  val continuousCols: Seq[String] = Seq(
+    "shop_duration", "recent", "monetary", "max_amount", "save_amount",
+    "items_count", "frequence", "shops_count", "avg_amount",
+    "item_count_turn", "avg_piece_amount", "promote_percent", "week_percent",
+    "wxapp_diff", "store_diff", "valid_points_sum", "member_day",
+    "monetary3", "max_amount3", "items_count3", "frequence3")
+
+  val categoricalCols: Seq[String] =
+    Seq("shop_channel") ++ Churn.Groups.map(_._1) ++
+      Seq("CHANNEL_NUM_ID", "VIP_TYPE_NUM_ID")
+
+  /** M1+M2+M3 front-end: indexers → one-hot → assembler. */
+  def featureStages(handleInvalid: String = "skip"): Array[PipelineStage] = {
+    val indexers = categoricalCols.map { c =>
+      new StringIndexer()
+        .setInputCol(c).setOutputCol(s"${c}_idx")
+        .setHandleInvalid(handleInvalid)
+        .setStringOrderType("frequencyDesc")
+    }
+    val onehot = new OneHotEncoder()
+      .setInputCols(categoricalCols.map(c => s"${c}_idx").toArray)
+      .setOutputCols(categoricalCols.map(c => s"${c}_vec").toArray)
+      .setDropLast(false)
+    val assembler = new VectorAssembler()
+      .setInputCols((continuousCols ++ categoricalCols.map(c => s"${c}_vec")).toArray)
+      .setOutputCol("features")
+    (indexers :+ onehot :+ assembler).toArray
+  }
+
+  /** M4: the reference's RF config (RF:259-264). */
+  def rf(seed: Long = 42L): RandomForestClassifier =
+    new RandomForestClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setNumTrees(100).setMaxDepth(10).setMaxBins(100).setSeed(seed)
+
+  /** M5: XGBoost stand-in (churn_xgb4j_spark.scala:53-61 — eta=0.1,
+    * max_depth=7, num_round=200). maxIter is a parameter because 200
+    * sequential boosting rounds is a cluster-sized budget; queries use a
+    * bench-scale round count, tests a smaller one. */
+  def gbt(maxIter: Int = 200, seed: Long = 42L): GBTClassifier =
+    new GBTClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxDepth(7).setMaxIter(maxIter).setStepSize(0.1).setSeed(seed)
+
+  /** M8: LR (LR/model.py — lr=0.2, L2 optional). Trains on standardized
+    * features (the reference trains on bounded one-hot bins). */
+  def lr(): LogisticRegression =
+    new LogisticRegression()
+      .setLabelCol("label").setFeaturesCol("features_std")
+      .setMaxIter(100).setRegParam(0.0).setElasticNetParam(0.0)
+
+  /** M9: FM with the reference's k=8 (fm_churn_libsvm.py:21). */
+  def fm(seed: Long = 42L): FMClassifier =
+    new FMClassifier()
+      .setLabelCol("label").setFeaturesCol("features_std")
+      .setFactorSize(8).setStepSize(0.1).setMaxIter(50).setSeed(seed)
+
+  private def stdScaler: StandardScaler =
+    new StandardScaler()
+      .setInputCol("features").setOutputCol("features_std")
+      .setWithMean(false).setWithStd(true)
+
+  /** Full pipeline for one model family. LR/FM get a scaling stage
+    * (gradient methods; tree models consume raw features like the
+    * reference). */
+  def pipeline(family: String, gbtIter: Int = 50): Pipeline = {
+    val front = featureStages()
+    val stages = family match {
+      case "rf"  => front :+ rf()
+      case "gbt" => front :+ gbt(maxIter = gbtIter)
+      case "lr"  => front :+ stdScaler :+ lr()
+      case "fm"  => front :+ stdScaler :+ fm()
+      case other => throw new IllegalArgumentException(s"unknown family $other")
+    }
+    new Pipeline().setStages(stages.toArray)
+  }
+
+  /** O3 + M7 + E1-E3 end-to-end: split the wide table 80/20 (seed 123 =
+    * churn_xgb4j_spark.scala:20), fit, persist + reload the PipelineModel
+    * (proving M7/K2 round-trip), score the held-out split with the
+    * RELOADED model, and emit one metrics row. */
+  def trainEval(spark: SparkSession, sfDir: String, family: String,
+                gbtIter: Int = 50): DataFrame = {
+    import spark.implicits._
+    val wide = Churn.wideTable(spark, sfDir)
+      .withColumn("label", col("label").cast("double"))
+    val Array(train, test) = wide.randomSplit(Array(0.8, 0.2), seed = 123L) // O3
+    train.cache() // mirrors RF:235 — 16 indexer fits + tree passes reuse it
+
+    val model = pipeline(family, gbtIter).fit(train)
+
+    // M7/K2: persist + reload, then score with the reloaded model.
+    val dir = Files.createTempDirectory(s"graft-$family-model").toString
+    model.write.overwrite().save(dir)
+    val reloaded = PipelineModel.load(dir)
+
+    val pred = reloaded.transform(test)
+      .withColumn("prob1", Metrics.positiveProb(col("probability"))) // E3
+      .cache()
+    val aucV = Metrics.auc(pred)                                     // E1
+    val rep  = Metrics.classificationReport(pred)                    // E2
+    val (nTrain, nTest) = (train.count(), pred.count())
+    train.unpersist(); pred.unpersist()
+
+    Seq((family, aucV, rep("accuracy"), rep("precision"), rep("recall"),
+         rep("f1"), nTrain, nTest))
+      .toDF("family", "auc", "accuracy", "precision", "recall", "f1",
+            "n_train", "n_test")
+  }
+
+  // ------------------------------------------------------------------
+  // Declared operator queries
+  // ------------------------------------------------------------------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** M1 as an oracle-checkable query: the StringIndexer dictionary for
+    * orders.o_orderpriority under frequencyDesc (ties alphabetical —
+    * StringIndexer's documented tie-break). */
+  private val m1: Q = (spark, dir) => {
+    import spark.implicits._
+    val df = graft.Tables.load(spark, dir, "orders").select($"o_orderpriority")
+    val model = new StringIndexer()
+      .setInputCol("o_orderpriority").setOutputCol("idx")
+      .setStringOrderType("frequencyDesc")
+      .fit(df)
+    model.labelsArray(0).zipWithIndex.toSeq
+      .toDF("value", "idx")
+      .select($"value", $"idx".cast("long").as("idx"))
+  }
+
+  /** M2: one-hot of the indexed value; with dropLast=false the hot
+    * position equals the index and the vector size is the dictionary
+    * size. Emitted as (value, idx, vec_size, hot_pos) — fully
+    * SQL-checkable. */
+  private val m2: Q = (spark, dir) => {
+    import org.apache.spark.ml.functions.vector_to_array
+    import spark.implicits._
+    val df = graft.Tables.load(spark, dir, "orders").select($"o_orderpriority")
+    val stages: Array[PipelineStage] = Array(
+      new StringIndexer().setInputCol("o_orderpriority").setOutputCol("idx")
+        .setStringOrderType("frequencyDesc"),
+      new OneHotEncoder().setInputCols(Array("idx")).setOutputCols(Array("vec"))
+        .setDropLast(false))
+    new Pipeline().setStages(stages).fit(df).transform(df)
+      .select($"o_orderpriority".as("value"),
+        $"idx".cast("long").as("idx"),
+        vector_to_array($"vec").as("arr"))
+      .select($"value", $"idx", size($"arr").cast("long").as("vec_size"),
+        (array_position($"arr", 1.0) - 1).as("hot_pos"))
+      .distinct()
+  }
+
+  /** M3: VectorAssembler round-trip — assemble lineitem numerics into a
+    * vector, then project the elements back out (proves ordering and
+    * null-free assembly; doubles pass through bit-exactly). */
+  private val m3: Q = (spark, dir) => {
+    import org.apache.spark.ml.functions.vector_to_array
+    import spark.implicits._
+    val df = graft.Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_discount")
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount"))
+      .setOutputCol("features")
+      .transform(df)
+    assembled.select($"l_orderkey", $"l_linenumber",
+      vector_to_array($"features").as("arr"))
+      .select($"l_orderkey", $"l_linenumber",
+        $"arr".getItem(0).as("v_quantity"),
+        $"arr".getItem(1).as("v_extendedprice"),
+        $"arr".getItem(2).as("v_discount"))
+  }
+
+  /** O3 as its own declared entry: seeded randomSplit cardinalities
+    * (deterministic under the fixed seed; no SQL oracle — Bernoulli
+    * splitting is Spark-internal). */
+  private val o3: Q = (spark, dir) => {
+    import spark.implicits._
+    val orders = graft.Tables.load(spark, dir, "orders")
+    val Array(a, b) = orders.randomSplit(Array(0.8, 0.2), seed = 123L)
+    Seq(("train", a.count()), ("test", b.count())).toDF("split", "rows")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "m1_string_indexer" -> m1,
+    "m2_onehot"         -> m2,
+    "m3_assembler"      -> m3,
+    "o3_random_split"   -> o3,
+    "ml_rf_churn"       -> ((s, d) => trainEval(s, d, "rf")),
+    "ml_gbt_churn"      -> ((s, d) => trainEval(s, d, "gbt")),
+    "ml_lr_churn"       -> ((s, d) => trainEval(s, d, "lr")),
+    "ml_fm_churn"       -> ((s, d) => trainEval(s, d, "fm")))
+
+  val oracles: Map[String, String] = Map(
+    "m1_string_indexer" ->
+      """SELECT o_orderpriority AS value,
+        |       row_number() OVER (ORDER BY count(*) DESC, o_orderpriority) - 1 AS idx
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "m2_onehot" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS value,
+        |         row_number() OVER (ORDER BY count(*) DESC, o_orderpriority) - 1 AS idx
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT value, idx, (SELECT count(*) FROM d) AS vec_size, idx AS hot_pos
+        |FROM d""".stripMargin,
+    "m3_assembler" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       l_quantity AS v_quantity,
+        |       l_extendedprice AS v_extendedprice,
+        |       l_discount AS v_discount
+        |FROM lineitem""".stripMargin)
+}
