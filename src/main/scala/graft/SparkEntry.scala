@@ -19,10 +19,14 @@ object SparkEntry {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Churn.queries ++
-      graft.ml.ChurnML.queries
+      graft.ml.ChurnML.queries ++
+      graft.llm.TextOps.queries ++
+      graft.llm.Dedup.queries
 
   val oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Churn.oracles ++
-      graft.ml.ChurnML.oracles
+      graft.ml.ChurnML.oracles ++
+      graft.llm.TextOps.oracles ++
+      graft.llm.Dedup.oracles
 }

@@ -1,0 +1,230 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.TextOps._
+
+/** Deduplication operators over `documents` (+ embedding near-dup over
+  * `embeddings`) — the dedup family a 100 TB training-data pipeline needs.
+  *
+  * Scale design (the whole point of this file):
+  *  - NOTHING does an all-pairs comparison. Exact dedup is a hash groupBy;
+  *    near-dup candidates come from an inverted-index join (shingle) or an
+  *    LSH band join (minhash) — both shuffle on a key whose fanout is
+  *    bounded, then verify only candidate pairs.
+  *  - The shingle inverted index caps per-shingle document frequency
+  *    (maxShingleDf): a stop-shingle that appears in half the corpus would
+  *    otherwise create a quadratic pair-blowup on one key (classic skew).
+  *    Dropping ultra-common shingles is standard (they carry no
+  *    discriminative signal) but is a RECALL KNOB, so it is an explicit
+  *    parameter, default ∞ at test scale.
+  *  - MinHash banding: 8 signatures → 4 bands × 2 rows. Pair probability
+  *    1-(1-j²)⁴ — ~0.99 at j=0.8, so candidates for near-dups survive
+  *    while the ~0-similarity bulk never pairs up.
+  *  - Embedding near-dup restricts to a deterministic probe subset here
+  *    (vec_id % 10 = 0) — the honest scale path is the LSH route in
+  *    [[Similarity]]; an unrestricted exact pairwise pass is quadratic and
+  *    exists only as the verification kernel on candidates.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id as
+    * canonical. One shuffle on the 128-bit hash — at 100 TB this is the
+    * cheapest possible spelling (no text comparison after the map side). */
+  private val exact: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .groupBy(md5($"text").as("fp"))
+      .agg(min($"doc_id").as("canonical_id"),
+           count(lit(1)).as("n_copies"))
+  }
+
+  /** Shingle sets per doc (distinct 3-gram), reused by both near-dup
+    * paths. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", shingles(toks($"text")).as("sh"))
+  }
+
+  /** Exact Jaccard on candidate pairs given per-doc shingle arrays. */
+  private def jaccardOnPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    pairs
+      .join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** N-gram Jaccard near-dup via shingle inverted index:
+    * explode shingles → self-join on shingle (the inverted index) →
+    * per-pair intersection counts → Jaccard ≥ threshold.
+    * maxShingleDf drops stop-shingles before the join (skew guard). */
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   threshold: Double = 0.8,
+                   maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(spark, dir)
+    var inv = sh.select($"doc_id", explode($"sh").as("tok"))
+    if (maxShingleDf != Long.MaxValue) {
+      val rare = inv.groupBy($"tok").count()
+        .filter($"count" <= maxShingleDf).select($"tok")
+      inv = inv.join(rare, "tok")
+    }
+    val pairs = inv.as("x").join(inv.as("y"),
+        $"x.tok" === $"y.tok" && $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select($"doc_id", size($"sh").as("n"))
+    pairs
+      .join(sizes.select($"doc_id".as("id_a"), $"n".as("n_a")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"n".as("n_b")), "id_b")
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"n_a" + $"n_b" - $"inter"))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** MinHash + LSH banding near-dup: signatures (TextOps.minhashSig) →
+    * 4 bands of 2 rows → band-equality self-join for candidates →
+    * exact-Jaccard verification ≥ threshold. All md5-derived, so the
+    * ENTIRE LSH path (not just the verify) is oracle-checkable. */
+  def minhashDedup(spark: SparkSession, dir: String,
+                   threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(spark, dir)
+    val sigCols = MinHashAB.indices.map(j => minhashSig($"sh", j).as(s"s$j"))
+    val sig = sh.select(($"doc_id" +: sigCols): _*)
+    val bands = (0 until 4).map { b =>
+      sig.select($"doc_id", lit(b).as("band"),
+        col(s"s${2 * b}").as("v1"), col(s"s${2 * b + 1}").as("v2"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.v1" === $"y.v1" &&
+          $"x.v2" === $"y.v2" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+      .distinct()
+    jaccardOnPairs(cand, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** Library variant: Spark ML HashingTF + MinHashLSH approxSimilarityJoin
+    * (different hash family → no SQL oracle; rows-only check). Kept
+    * alongside the native path to cover the `ml.feature` surface. */
+  def minhashMl(spark: SparkSession, dir: String,
+                jaccardDistance: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(spark, dir)
+      .filter(size($"sh") > 0)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("tf")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val vecs = tf.transform(sh).select($"doc_id", $"tf")
+    val lsh = new MinHashLSH().setInputCol("tf").setOutputCol("mh")
+      .setNumHashTables(4).setSeed(42L)
+    val model = lsh.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, jaccardDistance, "dist")
+      .select(col("datasetA.doc_id").as("id_a"),
+              col("datasetB.doc_id").as("id_b"),
+              col("dist"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** Embedding-cosine near-dup on a deterministic probe subset
+    * (vec_id % 10 = 0). Dot product = cosine (unit-norm corpus), computed
+    * as an explicit left fold in DOUBLE so Spark and DuckDB agree
+    * bit-for-bit. */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       threshold: Double = 0.30): DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "embeddings")
+      .filter($"vec_id" % 10 === 0)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val pairs = e.select($"vec_id".as("id_a"), $"v".as("va"))
+      .crossJoin(e.select($"vec_id".as("id_b"), $"v".as("vb")))
+      .filter($"id_a" < $"id_b")
+    pairs
+      .withColumn("cosine",
+        aggregate(zip_with($"va", $"vb", (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+      .filter($"cosine" >= threshold)
+      .select($"id_a", $"id_b", $"cosine")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact"         -> exact,
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "dedup_minhash"       -> ((s, d) => minhashDedup(s, d)),
+    "dedup_minhash_ml"    -> ((s, d) => minhashMl(s, d)),
+    "dedup_embedding"     -> ((s, d) => embeddingNearDup(s, d)))
+
+  // ---- DuckDB oracles ----------------------------------------------
+
+  private val shCte =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+       |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""$shCte,
+         |inv AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+         |pair AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM inv x JOIN inv y ON x.tok = y.tok AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM s)
+         |SELECT id_a, id_b,
+         |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |FROM pair JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+
+    "dedup_minhash" -> {
+      val sigCols = MinHashAB.zipWithIndex.map { case ((a, b), j) =>
+        s"list_reduce(list_prepend(${TextOps.P61}, list_transform(sh, sg -> (${hash48Sql("sg")} * $a + $b) % ${TextOps.P61})), (x, y) -> least(x, y)) AS s$j"
+      }.mkString(",\n    ")
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, s${2 * b} AS v1, s${2 * b + 1} AS v2 FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""$shCte,
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM s),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.v1 = y.v1 AND x.v2 = y.v2
+         |   AND x.doc_id < y.doc_id),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+         |  FROM cand JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin
+    },
+
+    "dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id % 10 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
+        |    (acc, x) -> acc + x) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
+        |    (acc, x) -> acc + x) >= 0.30""".stripMargin)
+}

@@ -1,0 +1,263 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table: token/length/quality stats, language-ID
+  * heuristic, document fingerprinting (rolling hash), SimHash and MinHash
+  * sketches.
+  *
+  * Design rules:
+  *  - Everything is a native Column expression (array HOFs — transform/
+  *    aggregate/filter) — no UDFs, no explode unless a join needs it, so
+  *    per-doc sketches stay inside whole-stage codegen and need NO shuffle.
+  *  - Every hash is derived from md5 (available bit-identically in DuckDB),
+  *    so even the sketches are exact-oracle-checkable: a 48-bit integer is
+  *    taken from the first 12 hex chars of md5.
+  *  - At 100 TB: these are embarrassingly parallel map-side ops; the only
+  *    shuffles in this file's consumers are the dedup pair-joins in
+  *    [[Dedup]], which are bucketed by shingle/band — never all-pairs.
+  */
+object TextOps {
+
+  /** 2^48 modulus for rolling hashes. */
+  val M48: Long = 281474976710656L
+
+  /** Mersenne prime 2^61-1 for minhash permutations. */
+  val P61: Long = 2305843009213693951L
+
+  /** MinHash permutation constants (a, b): a odd < 2^13 so a*h < 2^61
+    * never overflows a signed long (h < 2^48). Fixed — part of the
+    * operator's contract and mirrored in the DuckDB oracle. */
+  val MinHashAB: Seq[(Long, Long)] = Seq(
+    (3L, 12207031L), (5L, 9821L), (7L, 77003L), (11L, 50331653L),
+    (13L, 999983L), (17L, 30011L), (19L, 7919L), (23L, 104729L))
+
+  val SimHashBits: Int = 48
+
+  /** Stopword set for quality stats / lang-id (tiny on purpose —
+    * deterministic and oracle-mirrored). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  // ---- building blocks (Spark side) --------------------------------
+
+  /** Whitespace tokens of lower-cased text. */
+  def toks(text: Column): Column = split(lower(text), "\\s+")
+
+  /** 48-bit integer hash of a string via md5 — exists identically in
+    * DuckDB as CAST('0x' || substr(md5(s),1,12) AS BIGINT). */
+  def hash48(s: Column): Column =
+    conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+
+  /** Distinct token 3-gram shingles (empty array for <3 tokens). */
+  def shingles(toksCol: Column): Column =
+    when(size(toksCol) >= 3,
+      array_distinct(transform(
+        sequence(lit(0), size(toksCol) - 3),
+        i => concat_ws(" ",
+          element_at(toksCol, i + 1),
+          element_at(toksCol, i + 2),
+          element_at(toksCol, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Rolling polynomial fingerprint over token hashes:
+    * h_i = (h_{i-1} * 31 + hash48(tok_i)) mod 2^48 — an order-sensitive
+    * document fingerprint (vs md5 of the full text, order+content). */
+  def rollingFingerprint(toksCol: Column): Column =
+    aggregate(
+      transform(toksCol, t => hash48(t)),
+      lit(0L),
+      (h, x) => (h * 31 + x) % M48)
+
+  /** SimHash over token hashes: per bit, sum +1/-1 across tokens; bit set
+    * iff the sum is positive. One pass per bit over the in-row array —
+    * no shuffle, fully codegen. */
+  def simhash(toksCol: Column): Column = {
+    val hashes = transform(toksCol, t => hash48(t))
+    val bitCols: Seq[Column] = (0 until SimHashBits).map { i =>
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, i) % 2 === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << i)).otherwise(0L)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** MinHash signature j over distinct shingles:
+    * min over shingles of (a_j * hash48(s) + b_j) mod (2^61-1);
+    * empty set → the modulus itself (identity of min). */
+  def minhashSig(shinglesCol: Column, j: Int): Column = {
+    val (a, b) = MinHashAB(j)
+    aggregate(
+      transform(shinglesCol, s => hash48(s)),
+      lit(P61),
+      (m, h) => least(m, (h * a + b) % P61))
+  }
+
+  // ---- declared queries --------------------------------------------
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Token/length/quality statistics per document. */
+  private val stats: Q = (spark, dir) => {
+    import spark.implicits._
+    val t = toks($"text")
+    val nTok = size(t)
+    val sumLen = aggregate(t, lit(0), (a, x) => a + length(x))
+    val nStop = size(filter(t, x => x.isInCollection(Stopwords)))
+    val nUniq = size(array_distinct(t))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars",
+        length($"text").as("n_chars_calc"),
+        nTok.as("n_tokens"),
+        nUniq.as("n_uniq_tokens"),
+        (sumLen.cast("double") / nTok).as("avg_token_len"),
+        (nStop.cast("double") / nTok).as("stop_ratio"),
+        (nUniq.cast("double") / nTok).as("uniq_ratio"))
+      .withColumn("quality_score",
+        when($"n_tokens".between(20, 1000), 0.25).otherwise(0.0) +
+        when($"uniq_ratio" >= 0.2, 0.25).otherwise(0.0) +
+        when($"stop_ratio" <= 0.5, 0.25).otherwise(0.0) +
+        when($"avg_token_len".between(3.0, 12.0), 0.25).otherwise(0.0))
+  }
+
+  /** Language-ID heuristic: CJK charset check, then marker-stopword
+    * lookup. Deterministic rule, mirrored exactly in the oracle (the
+    * synthetic corpus shares one vocabulary across its `lang` labels, so
+    * the heuristic's value here is the operator mechanics, not label
+    * recovery — documented, and measured by the `agree` column). */
+  private val langId: Q = (spark, dir) => {
+    import spark.implicits._
+    val t = toks($"text")
+    val cjk = size(regexp_extract_all($"text", lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val pred =
+      when(cjk > 0, "zh")
+        .when(array_contains(t, "the") || array_contains(t, "is"), "en")
+        .when(array_contains(t, "der") || array_contains(t, "die") || array_contains(t, "das"), "de")
+        .when(array_contains(t, "le") || array_contains(t, "les") || array_contains(t, "une"), "fr")
+        .when(array_contains(t, "el") || array_contains(t, "los") || array_contains(t, "una"), "es")
+        .otherwise("unknown")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", cjk.as("cjk_chars"), pred.as("lang_pred"))
+      .withColumn("agree", ($"lang" === $"lang_pred").cast("int"))
+  }
+
+  /** Content fingerprints: exact (md5 of text), normalized (md5 of
+    * lower-cased whitespace-collapsed text), and the order-sensitive
+    * rolling hash. */
+  private val fingerprint: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        md5($"text").as("fp_exact"),
+        md5(concat_ws(" ", toks($"text"))).as("fp_norm"),
+        rollingFingerprint(toks($"text")).as("fp_rolling"))
+  }
+
+  /** Per-document SimHash sketch. */
+  private val simhashQ: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", simhash(toks($"text")).as("simhash"))
+  }
+
+  /** Per-document MinHash signature (8 permutations over 3-gram
+    * shingles). */
+  private val minhashSigQ: Q = (spark, dir) => {
+    import spark.implicits._
+    val sh = shingles(toks($"text"))
+    val sigCols = MinHashAB.indices.map(j => minhashSig(sh, j).as(s"s$j"))
+    Tables.load(spark, dir, "documents")
+      .select(($"doc_id" +: sigCols): _*)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d_text_stats"  -> stats,
+    "d_lang_id"     -> langId,
+    "d_fingerprint" -> fingerprint,
+    "d_simhash"     -> simhashQ,
+    "d_minhash_sig" -> minhashSigQ)
+
+  // ---- DuckDB oracles ----------------------------------------------
+
+  /** DuckDB fragments mirroring the Spark building blocks. */
+  val ToksSql = """string_split_regex(lower(text), '\s+')"""
+  def hash48Sql(s: String): String =
+    s"CAST(('0x' || substr(md5($s), 1, 12)) AS BIGINT)"
+
+  val ShinglesSql: String =
+    """CASE WHEN len(w) >= 3 THEN
+      |  list_distinct(list_transform(generate_series(1, len(w)-2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      | ELSE [] END""".stripMargin
+
+  private def simhashSql: String = {
+    val votes = (0 until SimHashBits).map { i =>
+      s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END"
+    }
+    votes.mkString("(", " + ", ")")
+  }
+
+  private def minhashSigSqlCols: String =
+    MinHashAB.zipWithIndex.map { case ((a, b), j) =>
+      s"list_reduce(list_prepend($P61, list_transform(sh, s -> (${hash48Sql("s")} * $a + $b) % $P61)), (x, y) -> least(x, y)) AS s$j"
+    }.mkString(",\n    ")
+
+  val oracles: Map[String, String] = Map(
+    "d_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, lang, n_chars, text, $ToksSql AS w FROM documents)
+         |SELECT doc_id, lang, n_chars,
+         |  CAST(length(text) AS INT) AS n_chars_calc,
+         |  CAST(len(w) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct(w)) AS INT) AS n_uniq_tokens,
+         |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS avg_token_len,
+         |  CAST(len(list_filter(w, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / len(w) AS stop_ratio,
+         |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio,
+         |  (CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 0.25 ELSE 0.0 END +
+         |   CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.2 THEN 0.25 ELSE 0.0 END +
+         |   CASE WHEN CAST(len(list_filter(w, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / len(w) <= 0.5 THEN 0.25 ELSE 0.0 END +
+         |   CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+         |  AS quality_score
+         |FROM t""".stripMargin,
+
+    "d_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $ToksSql AS w,
+         |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk FROM documents)
+         |SELECT doc_id, lang, CAST(cjk AS INT) AS cjk_chars,
+         |  CASE WHEN cjk > 0 THEN 'zh'
+         |       WHEN list_contains(w, 'the') OR list_contains(w, 'is') THEN 'en'
+         |       WHEN list_contains(w, 'der') OR list_contains(w, 'die') OR list_contains(w, 'das') THEN 'de'
+         |       WHEN list_contains(w, 'le') OR list_contains(w, 'les') OR list_contains(w, 'une') THEN 'fr'
+         |       WHEN list_contains(w, 'el') OR list_contains(w, 'los') OR list_contains(w, 'una') THEN 'es'
+         |       ELSE 'unknown' END AS lang_pred,
+         |  CAST(lang = (CASE WHEN cjk > 0 THEN 'zh'
+         |       WHEN list_contains(w, 'the') OR list_contains(w, 'is') THEN 'en'
+         |       WHEN list_contains(w, 'der') OR list_contains(w, 'die') OR list_contains(w, 'das') THEN 'de'
+         |       WHEN list_contains(w, 'le') OR list_contains(w, 'les') OR list_contains(w, 'une') THEN 'fr'
+         |       WHEN list_contains(w, 'el') OR list_contains(w, 'los') OR list_contains(w, 'una') THEN 'es'
+         |       ELSE 'unknown' END) AS INT) AS agree
+         |FROM t""".stripMargin,
+
+    "d_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, $ToksSql AS w FROM documents)
+         |SELECT doc_id,
+         |  md5(text) AS fp_exact,
+         |  md5(array_to_string(w, ' ')) AS fp_norm,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(w, t2 -> ${hash48Sql("t2")})),
+         |              (h, x) -> (h * 31 + x) % $M48) AS fp_rolling
+         |FROM t""".stripMargin,
+
+    "d_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |h AS (SELECT doc_id, list_transform(w, t2 -> ${hash48Sql("t2")}) AS hs FROM t)
+         |SELECT doc_id, $simhashSql AS simhash FROM h""".stripMargin,
+
+    "d_minhash_sig" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t)
+         |SELECT doc_id,
+         |    $minhashSigSqlCols
+         |FROM s""".stripMargin)
+}
