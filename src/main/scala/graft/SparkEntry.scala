@@ -21,12 +21,16 @@ object SparkEntry {
       graft.queries.Churn.queries ++
       graft.ml.ChurnML.queries ++
       graft.llm.TextOps.queries ++
-      graft.llm.Dedup.queries
+      graft.llm.Dedup.queries ++
+      graft.llm.Similarity.queries ++
+      graft.llm.EventWindows.queries
 
   val oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Churn.oracles ++
       graft.ml.ChurnML.oracles ++
       graft.llm.TextOps.oracles ++
-      graft.llm.Dedup.oracles
+      graft.llm.Dedup.oracles ++
+      graft.llm.Similarity.oracles ++
+      graft.llm.EventWindows.oracles
 }

@@ -24,8 +24,10 @@ object Tables {
     // events.ts is TIMESTAMP(NANOS), which Spark reads only as a long
     // (spark.sql.legacy.parquet.nanosAsLong) — surface it as a proper
     // microsecond timestamp, matching DuckDB's CAST(ts AS TIMESTAMP).
+    // Integer `div`, not `/`: ts is ~1.7e18 ns and double division loses
+    // precision past 2^53 (caught by the ev_session oracle: ±1 µs drift).
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

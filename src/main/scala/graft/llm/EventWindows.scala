@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.Cols._
+
+/** Event-time window aggregations over the `events` table — the batch
+  * spellings of tumbling / sliding / session windows (SURVEY §2.9 notes
+  * the reference has no streaming; these are the extension mandated by
+  * the build plan §7.7). The Structured Streaming twins live in
+  * [[graft.streaming.StreamingWindows]] and share these semantics.
+  *
+  * Scale notes: window() and session_window() are ordinary grouping
+  * expressions — partial aggregation applies, one shuffle on
+  * (window/user). The sliding window multiplies each row into
+  * duration/slide groups (4× here) BEFORE the partial agg — the same
+  * expansion any engine pays; keep slide ≥ duration/4 at warehouse scale.
+  */
+object EventWindows {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tumbling 1-hour windows × event_type. */
+  private val tumbling: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"window.start".as("w_start"), $"window.end".as("w_end"),
+        $"event_type", $"n", $"sum_value")
+  }
+
+  /** Sliding 1-hour windows every 15 minutes (each event in 4 windows). */
+  private val sliding: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy(window($"ts", "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"window.start".as("w_start"), $"window.end".as("w_end"),
+        $"n", $"sum_value")
+  }
+
+  /** Session windows per user, 30-minute gap: a session ends 30 min
+    * after its last event (Spark session_window semantics: end =
+    * max(ts) + gap). */
+  private val session: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select($"user_id",
+        $"session_window.start".as("s_start"),
+        $"session_window.end".as("s_end"),
+        $"n_events", $"sum_value")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ev_tumbling" -> tumbling,
+    "ev_sliding"  -> sliding,
+    "ev_session"  -> session)
+
+  val oracles: Map[String, String] = Map(
+    "ev_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
+        |       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS w_end,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "ev_sliding" ->
+      """WITH x AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS t, value,
+        |         time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS b
+        |  FROM events),
+        |w AS (
+        |  SELECT t, value, b - (k * INTERVAL '15 minutes') AS w_start
+        |  FROM x, unnest(generate_series(0, 3)) AS u(k)
+        |  WHERE b - (k * INTERVAL '15 minutes') > t - INTERVAL '1 hour')
+        |SELECT w_start, w_start + INTERVAL '1 hour' AS w_end, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "ev_session" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value,
+        |         CASE WHEN CAST(ts AS TIMESTAMP) -
+        |              lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL '30 minutes'
+        |              OR lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, t, value,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM o)
+        |SELECT user_id, MIN(t) AS s_start,
+        |       MAX(t) + INTERVAL '30 minutes' AS s_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sess""".stripMargin)
+}
