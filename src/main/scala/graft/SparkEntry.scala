@@ -23,7 +23,8 @@ object SparkEntry {
       graft.llm.TextOps.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
-      graft.llm.EventWindows.queries
+      graft.llm.EventWindows.queries ++
+      graft.encode.FeatIndex.queries
 
   val oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.llm.TextOps.oracles ++
       graft.llm.Dedup.oracles ++
       graft.llm.Similarity.oracles ++
-      graft.llm.EventWindows.oracles
+      graft.llm.EventWindows.oracles ++
+      graft.encode.FeatIndex.oracles
 }

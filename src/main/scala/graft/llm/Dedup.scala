@@ -102,7 +102,7 @@ object Dedup {
                    threshold: Double = 0.8): DataFrame = {
     import spark.implicits._
     val sh = docShingles(spark, dir)
-    val sigCols = MinHashAB.indices.map(j => minhashSig($"sh", j).as(s"s$j"))
+    val sigCols = (0 until MinHashK).map(j => minhashSig($"sh", j).as(s"s$j"))
     val sig = sh.select(($"doc_id" +: sigCols): _*)
     val bands = (0 until 4).map { b =>
       sig.select($"doc_id", lit(b).as("band"),
@@ -190,9 +190,8 @@ object Dedup {
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
 
     "dedup_minhash" -> {
-      val sigCols = MinHashAB.zipWithIndex.map { case ((a, b), j) =>
-        s"list_reduce(list_prepend(${TextOps.P61}, list_transform(sh, sg -> (${hash48Sql("sg")} * $a + $b) % ${TextOps.P61})), (x, y) -> least(x, y)) AS s$j"
-      }.mkString(",\n    ")
+      val sigCols = (0 until MinHashK)
+        .map(j => s"${TextOps.minhashSigSql(j)} AS s$j").mkString(",\n    ")
       val bandSelects = (0 until 4).map { b =>
         s"SELECT doc_id, $b AS band, s${2 * b} AS v1, s${2 * b + 1} AS v2 FROM sig"
       }.mkString("\n  UNION ALL ")

@@ -26,15 +26,14 @@ object TextOps {
   /** 2^48 modulus for rolling hashes. */
   val M48: Long = 281474976710656L
 
-  /** Mersenne prime 2^61-1 for minhash permutations. */
-  val P61: Long = 2305843009213693951L
-
-  /** MinHash permutation constants (a, b): a odd < 2^13 so a*h < 2^61
-    * never overflows a signed long (h < 2^48). Fixed — part of the
-    * operator's contract and mirrored in the DuckDB oracle. */
-  val MinHashAB: Seq[(Long, Long)] = Seq(
-    (3L, 12207031L), (5L, 9821L), (7L, 77003L), (11L, 50331653L),
-    (13L, 999983L), (17L, 30011L), (19L, 7919L), (23L, 104729L))
+  /** Number of MinHash permutations. The hash family is SALTED md5 —
+    * hash48("mh<j>_" ++ shingle) — i.e. k genuinely independent hash
+    * functions. (A first draft used (a·h+b) mod p with small a; since
+    * a·h never exceeded p, those "permutations" were monotone in h and
+    * perfectly correlated — every slot returned the same argmin shingle.
+    * Caught by the planted-near-dup unit test, not by the oracle, which
+    * faithfully replicated the same degenerate family.) */
+  val MinHashK: Int = 8
 
   val SimHashBits: Int = 48
 
@@ -85,16 +84,14 @@ object TextOps {
     bitCols.reduce(_ + _)
   }
 
-  /** MinHash signature j over distinct shingles:
-    * min over shingles of (a_j * hash48(s) + b_j) mod (2^61-1);
-    * empty set → the modulus itself (identity of min). */
-  def minhashSig(shinglesCol: Column, j: Int): Column = {
-    val (a, b) = MinHashAB(j)
+  /** MinHash signature j over distinct shingles: min over shingles of
+    * the salted hash hash48("mh<j>_" ++ s); empty set → 2^48 (identity
+    * of min, above every real hash). */
+  def minhashSig(shinglesCol: Column, j: Int): Column =
     aggregate(
-      transform(shinglesCol, s => hash48(s)),
-      lit(P61),
-      (m, h) => least(m, (h * a + b) % P61))
-  }
+      transform(shinglesCol, s => hash48(concat(lit(s"mh${j}_"), s))),
+      lit(1L << 48),
+      (m, h) => least(m, h))
 
   // ---- declared queries --------------------------------------------
 
@@ -168,7 +165,7 @@ object TextOps {
   private val minhashSigQ: Q = (spark, dir) => {
     import spark.implicits._
     val sh = shingles(toks($"text"))
-    val sigCols = MinHashAB.indices.map(j => minhashSig(sh, j).as(s"s$j"))
+    val sigCols = (0 until MinHashK).map(j => minhashSig(sh, j).as(s"s$j"))
     Tables.load(spark, dir, "documents")
       .select(($"doc_id" +: sigCols): _*)
   }
@@ -200,10 +197,12 @@ object TextOps {
     votes.mkString("(", " + ", ")")
   }
 
+  /** DuckDB spelling of [[minhashSig]] (shared with the Dedup oracle). */
+  def minhashSigSql(j: Int): String =
+    s"list_reduce(list_prepend(${1L << 48}, list_transform(sh, s -> ${hash48Sql(s"'mh${j}_' || s")})), (x, y) -> least(x, y))"
+
   private def minhashSigSqlCols: String =
-    MinHashAB.zipWithIndex.map { case ((a, b), j) =>
-      s"list_reduce(list_prepend($P61, list_transform(sh, s -> (${hash48Sql("s")} * $a + $b) % $P61)), (x, y) -> least(x, y)) AS s$j"
-    }.mkString(",\n    ")
+    (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
     "d_text_stats" ->

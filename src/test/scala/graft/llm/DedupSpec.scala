@@ -1,0 +1,81 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dedup semantics on a corpus with PLANTED duplicates (the driver
+  * testdata has organic near-dups; here we control ground truth). */
+class DedupSpec extends SparkSpec {
+
+  /** Tiny corpus: 0 and 1 exact dupes; 2 near-dup of 0 (one token
+    * changed); 3 unrelated. Written as a documents.parquet table so the
+    * operators run exactly as they do against driver testdata. */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val base = "spark makes big data simple and fast for everyone " +
+      "catalyst optimizes the logical plan into physical stages " +
+      "tungsten generates compact bytecode for modern hardware"
+    val near = base.replace("modern", "current")
+    val docs = Seq(
+      (0L, base, "en", "s0", base.length.toLong),
+      (1L, base, "en", "s1", base.length.toLong),
+      (2L, near, "en", "s2", near.length.toLong),
+      (3L, "completely different words about cooking pasta with garlic " +
+        "and olive oil in a cast iron pan over medium heat until golden",
+        "en", "s3", 120L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Files.createTempDirectory("dedup-spec").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("exact dedup groups identical texts under the smallest doc_id") {
+    import spark.implicits._
+    val out = Dedup.queries("dedup_exact")(spark, dir)
+      .orderBy($"canonical_id")
+      .select($"canonical_id", $"n_copies").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("ngram jaccard finds the exact and near pair, not the unrelated doc") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccard(spark, dir, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH banding surfaces the same near-dup pairs") {
+    import spark.implicits._
+    val pairs = Dedup.minhashDedup(spark, dir, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash of near-dups is close in hamming distance, unrelated is far") {
+    import spark.implicits._
+    val sh = TextOps.queries("d_simhash")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) == 0)            // identical text
+    assert(ham(sh(0L), sh(2L)) <= 6)            // one token changed
+    assert(ham(sh(0L), sh(3L)) > 10)            // unrelated
+  }
+
+  test("minhash signature estimates jaccard for the near pair") {
+    import spark.implicits._
+    val sig = TextOps.queries("d_minhash_sig")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    val agree02 = sig(0L).zip(sig(2L)).count { case (a, b) => a == b }
+    val agree03 = sig(0L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(sig(0L) == sig(1L))   // identical sets → identical signatures
+    assert(agree02 >= 4)         // high-jaccard pair agrees on most slots
+    assert(agree03 == 0)         // disjoint shingles
+  }
+}

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Null-handling laws of the join/fill idioms (SURVEY §5: J2/J3 + P9). */
+class RelationalLawsSpec extends SparkSpec {
+
+  test("J3 law: left join + na.fill(1) equals union of matched(0) and left_anti(1)") {
+    import spark.implicits._
+    val universe = Seq(1, 2, 3, 4, 5).toDF("k")
+    val buyers = Seq(2, 4).toDF("k").withColumn("label", lit(0))
+
+    val fillForm = universe.join(buyers, Seq("k"), "left_outer")
+      .na.fill(1, Seq("label"))
+    val antiForm = universe.join(buyers.select($"k"), Seq("k"), "left_semi")
+      .withColumn("label", lit(0))
+      .unionByName(
+        universe.join(buyers.select($"k"), Seq("k"), "left_anti")
+          .withColumn("label", lit(1)))
+
+    val a = fillForm.orderBy($"k").as[(Int, Int)].collect().toSeq
+    val b = antiForm.orderBy($"k").as[(Int, Int)].collect().toSeq
+    assert(a == b)
+    assert(a == Seq((1, 1), (2, 0), (3, 1), (4, 0), (5, 1)))
+  }
+
+  test("J2 law: left-join chain preserves left cardinality and key set") {
+    import spark.implicits._
+    val base = Seq(1, 2, 3).toDF("k")
+    val f1 = Seq((1, 10.0), (2, 20.0)).toDF("k", "a")
+    val f2 = Seq((2, 7L), (9, 9L)).toDF("k", "b") // 9 must not leak in
+    val out = base.join(f1, Seq("k"), "left_outer").join(f2, Seq("k"), "left_outer")
+    assert(out.count() == 3)
+    assert(out.select($"k").as[Int].collect().toSet == Set(1, 2, 3))
+    // unmatched rows carry nulls, not dropped rows
+    assert(out.filter($"k" === 3 && $"a".isNull && $"b".isNull).count() == 1)
+  }
+
+  test("P9 law: na.fill only touches nulls of the named columns") {
+    import spark.implicits._
+    val df = Seq((Some(1.0), Some("x")), (None, None))
+      .toDF("num", "s")
+    val filled = df.na.fill(-1.0, Seq("num"))
+    assert(filled.filter($"num" === -1.0).count() == 1)
+    assert(filled.filter($"s".isNull).count() == 1) // untouched
+    val blanket = df.na.fill(-1.0).na.fill("unknow")
+    assert(blanket.filter($"s" === "unknow").count() == 1)
+  }
+
+  test("U1 shopchannel udf reproduces the reference's quirky 4-way mapping") {
+    import spark.implicits._
+    val cases = Seq(
+      (Some("小程序会员"), Some("门店会员")),
+      (Some("小程序会员"), None),
+      (None, None),
+      (None, Some("门店会员"))) // store-only → udf None → null
+      .toDF("w", "s")
+    val out = cases.select(Churn.shopchannelUdf($"w", $"s").as("c"))
+      .as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("门店和小程序"), Some("仅小程序"), Some("仅门店"), None))
+  }
+}
