@@ -24,7 +24,8 @@ object SparkEntry {
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.EventWindows.queries ++
-      graft.encode.FeatIndex.queries
+      graft.encode.FeatIndex.queries ++
+      graft.io.Sinks.queries
 
   val oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.llm.Dedup.oracles ++
       graft.llm.Similarity.oracles ++
       graft.llm.EventWindows.oracles ++
-      graft.encode.FeatIndex.oracles
+      graft.encode.FeatIndex.oracles ++
+      graft.io.Sinks.oracles
 }

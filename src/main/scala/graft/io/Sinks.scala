@@ -1,0 +1,137 @@
+package graft.io
+
+import java.nio.file.Files
+import java.util.Properties
+
+import org.apache.spark.ml.feature.StringIndexer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Remaining source/sink operators (SURVEY §2.1/2.2): S2 CSV scan,
+  * K1 saveAsTable, K2 model persist, K3 JDBC, K7 text dump, F11 sigmoid.
+  * Each is exercised as a ROUND-TRIP inside its declared query — write to
+  * the sink, read back through the matching source, emit the read-back
+  * rows — so the oracle checks the whole path, not just that a write
+  * didn't throw.
+  */
+object Sinks {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** S2: CSV with header + inferSchema + na.drop
+    * (GBDT/spark/churn_xgb4j_spark.scala:19). Parquet→CSV→parquet
+    * round-trip: inference must recover bigint/double/string. */
+  private val s2: Q = (spark, dir) => {
+    import spark.implicits._
+    val src = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        to_date($"o_orderdate").as("order_date"), $"o_orderpriority")
+    val tmp = Files.createTempDirectory("graft-csv").toString
+    src.write.mode("overwrite").option("header", "true").csv(s"$tmp/orders_csv")
+    spark.read
+      .options(Map("header" -> "true", "inferSchema" -> "true"))
+      .csv(s"$tmp/orders_csv")
+      .na.drop()
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        to_date($"order_date").as("order_date"), $"o_orderpriority")
+  }
+
+  /** K1: saveAsTable (ORC in the reference, RF:225; parquet here —
+    * same DataFrameWriter surface) + read back via the catalog. */
+  private val k1: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").format("parquet").saveAsTable("k1_orders_agg")
+    spark.table("k1_orders_agg")
+  }
+
+  /** K2: ML writer/reader round-trip as its own declared op (the
+    * trainEval queries also do this for full PipelineModels): persist a
+    * fitted StringIndexerModel, reload, emit its dictionary. Oracle =
+    * the same frequencyDesc row_number SQL as m1. */
+  private val k2: Q = (spark, dir) => {
+    import spark.implicits._
+    val df = Tables.load(spark, dir, "orders").select($"o_orderpriority")
+    val model = new StringIndexer()
+      .setInputCol("o_orderpriority").setOutputCol("idx")
+      .setStringOrderType("frequencyDesc").fit(df)
+    val path = Files.createTempDirectory("graft-sidx").toString + "/model"
+    model.write.overwrite().save(path)
+    val loaded = org.apache.spark.ml.feature.StringIndexerModel.load(path)
+    loaded.labelsArray(0).zipWithIndex.toSeq.toDF("value", "idx")
+      .select($"value", $"idx".cast("long").as("idx"))
+  }
+
+  /** K3: JDBC write + read back (GBDT/spark/utils.scala:109-116 —
+    * postgres there; embedded Derby here, same DataFrameWriter.jdbc
+    * surface and the jar Spark already ships). */
+  private val k3: Q = (spark, dir) => {
+    import spark.implicits._
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft-derby")}/db;create=true"
+    val props = new Properties()
+    val out = Tables.load(spark, dir, "region")
+      .select($"r_regionkey".cast("long").as("r_regionkey"), $"r_name")
+    out.write.mode("overwrite").jdbc(url, "region_sink", props)
+    spark.read.jdbc(url, "region_sink", props)
+      .select($"r_regionkey", $"r_name")
+  }
+
+  /** K7 + F11: sigmoid scores dumped as text lines
+    * (FM/fm_csv/fm_churn_csv.py:178-180; LR/model.py:81), read back and
+    * re-emitted. Fixed-format %.9f keeps the text form engine-portable. */
+  private val k7: Q = (spark, dir) => {
+    import spark.implicits._
+    val scored = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey",
+        expr("1.0 / (1.0 + exp(-( (o_orderkey % 13) - 6 )))").as("prob")) // F11
+      .select(concat($"o_orderkey".cast("string"), lit(","),
+        format_string("%.9f", $"prob")).as("value"))
+    val tmp = Files.createTempDirectory("graft-k7").toString
+    scored.write.mode("overwrite").text(s"$tmp/preds")
+    spark.read.text(s"$tmp/preds")
+  }
+
+  /** F11 standalone: sigmoid as a native expression over a column. */
+  private val f11: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey",
+        (($"o_orderkey" % 13) - 6).cast("double").as("x"))
+      .withColumn("sigmoid", expr("1.0 / (1.0 + exp(-x))"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s2_csv_scan"      -> s2,
+    "k1_save_as_table" -> k1,
+    "k2_model_persist" -> k2,
+    "k3_jdbc_roundtrip"-> k3,
+    "k7_text_dump"     -> k7,
+    "f11_sigmoid"      -> f11)
+
+  val oracles: Map[String, String] = Map(
+    "s2_csv_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+        |FROM orders""".stripMargin,
+    "k1_save_as_table" ->
+      "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+    "k2_model_persist" ->
+      """SELECT o_orderpriority AS value,
+        |       row_number() OVER (ORDER BY count(*) DESC, o_orderpriority) - 1 AS idx
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "k3_jdbc_roundtrip" ->
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
+    "k7_text_dump" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) || ',' ||
+        |       printf('%.9f', 1.0 / (1.0 + exp(-CAST((o_orderkey % 13) - 6 AS DOUBLE))))
+        |       AS value
+        |FROM orders""".stripMargin,
+    "f11_sigmoid" ->
+      """SELECT o_orderkey, CAST((o_orderkey % 13) - 6 AS DOUBLE) AS x,
+        |       1.0 / (1.0 + exp(-CAST((o_orderkey % 13) - 6 AS DOUBLE))) AS sigmoid
+        |FROM orders""".stripMargin)
+}
