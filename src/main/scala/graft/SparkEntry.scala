@@ -25,7 +25,8 @@ object SparkEntry {
       graft.llm.Similarity.queries ++
       graft.llm.EventWindows.queries ++
       graft.encode.FeatIndex.queries ++
-      graft.io.Sinks.queries
+      graft.io.Sinks.queries ++
+      graft.llm.Multimodal.queries
 
   val oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.llm.Similarity.oracles ++
       graft.llm.EventWindows.oracles ++
       graft.encode.FeatIndex.oracles ++
-      graft.io.Sinks.oracles
+      graft.io.Sinks.oracles ++
+      graft.llm.Multimodal.oracles
 }

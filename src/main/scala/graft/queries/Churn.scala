@@ -67,28 +67,55 @@ object Churn {
       .join(broadcast(ChurnAdapter.goods(spark, sfDir)), Seq("ITEM_NUM_ID"), "left_outer")
 
     val isWeekend = dayofweek($"ORDER_DATE").isin(1, 7)
-    val groupAggs: Seq[Column] = Groups.map { case (colName, _, ids) =>
-      max(when($"PTY_NUM_1".isin(ids: _*), 1).otherwise(0)).as(s"gf_$colName")
-    }
 
-    // One shuffle for the entire per-user feature block (W1-W4, A1-A6,
-    // U1-U2, U4 precursors, T4 recency inputs).
+    // Two-level aggregation instead of one groupBy with 3 countDistinct
+    // columns: multi-countDistinct makes Catalyst Expand the fact 4×
+    // before the shuffle (round-1 plan-audit note). Level 1 pre-aggregates
+    // at order grain (USR, TML) — the natural key for frequence and
+    // weekend-order counts — so level 2 needs NO distinct at all; both
+    // levels get map-side partial aggregation. ORDER_DATE and WX_APP_SIGN
+    // are order-constant (one order = one date/channel), so max() at
+    // level 1 is exact.
+    val perOrderAggs: Seq[Column] =
+      Seq[Column](
+        max($"ORDER_DATE").as("o_date"),
+        sum(dec2($"TRADE_AMOUNT")).as("o_amt"),
+        max($"TRADE_AMOUNT").as("o_max_amt"),
+        sum(dec4($"DISCOUNT_AMOUNT")).as("o_disc"),
+        count($"ITEM_NUM_ID").as("o_items"),
+        count(when($"PRICE_TYPE" =!= 0, 1)).as("o_promote"),
+        max(when(isWeekend, 1).otherwise(0)).as("o_wknd"),
+        max(when($"WX_APP_SIGN" === 1, 1).otherwise(0)).as("o_wx")) ++
+        Groups.map { case (colName, _, ids) =>
+          max(when($"PTY_NUM_1".isin(ids: _*), 1).otherwise(0)).as(s"o_$colName")
+        }
+    val perOrder = salesW.groupBy($"USR_NUM_ID", $"TML_NUM_ID")
+      .agg(perOrderAggs.head, perOrderAggs.tail: _*)
+
+    val groupAggs: Seq[Column] = Groups.map { case (colName, _, _) =>
+      max(col(s"o_$colName")).as(s"gf_$colName")
+    }
     val aggExprs: Seq[Column] = Seq(
-      max($"ORDER_DATE").as("last_shop_date"),
-      min($"ORDER_DATE").as("earliest_shop_date"),
-      sum(dec2($"TRADE_AMOUNT")).as("monetaryD"),
-      max($"TRADE_AMOUNT").as("max_amount"),
-      sum(dec4($"DISCOUNT_AMOUNT")).cast("double").as("save_amount"),
-      count($"ITEM_NUM_ID").as("items_count"),
-      countDistinct($"TML_NUM_ID").as("frequence"),
-      countDistinct($"SUB_UNIT_NUM_ID").as("shops_count"),
-      count(when($"PRICE_TYPE" =!= 0, 1)).as("promote_items_count"),
-      countDistinct(when(isWeekend, $"TML_NUM_ID")).as("wknd_orders"),
-      max(when($"WX_APP_SIGN" === 1, 1).otherwise(0)).as("has_wx"),
-      max(when($"WX_APP_SIGN" === 1, $"ORDER_DATE")).as("wx_last"),
-      max(when($"WX_APP_SIGN" =!= 1, 1).otherwise(0)).as("has_st"),
-      max(when($"WX_APP_SIGN" =!= 1, $"ORDER_DATE")).as("st_last")) ++ groupAggs
-    val agg = salesW.groupBy($"USR_NUM_ID").agg(aggExprs.head, aggExprs.tail: _*)
+      max($"o_date").as("last_shop_date"),
+      min($"o_date").as("earliest_shop_date"),
+      sum($"o_amt").as("monetaryD"),
+      max($"o_max_amt").as("max_amount"),
+      sum($"o_disc").cast("double").as("save_amount"),
+      sum($"o_items").as("items_count"),
+      count(lit(1)).as("frequence"),
+      sum($"o_promote").as("promote_items_count"),
+      count(when($"o_wknd" === 1, 1)).as("wknd_orders"),
+      max($"o_wx").as("has_wx"),
+      max(when($"o_wx" === 1, $"o_date")).as("wx_last"),
+      max(when($"o_wx" =!= 1, 1).otherwise(0)).as("has_st"),
+      max(when($"o_wx" =!= 1, $"o_date")).as("st_last")) ++ groupAggs
+    val agg0 = perOrder.groupBy($"USR_NUM_ID").agg(aggExprs.head, aggExprs.tail: _*)
+
+    // shops_count is the one genuinely line-grain distinct — its own
+    // (USR, SUB_UNIT)-distinct pre-agg, still Expand-free.
+    val shops = salesW.select($"USR_NUM_ID", $"SUB_UNIT_NUM_ID").distinct()
+      .groupBy($"USR_NUM_ID").agg(count(lit(1)).as("shops_count"))
+    val agg = agg0.join(shops, Seq("USR_NUM_ID"), "left_outer")
 
     // 90-day re-aggregation (RF:155-167) — second, much smaller shuffle.
     val m3 = salesAll

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.util.Cols._
+
+/** Structured Streaming twins of the batch event-time windows
+  * ([[graft.llm.EventWindows]]): readStream → watermark → windowed agg →
+  * sink. The reference has no streaming (SURVEY §2.9 — its Kafka deps are
+  * dead pom weight); this is the extension surface for the `events`
+  * table, built so batch and stream produce IDENTICAL results on a
+  * finite input (verified in StreamingSpec).
+  *
+  * Scale notes: watermark bounds state; tumbling windows keyed by
+  * (window, type) shuffle once; session windows use Spark's native
+  * session_window state merging. mapGroupsWithState demonstrates the
+  * custom-state escape hatch (per-user running counters) with an
+  * explicit timeout — the pattern for state Spark's built-ins can't
+  * express.
+  */
+object StreamingWindows {
+
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Parquet-directory stream of events rows. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(EventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(path)
+
+  /** Tumbling 1h × event_type (same shape as batch ev_tumbling). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows per user, 30-min gap (same shape as batch
+    * ev_session). `delay` is the watermark: events arriving more than
+    * `delay` behind the max seen ts are DROPPED — stream results equal
+    * the batch spelling exactly when input disorder stays within it.
+    * (Observed in the parity test: per-file micro-batches arrive out of
+    * event-time order, and a 30-min watermark silently dropped the
+    * early-ts files.) */
+  def session(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Custom-state example: per-user running event count + last-seen via
+    * mapGroupsWithState. NoTimeout: with Trigger.AvailableNow a
+    * processing-time timeout makes the stream run extra trigger cycles
+    * waiting for wall-clock timeouts that never land — the finite-drain
+    * run then never terminates (observed: execution thread busy-looping).
+    * Production streams that need eviction pair the timeout with a
+    * continuous trigger instead. */
+  case class UserState(n: Long, lastTs: Long)
+  case class UserCount(user_id: Long, n: Long, last_ts: java.sql.Timestamp)
+
+  def runningCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.as[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .groupByKey(_._3)
+      .mapGroupsWithState[UserState, UserCount](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String, Double, String)],
+         state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          var n = prev.n
+          var last = prev.lastTs
+          rows.foreach { r => n += 1; last = math.max(last, r._2.getTime) }
+          state.update(UserState(n, last))
+          UserCount(user, n, new java.sql.Timestamp(last))
+      }.toDF()
+  }
+
+  /** Drain a finite source completely into an in-memory table; returns
+    * the collected result. Complete/update modes emit final aggregates
+    * without waiting for watermark advancement — right for batch-parity
+    * checks on finite data. */
+  def runToCompletion(spark: SparkSession, stream: DataFrame,
+                      queryName: String, mode: OutputMode): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

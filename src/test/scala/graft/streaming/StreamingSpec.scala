@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.llm.EventWindows
+
+/** Batch ≡ stream parity on a finite events directory. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.5, "{}"),
+      (2L, ts("2024-01-01 10:20:00"), 1L, "click", 2.25, "{}"),
+      (3L, ts("2024-01-01 10:40:00"), 1L, "view", 3.0, "{}"),
+      (4L, ts("2024-01-01 11:30:00"), 1L, "click", 4.0, "{}"),
+      (5L, ts("2024-01-01 09:59:00"), 2L, "view", 5.5, "{}"),
+      (6L, ts("2024-01-01 12:10:00"), 2L, "purchase", 6.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = Files.createTempDirectory("stream-spec").toString
+    events.repartition(3).write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("streaming tumbling windows equal the batch spelling on finite input") {
+    import spark.implicits._
+    val stream = StreamingWindows.readEventStream(spark, s"$dir/events.parquet")
+    val got = StreamingWindows.runToCompletion(spark,
+        StreamingWindows.tumbling(stream), "t_tumbling", OutputMode.Complete())
+      .orderBy($"w_start", $"event_type")
+      .as[(Timestamp, Timestamp, String, Long, Double)].collect().toSeq
+    val want = EventWindows.queries("ev_tumbling")(spark, dir)
+      .orderBy($"w_start", $"event_type")
+      .as[(Timestamp, Timestamp, String, Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("streaming session windows equal the batch spelling on finite input") {
+    import spark.implicits._
+    val stream = StreamingWindows.readEventStream(spark, s"$dir/events.parquet")
+    // watermark must cover the test input's disorder: micro-batches are
+    // per-file and files are not event-time ordered
+    val got = StreamingWindows.runToCompletion(spark,
+        StreamingWindows.session(stream, delay = "1 day"), "t_session", OutputMode.Complete())
+      .orderBy($"user_id", $"s_start")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+    val want = EventWindows.queries("ev_session")(spark, dir)
+      .orderBy($"user_id", $"s_start")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("mapGroupsWithState keeps per-user running counts") {
+    import spark.implicits._
+    val stream = StreamingWindows.readEventStream(spark, s"$dir/events.parquet")
+    val got = StreamingWindows.runToCompletion(spark,
+        StreamingWindows.runningCounts(spark, stream), "t_counts", OutputMode.Update())
+      // multiple micro-batches (maxFilesPerTrigger=1) emit running rows;
+      // the latest per user is the final state
+      .groupBy($"user_id").agg(max($"n").as("n"))
+      .orderBy($"user_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L), (2L, 2L)))
+  }
+}
