@@ -31,10 +31,11 @@ object Sessions {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // saveAsTable (K1) writes through the in-memory catalog; keep the
-      // warehouse out of the repo tree.
+      // saveAsTable (K1) writes through the in-memory catalog; use a
+      // FRESH tmp warehouse per JVM — a fixed path fails on the next run
+      // with LOCATION_ALREADY_EXISTS (catalog is per-session, dir isn't).
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

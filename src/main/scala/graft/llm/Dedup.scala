@@ -74,7 +74,11 @@ object Dedup {
                    maxShingleDf: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val sh = docShingles(spark, dir)
-    var inv = sh.select($"doc_id", explode($"sh").as("tok"))
+    // Join on the 48-bit shingle hash, not the ~25-char string: ~4×
+    // smaller exchange. Collisions (if any) hit Spark and the DuckDB
+    // oracle identically — same md5-derived hash on both sides.
+    var inv = sh.select($"doc_id", explode($"sh").as("tok0"))
+      .select($"doc_id", hash48($"tok0").as("tok"))
     if (maxShingleDf != Long.MaxValue) {
       val rare = inv.groupBy($"tok").count()
         .filter($"count" <= maxShingleDf).select($"tok")
@@ -102,8 +106,7 @@ object Dedup {
                    threshold: Double = 0.8): DataFrame = {
     import spark.implicits._
     val sh = docShingles(spark, dir)
-    val sigCols = (0 until MinHashK).map(j => minhashSig($"sh", j).as(s"s$j"))
-    val sig = sh.select(($"doc_id" +: sigCols): _*)
+    val sig = minhashSigTable(Tables.load(spark, dir, "documents"))
     val bands = (0 until 4).map { b =>
       sig.select($"doc_id", lit(b).as("band"),
         col(s"s${2 * b}").as("v1"), col(s"s${2 * b + 1}").as("v2"))
@@ -178,7 +181,7 @@ object Dedup {
 
     "dedup_ngram_jaccard" ->
       s"""$shCte,
-         |inv AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+         |inv AS (SELECT doc_id, unnest(list_transform(sh, s -> ${hash48Sql("s")})) AS tok FROM s),
          |pair AS (
          |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
          |  FROM inv x JOIN inv y ON x.tok = y.tok AND x.doc_id < y.doc_id

@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Replicate the driver's correctness gate locally.
+
+Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir>
+
+Registers each testdata table as a DuckDB view, runs every oracle SQL from
+<verifyOutDir>/oracle_sql.json, and frame-compares (columns sorted by
+name, rows sorted, dtype-coerced) against the Spark parquet output.
+"""
+import sys, json, duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf, out):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    sqls = json.load(open(f"{out}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for q, sql in sorted(sqls.items()):
+        try:
+            s = con.execute(
+                f"SELECT * FROM read_parquet('{out}/{q}/*.parquet')").df()
+            o = con.execute(sql).df()
+            cols = sorted(s.columns)
+            if sorted(o.columns) != cols:
+                print(f"FAIL {q}: schema {cols} vs {sorted(o.columns)}")
+                n_bad += 1
+                continue
+            s = s[cols].sort_values(cols).reset_index(drop=True)
+            o = o[cols].sort_values(cols).reset_index(drop=True)
+            o = o.astype(s.dtypes.to_dict())
+            if s.equals(o):
+                print(f"ok   {q} ({len(s)} rows)")
+                n_ok += 1
+            else:
+                diff = (s != o).any()
+                print(f"FAIL {q}: {len(s)}/{len(o)} rows, "
+                      f"diff cols {list(diff[diff].index)}")
+                n_bad += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {q}: {str(e).splitlines()[0][:160]}")
+            n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} failed, "
+          f"{len(sqls)} with oracles")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
