@@ -25,6 +25,9 @@ object Sessions {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      // Custom optimizer rule: window+distinct idiom → single aggregate
+      // (graft.plans.WindowDistinctToAggregate; SURVEY §7.8 stretch).
+      .config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

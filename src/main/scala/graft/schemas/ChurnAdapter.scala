@@ -36,6 +36,14 @@ object ChurnAdapter {
       ($"c_custkey" % 4).cast("int").as("VIP_TYPE_NUM_ID"))
   }
 
+  /** sales = orders ⋈ lineitem — the one fact-fact join in the adapter.
+    * At warehouse scale this is the classic co-location candidate: both
+    * sides keyed by orderkey, so the production layout is bucketed
+    * (`bucketBy(N, "o_orderkey")` / `bucketBy(N, "l_orderkey")` at write
+    * time) or pre-joined into a denormalized sales table — either removes
+    * the shuffle entirely; Spark's SMJ then reads co-located buckets.
+    * The driver testdata is unbucketed single files, so locally this is
+    * a sort-merge join sized by AQE; correctness is identical. */
   def sales(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val orders   = Tables.load(spark, sfDir, "orders")
