@@ -115,6 +115,18 @@ object Relational {
            countDistinct($"o_orderpriority").as("n_priorities"))
   }
 
+  // ---- A2 approx variant (SURVEY A2 note): HLL++ approx_count_distinct
+  // — the spelling that replaces exact countDistinct at warehouse scale
+  // (no Expand, constant-size sketch, one pass). Approximate → no hash
+  // oracle; rows-only check. rsd 1% keeps it exact on small domains.
+  private val a2approx: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(approx_count_distinct($"o_orderkey", 0.01).as("frequence_approx"),
+           approx_count_distinct($"o_orderpriority", 0.01).as("n_priorities_approx"))
+  }
+
   // ---- A3: groupBy count + rename (RF:84-85)
   private val a3: Q = (spark, dir) => {
     import spark.implicits._
@@ -220,6 +232,7 @@ object Relational {
     "j3_anti_label"      -> j3,
     "a1_group_sum"       -> a1,
     "a2_count_distinct"  -> a2,
+    "a2_approx_distinct" -> a2approx,
     "a3_group_count"     -> a3,
     "a4_bround_mean"     -> a4,
     "a5_distinct"        -> a5,
