@@ -74,19 +74,26 @@ object Dedup {
                    maxShingleDf: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val sh = docShingles(spark, dir)
-    // Join on the 48-bit shingle hash, not the ~25-char string: ~4×
-    // smaller exchange. Collisions (if any) hit Spark and the DuckDB
-    // oracle identically — same md5-derived hash on both sides.
-    var inv = sh.select($"doc_id", explode($"sh").as("tok0"))
+    // Posting lists instead of an inverted-index self-join: group the
+    // postings once on the 48-bit shingle hash, emit each list's ordered
+    // pairs map-side, and count pairs. One grouping + one pair-count
+    // shuffle vs. shuffle-join + pair-count (measured ~2× on sf0.1). The
+    // df cap bounds the per-list pair blowup (skew guard): a shingle in
+    // d docs emits d(d-1)/2 pairs.
+    var posts = sh.select($"doc_id", explode($"sh").as("tok0"))
       .select($"doc_id", hash48($"tok0").as("tok"))
-    if (maxShingleDf != Long.MaxValue) {
-      val rare = inv.groupBy($"tok").count()
-        .filter($"count" <= maxShingleDf).select($"tok")
-      inv = inv.join(rare, "tok")
-    }
-    val pairs = inv.as("x").join(inv.as("y"),
-        $"x.tok" === $"y.tok" && $"x.doc_id" < $"y.doc_id")
-      .groupBy($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+      .groupBy($"tok").agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") >= 2)
+    if (maxShingleDf != Long.MaxValue)
+      posts = posts.filter(size($"ids") <= maxShingleDf)
+    val pairExpr = flatten(transform(
+      sequence(lit(0), size($"ids") - 2),
+      i => transform(
+        slice($"ids", i + 2, size($"ids")),
+        b => struct(element_at($"ids", i + 1).as("id_a"), b.as("id_b")))))
+    val pairs = posts
+      .select(explode(pairExpr).as("p"))
+      .groupBy($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
       .agg(count(lit(1)).as("inter"))
     val sizes = sh.select($"doc_id", size($"sh").as("n"))
     pairs

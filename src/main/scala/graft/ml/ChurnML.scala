@@ -120,8 +120,16 @@ object ChurnML {
   def trainEval(spark: SparkSession, sfDir: String, family: String,
                 gbtIter: Int = 50): DataFrame = {
     import spark.implicits._
+    // Right-size partitions before caching: the wide table keeps the
+    // 32-way shuffle partitioning of its final join, but the per-user
+    // result is ~1000× smaller than the fact — iterative fitters (16
+    // indexer passes, 50-200 boosting rounds) then pay scheduler
+    // overhead per tiny task. AQE coalesces shuffles, not cached plans,
+    // so coalesce explicitly. (At warehouse scale the same rule sizes
+    // partitions to the AGGREGATED volume, not the input's.)
     val wide = Churn.wideTable(spark, sfDir)
       .withColumn("label", col("label").cast("double"))
+      .coalesce(math.max(2, spark.sparkContext.defaultParallelism / 4))
     val Array(train, test) = wide.randomSplit(Array(0.8, 0.2), seed = 123L) // O3
     train.cache() // mirrors RF:235 — 16 indexer fits + tree passes reuse it
 
