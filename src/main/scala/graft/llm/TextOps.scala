@@ -47,9 +47,12 @@ object TextOps {
   def toks(text: Column): Column = split(lower(text), "\\s+")
 
   /** 48-bit integer hash of a string via md5 — exists identically in
-    * DuckDB as CAST('0x' || substr(md5(s),1,12) AS BIGINT). */
+    * DuckDB as CAST('0x' || substr(md5(s),1,12) AS BIGINT). Backed by
+    * the codegen'd [[graft.functions.Hash48]] expression (registered in
+    * GraftSparkExtensions); value-equal to
+    * `conv(substring(md5(s),1,12),16,10)`. */
   def hash48(s: Column): Column =
-    conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+    call_function("graft_hash48", s)
 
   /** Distinct token 3-gram shingles (empty array for <3 tokens). */
   def shingles(toksCol: Column): Column =
@@ -199,12 +202,31 @@ object TextOps {
   private val minhashSigQ: Q = (spark, dir) =>
     minhashSigTable(Tables.load(spark, dir, "documents"))
 
+  /** BPE-ish regex tokenization (brief: "whitespace + a BPE-ish regex"):
+    * runs of letters, runs of digits, and single non-alnum marks — the
+    * pre-tokenizer split most BPE vocabularies assume. Same RE2-safe
+    * pattern on the DuckDB side. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  private val tokenCounts: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        size(toks($"text")).as("n_ws_tokens"),
+        size(regexp_extract_all(lower($"text"), lit(BpePattern), lit(0)))
+          .as("n_bpe_tokens"),
+        (length($"text").cast("double") /
+          size(regexp_extract_all(lower($"text"), lit(BpePattern), lit(0))))
+          .as("chars_per_token"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "d_text_stats"  -> stats,
-    "d_lang_id"     -> langId,
-    "d_fingerprint" -> fingerprint,
-    "d_simhash"     -> simhashQ,
-    "d_minhash_sig" -> minhashSigQ)
+    "d_text_stats"   -> stats,
+    "d_lang_id"      -> langId,
+    "d_fingerprint"  -> fingerprint,
+    "d_simhash"      -> simhashQ,
+    "d_minhash_sig"  -> minhashSigQ,
+    "d_token_counts" -> tokenCounts)
 
   // ---- DuckDB oracles ----------------------------------------------
 
@@ -287,5 +309,13 @@ object TextOps {
          |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t)
          |SELECT doc_id,
          |    $minhashSigSqlCols
-         |FROM s""".stripMargin)
+         |FROM s""".stripMargin,
+
+    "d_token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len($ToksSql) AS INT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '$BpePattern')) AS INT) AS n_bpe_tokens,
+         |  CAST(length(text) AS DOUBLE) /
+         |    len(regexp_extract_all(lower(text), '$BpePattern')) AS chars_per_token
+         |FROM documents""".stripMargin)
 }

@@ -167,6 +167,8 @@ object WindowDistinctToAggregate extends Rule[LogicalPlan] {
 
 /** `spark.sql.extensions` entry point. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => WindowDistinctToAggregate)
+    graft.functions.Hash48.register(ext)
+  }
 }

@@ -127,6 +127,23 @@ object Relational {
            approx_count_distinct($"o_orderpriority", 0.01).as("n_priorities_approx"))
   }
 
+  // ---- A1 salted variant: the two-phase skew pattern. A hot key melts
+  // one reducer at scale; salting splits it across `salt` sub-keys for
+  // the heavy partial agg, then a cheap final agg over #keys×salt rows
+  // recombines. Deterministic salt (hash of an existing column) keeps it
+  // oracle-checkable — result equals the plain one-phase aggregate.
+  private val a1salted: Q = (spark, dir) => {
+    import spark.implicits._
+    val salted = Tables.load(spark, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64($"l_orderkey"), lit(16)))
+      .groupBy($"l_suppkey", $"salt")
+      .agg(sum(dec2($"l_quantity")).as("partial_qty"),
+           count(lit(1)).as("partial_n"))
+    salted.groupBy($"l_suppkey")
+      .agg(sum($"partial_qty").cast("double").as("sum_qty"),
+           sum($"partial_n").as("n_items"))
+  }
+
   // ---- A3: groupBy count + rename (RF:84-85)
   private val a3: Q = (spark, dir) => {
     import spark.implicits._
@@ -233,6 +250,7 @@ object Relational {
     "a1_group_sum"       -> a1,
     "a2_count_distinct"  -> a2,
     "a2_approx_distinct" -> a2approx,
+    "a1_salted_agg"      -> a1salted,
     "a3_group_count"     -> a3,
     "a4_bround_mean"     -> a4,
     "a5_distinct"        -> a5,
@@ -304,6 +322,12 @@ object Relational {
       """SELECT o_custkey, COUNT(DISTINCT o_orderkey) AS frequence,
         |       COUNT(DISTINCT o_orderpriority) AS n_priorities
         |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "a1_salted_agg" ->
+      """SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
 
     "a3_group_count" ->
       """SELECT l_suppkey, COUNT(*) AS promote_items_count

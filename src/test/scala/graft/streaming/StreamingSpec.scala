@@ -57,6 +57,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming exact dedup by key drops re-deliveries across micro-batches") {
+    import spark.implicits._
+    // duplicate event_ids in a second directory of files
+    val dupDir = Files.createTempDirectory("stream-dup").toString
+    val dup = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.5, "{}"),
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.5, "{}"), // same batch dup
+      (2L, ts("2024-01-01 10:20:00"), 1L, "click", 2.25, "{}"),
+      (7L, ts("2024-01-01 13:00:00"), 3L, "view", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    dup.repartition(2).write.mode("overwrite").parquet(s"$dupDir/events.parquet")
+
+    val stream = StreamingWindows.readEventStream(spark, s"$dupDir/events.parquet")
+      .dropDuplicates("event_id")
+    val got = StreamingWindows.runToCompletion(spark, stream, "t_dedup",
+        OutputMode.Append())
+      .select($"event_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 2L, 7L))
+  }
+
   test("mapGroupsWithState keeps per-user running counts") {
     import spark.implicits._
     val stream = StreamingWindows.readEventStream(spark, s"$dir/events.parquet")
