@@ -168,12 +168,45 @@ object Dedup {
       .select($"id_a", $"id_b", $"cosine")
   }
 
+  /** Embedding near-dup over the FULL corpus, LSH-bucketed: candidates
+    * share a random-hyperplane sign bucket ([[Similarity.lshBucket]] —
+    * md5-derived, oracle-checkable), exact cosine only within buckets.
+    * This is the scale path the probe-subset query above verifies: the
+    * per-bucket join fanout is (n/2^bits)² instead of n². Single-probe
+    * → recall < 1 for pairs split by a hyperplane (documented; raise
+    * bands or probes for higher recall). */
+  def embeddingNearDupLsh(spark: SparkSession, dir: String,
+                          threshold: Double = 0.30): DataFrame = {
+    import spark.implicits._
+    // Each side projects the bucket DIRECTLY over the scan column: an
+    // intermediate aliased array column captured inside the nested
+    // aggregate/transform lambdas fails attribute re-mapping across the
+    // self-join (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime) — bind
+    // lambda-captured expressions to scan attributes only.
+    def side(idCol: String, vCol: String): DataFrame = {
+      val vd = transform(col("embedding"), x => x.cast("double"))
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id").as(idCol), vd.as(vCol),
+          Similarity.lshBucket(vd).as("bucket"))
+    }
+    val pairs = side("id_a", "va")
+      .join(side("id_b", "vb"), Seq("bucket"))
+      .filter($"id_a" < $"id_b")
+    pairs
+      .withColumn("cosine",
+        aggregate(zip_with($"va", $"vb", (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+      .filter($"cosine" >= threshold)
+      .select($"id_a", $"id_b", $"cosine")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact"         -> exact,
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "dedup_minhash"       -> ((s, d) => minhashDedup(s, d)),
     "dedup_minhash_ml"    -> ((s, d) => minhashMl(s, d)),
-    "dedup_embedding"     -> ((s, d) => embeddingNearDup(s, d)))
+    "dedup_embedding"     -> ((s, d) => embeddingNearDup(s, d)),
+    "dedup_embedding_lsh" -> ((s, d) => embeddingNearDupLsh(s, d)))
 
   // ---- DuckDB oracles ----------------------------------------------
 
@@ -223,6 +256,18 @@ object Dedup {
          |  FROM cand JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b)
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin
     },
+
+    "dedup_embedding_lsh" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |e AS (SELECT vec_id, v, ${Similarity.bucketSql("v")} AS bucket FROM e0)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
+         |    (acc, x) -> acc + x) AS cosine
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
+         |    (acc, x) -> acc + x) >= 0.30""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (

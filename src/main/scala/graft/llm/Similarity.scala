@@ -153,7 +153,7 @@ object Similarity {
   private def hp48Sql(j: Int, dExpr: String): String =
     s"(CAST(('0x' || substr(md5('hp${j}_' || CAST($dExpr AS VARCHAR)), 1, 12)) AS BIGINT) - ${1L << 47})::DOUBLE"
 
-  private def bucketSql(vExpr: String): String = {
+  def bucketSql(vExpr: String): String = {
     val bits = (0 until LshBits).map { j =>
       s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
          |  list_transform(generate_series(1, 64), d -> $vExpr[d] * ${hp48Sql(j, "d - 1")})),
