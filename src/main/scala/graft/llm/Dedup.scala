@@ -1,7 +1,7 @@
 package graft.llm
 
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -16,11 +16,14 @@ import graft.llm.TextOps._
   *    LSH band join (minhash) — both shuffle on a key whose fanout is
   *    bounded, then verify only candidate pairs.
   *  - The shingle inverted index caps per-shingle document frequency
-  *    (maxShingleDf): a stop-shingle that appears in half the corpus would
-  *    otherwise create a quadratic pair-blowup on one key (classic skew).
-  *    Dropping ultra-common shingles is standard (they carry no
-  *    discriminative signal) but is a RECALL KNOB, so it is an explicit
-  *    parameter, default ∞ at test scale.
+  *    (maxShingleDf, default 1000): a stop-shingle that appears in half
+  *    the corpus would otherwise create a quadratic pair-blowup on one
+  *    key (classic skew). Dropping ultra-common shingles is standard
+  *    (they carry no discriminative signal) but is a RECALL KNOB, so it
+  *    is an explicit parameter — and never a silent one: the dropped
+  *    stop-shingles are enumerable via [[stopShingles]], and the skew
+  *    test in DedupSpec plants one and asserts both the bound and the
+  *    report.
   *  - MinHash banding: 8 signatures → 4 bands × 2 rows. Pair probability
   *    1-(1-j²)⁴ — ~0.99 at j=0.8, so candidates for near-dups survive
   *    while the ~0-similarity bulk never pairs up.
@@ -65,13 +68,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Ordered-pair expansion of a sorted, distinct id array: every
+    * (ids[i], ids[j]) with i < j, as structs (id_a, id_b). Used by both
+    * near-dup candidate generators — a posting list of d ids emits
+    * d(d-1)/2 pairs map-side, which is exactly why callers bound d. */
+  private def orderedPairs(ids: Column): Column =
+    flatten(transform(
+      sequence(lit(0), size(ids) - 2),
+      i => transform(
+        slice(ids, i + 2, size(ids)),
+        b => struct(element_at(ids, i + 1).as("id_a"), b.as("id_b")))))
+
+  /** Diagnostic companion to [[ngramJaccard]]: the stop-shingles its df
+    * cap drops, with their document frequency. The cap is a recall knob;
+    * this makes it auditable instead of silent (run it at the same cap
+    * to see what was excluded and how big the skew was). */
+  def stopShingles(spark: SparkSession, dir: String,
+                   maxShingleDf: Long = 1000L): DataFrame = {
+    import spark.implicits._
+    docShingles(spark, dir)
+      .select($"doc_id", explode($"sh").as("tok0"))
+      .select($"doc_id", hash48($"tok0").as("tok"))
+      .groupBy($"tok").agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" > maxShingleDf)
+  }
+
   /** N-gram Jaccard near-dup via shingle inverted index:
     * explode shingles → self-join on shingle (the inverted index) →
     * per-pair intersection counts → Jaccard ≥ threshold.
-    * maxShingleDf drops stop-shingles before the join (skew guard). */
+    * maxShingleDf drops stop-shingles before the join (skew guard,
+    * finite by default — see [[stopShingles]] for the audit path). */
   def ngramJaccard(spark: SparkSession, dir: String,
                    threshold: Double = 0.8,
-                   maxShingleDf: Long = Long.MaxValue): DataFrame = {
+                   maxShingleDf: Long = 1000L): DataFrame = {
     import spark.implicits._
     val sh = docShingles(spark, dir)
     // Posting lists instead of an inverted-index self-join: group the
@@ -79,20 +108,15 @@ object Dedup {
     // pairs map-side, and count pairs. One grouping + one pair-count
     // shuffle vs. shuffle-join + pair-count (measured ~2× on sf0.1). The
     // df cap bounds the per-list pair blowup (skew guard): a shingle in
-    // d docs emits d(d-1)/2 pairs.
-    var posts = sh.select($"doc_id", explode($"sh").as("tok0"))
+    // d docs emits d(d-1)/2 pairs. array_distinct guards the rare case
+    // of two distinct shingles of ONE doc colliding on the 48-bit hash —
+    // without it the expansion could emit a self-pair (id_a == id_b).
+    val posts = sh.select($"doc_id", explode($"sh").as("tok0"))
       .select($"doc_id", hash48($"tok0").as("tok"))
-      .groupBy($"tok").agg(sort_array(collect_list($"doc_id")).as("ids"))
-      .filter(size($"ids") >= 2)
-    if (maxShingleDf != Long.MaxValue)
-      posts = posts.filter(size($"ids") <= maxShingleDf)
-    val pairExpr = flatten(transform(
-      sequence(lit(0), size($"ids") - 2),
-      i => transform(
-        slice($"ids", i + 2, size($"ids")),
-        b => struct(element_at($"ids", i + 1).as("id_a"), b.as("id_b")))))
+      .groupBy($"tok").agg(sort_array(array_distinct(collect_list($"doc_id"))).as("ids"))
+      .filter(size($"ids").between(2, maxShingleDf))
     val pairs = posts
-      .select(explode(pairExpr).as("p"))
+      .select(explode(orderedPairs($"ids")).as("p"))
       .groupBy($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
       .agg(count(lit(1)).as("inter"))
     val sizes = sh.select($"doc_id", size($"sh").as("n"))
@@ -106,22 +130,40 @@ object Dedup {
   }
 
   /** MinHash + LSH banding near-dup: signatures (TextOps.minhashSig) →
-    * 4 bands of 2 rows → band-equality self-join for candidates →
-    * exact-Jaccard verification ≥ threshold. All md5-derived, so the
-    * ENTIRE LSH path (not just the verify) is oracle-checkable. */
+    * 4 bands of 2 rows → band-bucket posting lists → ordered-pair
+    * candidates → exact-Jaccard verification ≥ threshold. All
+    * md5-derived, so the ENTIRE LSH path (not just the verify) is
+    * oracle-checkable.
+    *
+    * Shape notes (round-3 rework):
+    *  - The signature subtree is computed ONCE: bands come from a single
+    *    posexplode over the sig table, not a 4-way union self-joined on
+    *    band equality (the round-2 spelling recomputed the aggregation
+    *    8× — 4 bands × 2 join sides — and cost 10.9 s at sf0.1).
+    *  - Docs with <3 tokens have the empty-set signature (2^48 in every
+    *    slot); left in, they ALL share every band bucket — a quadratic
+    *    blowup among short docs violating this file's no-all-pairs
+    *    contract, and their 0/0 Jaccard diverges between engines (Spark
+    *    Divide → NULL, DuckDB → NaN). They are excluded up front, on
+    *    both the Spark and the oracle side: an empty shingle set has no
+    *    meaningful Jaccard neighbor. */
   def minhashDedup(spark: SparkSession, dir: String,
                    threshold: Double = 0.8): DataFrame = {
     import spark.implicits._
     val sh = docShingles(spark, dir)
     val sig = minhashSigTable(Tables.load(spark, dir, "documents"))
-    val bands = (0 until 4).map { b =>
-      sig.select($"doc_id", lit(b).as("band"),
-        col(s"s${2 * b}").as("v1"), col(s"s${2 * b + 1}").as("v2"))
-    }.reduce(_ unionAll _)
-    val cand = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.v1" === $"y.v1" &&
-          $"x.v2" === $"y.v2" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+      .filter($"s0" =!= lit(1L << 48)) // empty shingle set → identity sig
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"), col(s"s${2 * b}").as("v1"),
+        col(s"s${2 * b + 1}").as("v2"))
+    }: _*)
+    val posts = sig.select($"doc_id", explode(bandStructs).as("bd"))
+      .groupBy($"bd.band", $"bd.v1", $"bd.v2")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") >= 2)
+    val cand = posts
+      .select(explode(orderedPairs($"ids")).as("p"))
+      .select($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
       .distinct()
     jaccardOnPairs(cand, sh).filter(col("jaccard") >= threshold)
   }
@@ -221,10 +263,13 @@ object Dedup {
 
     "dedup_ngram_jaccard" ->
       s"""$shCte,
-         |inv AS (SELECT doc_id, unnest(list_transform(sh, s -> ${hash48Sql("s")})) AS tok FROM s),
+         |inv AS (SELECT DISTINCT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(list_transform(sh, s -> ${hash48Sql("s")})) AS tok FROM s)),
+         |keep AS (SELECT tok FROM inv GROUP BY tok HAVING COUNT(*) BETWEEN 2 AND 1000),
          |pair AS (
          |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
-         |  FROM inv x JOIN inv y ON x.tok = y.tok AND x.doc_id < y.doc_id
+         |  FROM inv x JOIN keep k ON k.tok = x.tok
+         |  JOIN inv y ON x.tok = y.tok AND x.doc_id < y.doc_id
          |  GROUP BY 1, 2),
          |sz AS (SELECT doc_id, len(sh) AS n FROM s)
          |SELECT id_a, id_b,
@@ -241,7 +286,7 @@ object Dedup {
       s"""$shCte,
          |sig AS (SELECT doc_id,
          |    $sigCols
-         |  FROM s),
+         |  FROM s WHERE len(sh) > 0),
          |bands AS (
          |  $bandSelects),
          |cand AS (

@@ -78,4 +78,61 @@ class DedupSpec extends SparkSpec {
     assert(agree02 >= 4)         // high-jaccard pair agrees on most slots
     assert(agree03 == 0)         // disjoint shingles
   }
+
+  /** Skew corpus: 100 docs that share ONE planted stop-shingle ("aaa bbb
+    * ccc") but are otherwise pairwise-unrelated, plus one genuine dup
+    * pair. Uncapped, the stop-shingle's posting list alone emits
+    * 100·99/2 = 4950 candidate pairs on a single key. */
+  private lazy val skewDir: String = {
+    import spark.implicits._
+    val stop = "aaa bbb ccc"
+    val docs = (0 until 100).map { i =>
+      // 8 unique tokens per doc + the shared stop-shingle
+      val uniq = (0 until 8).map(k => s"tok${i}_$k").mkString(" ")
+      (i.toLong, s"$stop $uniq", "en", s"s$i", 50L)
+    } ++ Seq(
+      (100L, "genuine duplicate text content here repeated verbatim ok", "en", "s100", 50L),
+      (101L, "genuine duplicate text content here repeated verbatim ok", "en", "s101", 50L))
+    val d = Files.createTempDirectory("dedup-skew").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("shingle df cap bounds the stop-shingle pair blowup and reports the drop") {
+    import spark.implicits._
+    // Cap below the planted df: the 4950 stop-shingle pairs must vanish,
+    // the genuine dup pair must survive (its shingles are rare).
+    val pairs = Dedup.ngramJaccard(spark, skewDir, threshold = 0.5, maxShingleDf = 50L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)))
+    // The cap is not silent: the diagnostic names the dropped shingle.
+    val dropped = Dedup.stopShingles(spark, skewDir, maxShingleDf = 50L)
+      .select($"df").as[Long].collect().toSeq
+    assert(dropped == Seq(100L))
+    // And uncapped (default 1000 > 100) the blowup is real — the planted
+    // stop-shingle alone yields ≥ 4950 candidate pairs.
+    val uncapped = Dedup.ngramJaccard(spark, skewDir, threshold = 0.0).count()
+    assert(uncapped >= 4950L)
+  }
+
+  /** Short docs (<3 tokens → empty shingle set) must not pair with each
+    * other through the identity MinHash signature, and must not produce
+    * NULL/NaN Jaccard rows. */
+  test("minhash banding excludes empty-shingle docs instead of all-pairing them") {
+    import spark.implicits._
+    val base = "spark makes big data simple and fast for everyone today"
+    val docs = Seq(
+      (0L, base, "en", "s0", 50L),
+      (1L, base, "en", "s1", 50L),
+      (2L, "hi", "en", "s2", 2L),      // <3 tokens: empty shingles
+      (3L, "yo there", "en", "s3", 8L) // <3 tokens: empty shingles
+    )
+    val d = Files.createTempDirectory("dedup-short").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Dedup.minhashDedup(spark, d, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L))) // the dup pair, and ONLY it — no (2,3)
+  }
 }
