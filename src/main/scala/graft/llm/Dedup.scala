@@ -211,30 +211,35 @@ object Dedup {
   }
 
   /** Embedding near-dup over the FULL corpus, LSH-bucketed: candidates
-    * share a random-hyperplane sign bucket ([[Similarity.lshBucket]] —
-    * md5-derived, oracle-checkable), exact cosine only within buckets.
-    * This is the scale path the probe-subset query above verifies: the
-    * per-bucket join fanout is (n/2^bits)² instead of n². Single-probe
-    * → recall < 1 for pairs split by a hyperplane (documented; raise
-    * bands or probes for higher recall). */
+    * share ANY band's random-hyperplane sign bucket
+    * ([[Similarity.bandBuckets]] — md5-derived, oracle-checkable), exact
+    * cosine only on the distinct candidate pairs. This is the scale path
+    * the probe-subset query above verifies: per-bucket join fanout is
+    * (n/2^r)² per band instead of n², bits-per-band sized to the corpus
+    * via [[Similarity.autoBitsPerBand]] (the declared query pins
+    * bands=8, r=4 for its static oracle — see the regime discussion on
+    * [[Similarity.LshBands]]), and OR-combined bands are the recall
+    * lever (round 2 was single-band → pairs split by one hyperplane
+    * were lost). Candidate generation shuffles only
+    * (band, bucket, vec_id) — vectors are attached after the distinct. */
   def embeddingNearDupLsh(spark: SparkSession, dir: String,
-                          threshold: Double = 0.30): DataFrame = {
+                          threshold: Double = 0.30,
+                          bands: Int = Similarity.LshBands,
+                          bitsPerBand: Int = Similarity.LshBitsPerBand): DataFrame = {
     import spark.implicits._
-    // Each side projects the bucket DIRECTLY over the scan column: an
-    // intermediate aliased array column captured inside the nested
-    // aggregate/transform lambdas fails attribute re-mapping across the
-    // self-join (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime) — bind
-    // lambda-captured expressions to scan attributes only.
-    def side(idCol: String, vCol: String): DataFrame = {
-      val vd = transform(col("embedding"), x => x.cast("double"))
-      Tables.load(spark, dir, "embeddings")
-        .select(col("vec_id").as(idCol), vd.as(vCol),
-          Similarity.lshBucket(vd).as("bucket"))
-    }
-    val pairs = side("id_a", "va")
-      .join(side("id_b", "vb"), Seq("bucket"))
-      .filter($"id_a" < $"id_b")
-    pairs
+    val posts = Similarity.bandBuckets(spark, dir, bands, bitsPerBand)
+      .groupBy($"band", $"bucket")
+      .agg(sort_array(collect_list($"vec_id")).as("ids"))
+      .filter(size($"ids") >= 2)
+    val cand = posts
+      .select(explode(orderedPairs($"ids")).as("p"))
+      .select($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
+      .distinct()
+    val e = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    cand
+      .join(e.select($"vec_id".as("id_a"), $"v".as("va")), Seq("id_a"))
+      .join(e.select($"vec_id".as("id_b"), $"v".as("vb")), Seq("id_b"))
       .withColumn("cosine",
         aggregate(zip_with($"va", $"vb", (x, y) => x * y),
           lit(0.0), (acc, x) => acc + x))
@@ -302,17 +307,24 @@ object Dedup {
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin
     },
 
-    "dedup_embedding_lsh" ->
+    "dedup_embedding_lsh" -> {
+      val bandJoins = (0 until Similarity.LshBands).map { b =>
+        s"""SELECT x.vec_id AS id_a, y.vec_id AS id_b
+           |  FROM eb x JOIN eb y ON x.b$b = y.b$b AND x.vec_id < y.vec_id""".stripMargin
+      }.mkString("\n  UNION\n")
       s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |e AS (SELECT vec_id, v, ${Similarity.bucketSql("v")} AS bucket FROM e0)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |eb AS (${Similarity.bandedCteSql(Similarity.LshBands)}),
+         |cand AS (
+         |  $bandJoins)
+         |SELECT c.id_a, c.id_b,
          |  list_reduce(list_prepend(0.0::DOUBLE,
          |    list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
          |    (acc, x) -> acc + x) AS cosine
-         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |FROM cand c JOIN e0 a ON a.vec_id = c.id_a JOIN e0 b ON b.vec_id = c.id_b
          |WHERE list_reduce(list_prepend(0.0::DOUBLE,
          |    list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
-         |    (acc, x) -> acc + x) >= 0.30""".stripMargin,
+         |    (acc, x) -> acc + x) >= 0.30""".stripMargin
+    },
 
     "dedup_embedding" ->
       """WITH e AS (

@@ -15,10 +15,17 @@ import graft.llm.TextOps.hash48
   *  1. Brute-force top-k: exact, quadratic in corpus size — the
   *     verification baseline. Restricted to a fixed probe set of queries
   *     so its cost is #queries × corpus, not corpus².
-  *  2. Random-hyperplane LSH (sign bits → bucket): candidates share a
-  *     bucket; sub-linear probe cost. Hyperplane components are
+  *  2. Random-hyperplane LSH (sign bits → bucket), b bands × r bits with
+  *     OR-combination: a pair is a candidate if it shares ANY band's
+  *     bucket — multi-band is the standard recall lever (P[candidate] =
+  *     1-(1-s^r)^b for sign-agreement rate s). Hyperplane components are
   *     md5-derived, so the WHOLE path (bucketing + ranking) is
-  *     oracle-checkable — single-probe, recall documented.
+  *     oracle-checkable. Bits-per-band must scale with the corpus
+  *     ([[autoBitsPerBand]]): 2^r buckets ≈ n / targetBucketSize keeps
+  *     the per-bucket join fanout constant as n grows — a FIXED r is a
+  *     scale-killer ((n/2^r)² per bucket). The declared queries pin
+  *     (bands=8, r=4) because their DuckDB oracle is a static string;
+  *     production callers pass autoBitsPerBand(n).
   *  3. IVF (inverted-file) via KMeans coarse quantizer: probe the
   *     nprobe nearest centroid lists. The industry-standard ANN layout;
   *     centroids are model output → no SQL oracle (rows-only check).
@@ -33,7 +40,29 @@ object Similarity {
 
   val TopK = 5
   val NumQueryVecs = 10 // probe set: vec_id < 10
-  val LshBits = 8
+  /** Declared-query LSH config (static oracle): 8 bands × 4 bits.
+    * Tuned to the testdata regime: its true pairs sit at cosine
+    * 0.30-0.41, i.e. per-hyperplane sign-agreement p ≈ 0.60 — a band of
+    * r bits matches with p^r (r=4 → ~0.13), and 8 OR-combined bands
+    * give 1-(1-p^4)^8 ≈ 0.67 expected recall (measured ≥ 7/11 probe
+    * pairs in SimilaritySpec). Round 2's single 8-bit band had p^8 ≈
+    * 0.016 — near-zero recall at this similarity level, which is the
+    * honest limit of sign-LSH: banding retains recall cheaply only for
+    * HIGH-cosine pairs (p ≥ 0.8). At 100 TB, r must grow with n
+    * ([[autoBitsPerBand]]) and banded sign-LSH remains the right tool
+    * for true near-dups (cosine ≥ 0.8); moderate-similarity retrieval
+    * belongs to the IVF tier, whose probe cost does not decay with r. */
+  val LshBands = 8
+  val LshBitsPerBand = 4
+
+  /** Size bits-per-band to the corpus: 2^r buckets ≈ n / targetBucketSize
+    * keeps per-bucket candidate fanout ~targetBucketSize² regardless of
+    * corpus size (≈ log2(n) − log2(target), the sizing VERDICT r2 asked
+    * for). Floor of 4 bits avoids degenerate tiny-corpus configs. */
+  def autoBitsPerBand(corpusSize: Long, targetBucketSize: Long = 64L): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetBucketSize)) /
+        math.log(2.0)).toInt)
 
   /** Embeddings as double arrays (exact cross-engine arithmetic). */
   private def emb(spark: SparkSession, dir: String): DataFrame = {
@@ -46,22 +75,39 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Deterministic pseudo-random hyperplane component for (plane j,
+  /** Deterministic pseudo-random hyperplane component for (plane g,
     * dim d): centered 48-bit md5 integer. Same expression exists in
-    * DuckDB, so LSH bucketing is bit-identical across engines. */
-  private def hpComponent(j: Int, d: Column): Column =
-    (hash48(concat(lit(s"hp${j}_"), d.cast("string"))) - lit(1L << 47)).cast("double")
+    * DuckDB, so LSH bucketing is bit-identical across engines. Plane
+    * indices are GLOBAL (band·r + j): band 0 reuses hp0..hp{r-1}. */
+  private def hpComponent(g: Int, d: Column): Column =
+    (hash48(concat(lit(s"hp${g}_"), d.cast("string"))) - lit(1L << 47)).cast("double")
 
-  /** LSH bucket id: sign bit of v·hp_j for j < LshBits. */
-  def lshBucket(v: Column): Column = {
-    val bits: Seq[Column] = (0 until LshBits).map { j =>
+  /** LSH bucket id for one band: sign bits of v·hp_{band·r+j}, j < r. */
+  def lshBucket(v: Column, band: Int = 0, bitsPerBand: Int = LshBitsPerBand): Column = {
+    val bits: Seq[Column] = (0 until bitsPerBand).map { j =>
       val proj = aggregate(
         sequence(lit(0), lit(63)),
         lit(0.0),
-        (acc, d) => acc + element_at(v, d + 1) * hpComponent(j, d))
+        (acc, d) => acc + element_at(v, d + 1) * hpComponent(band * bitsPerBand + j, d))
       when(proj > 0, lit(1L << j)).otherwise(0L)
     }
     bits.reduce(_ + _)
+  }
+
+  /** (vec_id, band, bucket) for every band — ONE scan, one posexplode;
+    * the multi-band corpus layout both LSH consumers join on. */
+  def bandBuckets(spark: SparkSession, dir: String,
+                  bands: Int, bitsPerBand: Int): DataFrame = {
+    // Buckets are projected DIRECTLY over the scan column: an
+    // intermediate aliased array column captured inside the nested
+    // aggregate/transform lambdas fails attribute re-mapping across
+    // joins (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime) — bind
+    // lambda-captured expressions to scan attributes only.
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    val bucketArr = array((0 until bands).map(b => lshBucket(vd, b, bitsPerBand)): _*)
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(bucketArr))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
   }
 
   /** Tier 1: exact top-k cosine for the probe queries against the whole
@@ -82,19 +128,29 @@ object Similarity {
         $"rank".cast("long").as("rank"))
   }
 
-  /** Tier 2: single-probe LSH — rank only within the query's bucket. */
-  def topkLsh(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+  /** Tier 2: multi-band LSH — candidates share ANY band's bucket with
+    * the query (OR-combination), ranked by exact cosine. Candidate
+    * generation joins only (band, bucket) keys; vectors are attached
+    * after the distinct, so the shuffle carries ids, not 64 doubles. */
+  def topkLsh(spark: SparkSession, dir: String, k: Int = TopK,
+              bands: Int = LshBands, bitsPerBand: Int = LshBitsPerBand): DataFrame = {
     import spark.implicits._
-    val e = emb(spark, dir).withColumn("bucket", lshBucket($"v"))
-    val q = e.filter($"vec_id" < NumQueryVecs)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"bucket")
-    val scored = broadcast(q).join(e, Seq("bucket"))
+    val eb = bandBuckets(spark, dir, bands, bitsPerBand)
+    val qb = eb.filter($"vec_id" < NumQueryVecs)
+      .select($"vec_id".as("query_id"), $"band", $"bucket")
+    val cand = broadcast(qb).join(eb, Seq("band", "bucket"))
       .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id").distinct()
+    val e = emb(spark, dir)
+    val scored = cand
+      .join(broadcast(e.filter($"vec_id" < NumQueryVecs)
+        .select($"vec_id".as("query_id"), $"v".as("qv"))), Seq("query_id"))
+      .join(e, Seq("vec_id"))
       .withColumn("cosine", dot($"qv", $"v"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"bucket", $"cosine",
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cosine",
         $"rank".cast("long").as("rank"))
   }
 
@@ -150,16 +206,25 @@ object Similarity {
       |    list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2])),
       |    (acc, x) -> acc + x)""".stripMargin
 
-  private def hp48Sql(j: Int, dExpr: String): String =
-    s"(CAST(('0x' || substr(md5('hp${j}_' || CAST($dExpr AS VARCHAR)), 1, 12)) AS BIGINT) - ${1L << 47})::DOUBLE"
+  private def hp48Sql(g: Int, dExpr: String): String =
+    s"(CAST(('0x' || substr(md5('hp${g}_' || CAST($dExpr AS VARCHAR)), 1, 12)) AS BIGINT) - ${1L << 47})::DOUBLE"
 
-  def bucketSql(vExpr: String): String = {
-    val bits = (0 until LshBits).map { j =>
+  /** DuckDB spelling of [[lshBucket]] for one band (global plane index
+    * band·r + j, bit weight 2^j — mirrors the Spark side exactly). */
+  def bucketSql(vExpr: String, band: Int = 0,
+                bitsPerBand: Int = LshBitsPerBand): String = {
+    val bits = (0 until bitsPerBand).map { j =>
       s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
-         |  list_transform(generate_series(1, 64), d -> $vExpr[d] * ${hp48Sql(j, "d - 1")})),
+         |  list_transform(generate_series(1, 64), d -> $vExpr[d] * ${hp48Sql(band * bitsPerBand + j, "d - 1")})),
          |  (acc, x) -> acc + x) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
     }
     bits.mkString("(", " + ", ")")
+  }
+
+  /** `eb` CTE body: vec_id, v, b0..b{bands-1} bucket columns. */
+  def bandedCteSql(bands: Int): String = {
+    val cols = (0 until bands).map(b => s"${bucketSql("v", b)} AS b$b").mkString(",\n  ")
+    s"SELECT vec_id, v,\n  $cols\nFROM e0"
   }
 
   val oracles: Map[String, String] = Map(
@@ -173,14 +238,23 @@ object Similarity {
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $TopK""".stripMargin,
 
-    "sim_topk_lsh" ->
+    "sim_topk_lsh" -> {
+      val bandJoins = (0 until LshBands).map { b =>
+        s"""SELECT qb.vec_id AS query_id, eb.vec_id
+           |  FROM eb qb JOIN eb ON qb.b$b = eb.b$b
+           |  WHERE qb.vec_id < $NumQueryVecs AND eb.vec_id <> qb.vec_id""".stripMargin
+      }.mkString("\n  UNION\n")
       s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |e AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e0),
-         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < $NumQueryVecs),
+         |eb AS (${bandedCteSql(LshBands)}),
+         |cand AS (
+         |  $bandJoins),
          |scored AS (
-         |  SELECT q.query_id, e.vec_id AS neighbor_id, q.bucket, $dotSql AS cosine
-         |  FROM q JOIN e USING (bucket) WHERE e.vec_id <> q.query_id),
+         |  SELECT c.query_id, e.vec_id AS neighbor_id, $dotSql AS cosine
+         |  FROM cand c
+         |  JOIN (SELECT vec_id, v AS qv FROM e0) q ON q.vec_id = c.query_id
+         |  JOIN e0 e ON e.vec_id = c.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
-         |SELECT query_id, neighbor_id, bucket, cosine, rank FROM r WHERE rank <= $TopK""".stripMargin)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $TopK""".stripMargin
+    })
 }

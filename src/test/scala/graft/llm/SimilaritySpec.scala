@@ -1,0 +1,66 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Recall measurement for the ANN tiers against their exact baselines on
+  * driver testdata (sf0.01) — the "done" criterion VERDICT r2 set for the
+  * multi-band LSH rework and the IVF path. Floors sit safely under the
+  * measured values (banded LSH 9/11 pair recall, 35/50 top-k matches,
+  * IVF 23/50) so organic testdata drift doesn't flake, while still
+  * catching a mis-tuned banding (the round-2 single 8-bit band scored
+  * 1/11 and 1/50 here — far below every floor).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] = {
+    import spark.implicits._
+    df.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+  }
+
+  private def topkSet(df: DataFrame): Set[(Long, Long)] = {
+    import spark.implicits._
+    df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+  }
+
+  test("banded embedding LSH recovers most exact probe-subset near-dup pairs") {
+    val exact = pairSet(Dedup.embeddingNearDup(spark, dir))
+    val lsh   = pairSet(Dedup.embeddingNearDupLsh(spark, dir))
+    val hit = exact.count(lsh.contains)
+    assert(exact.nonEmpty)
+    assert(hit.toDouble / exact.size >= 0.6,
+      s"banded LSH pair recall $hit/${exact.size} under floor 0.6")
+  }
+
+  test("multi-band topk LSH recall vs brute force clears the floor") {
+    val brute = topkSet(Similarity.topkBrute(spark, dir))
+    val lsh   = topkSet(Similarity.topkLsh(spark, dir))
+    val hit = brute.count(lsh.contains)
+    assert(hit.toDouble / brute.size >= 0.5,
+      s"topk LSH recall $hit/${brute.size} under floor 0.5")
+  }
+
+  test("IVF recall@k clears the floor and is monotone in nprobe") {
+    val brute = topkSet(Similarity.topkBrute(spark, dir))
+    val ivf2  = topkSet(Similarity.topkIvf(spark, dir, nprobe = 2))
+    val ivf4  = topkSet(Similarity.topkIvf(spark, dir, nprobe = 4))
+    val r2 = brute.count(ivf2.contains).toDouble / brute.size
+    val r4 = brute.count(ivf4.contains).toDouble / brute.size
+    assert(r2 >= 0.35, s"IVF nprobe=2 recall $r2 under floor 0.35")
+    // Same seed → same centroids → nprobe=4 probes a superset of lists:
+    // recall can only go up.
+    assert(r4 >= r2, s"IVF recall not monotone in nprobe: $r4 < $r2")
+  }
+
+  test("autoBitsPerBand keeps per-bucket fanout constant as the corpus grows") {
+    // n/2^r ≈ targetBucketSize across scales, with the 4-bit floor.
+    assert(Similarity.autoBitsPerBand(500) == 4)        // floor
+    assert(Similarity.autoBitsPerBand(64_000) == 10)    // 64k/2^10 = 62.5
+    assert(Similarity.autoBitsPerBand(64_000_000) == 20)
+    val r = Similarity.autoBitsPerBand(1_000_000_000L, 128)
+    assert((1_000_000_000L >> r) <= 128)
+  }
+}
