@@ -1,0 +1,79 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.eval.Metrics
+import graft.queries.Churn
+
+/** Quality + determinism assertions for the four model families — the
+  * last SURVEY §5 promise (VERDICT r2 #1).
+  *
+  * Quality is asserted on a PLANTED-SIGNAL table, not the organic
+  * testdata label: measured AUCs on the sf0.01 wide table are 0.41-0.54
+  * across families (rf 0.48, gbt 0.54, lr 0.41, fm 0.46) because the
+  * synthetic order stream is random — the feature window genuinely does
+  * not predict the label window, so "AUC above chance" is not a property
+  * of any correct learner there. Instead the label is replanted as a
+  * deterministic function of one continuous feature (monetary > median);
+  * a correct pipeline front-end + fitter must then recover near-perfect
+  * AUC, which exercises the reference's "AUC ≥ 0.8-class behavior"
+  * (README.md:14-21) on data that can support it.
+  *
+  * Determinism is asserted on the REAL path: trainEval twice under its
+  * fixed seeds (randomSplit 123 = churn_xgb4j_spark.scala:20; model seed
+  * 42 ≈ RF/randomforest_churn.scala:24) must reproduce the emitted
+  * metrics row bit-for-bit, and per-family re-fits on the planted table
+  * must agree exactly.
+  */
+class MLChurnSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  /** Wide table with the label replanted as a learnable deterministic
+    * rule; cached once — 12 pipeline fits (16 indexers each) reuse it. */
+  private lazy val planted: DataFrame = {
+    val wide = Churn.wideTable(spark, dir)
+    val median = wide.stat.approxQuantile("monetary", Array(0.5), 0.0).head
+    wide.withColumn("label",
+        (col("monetary") > lit(median)).cast("double"))
+      .coalesce(4).cache()
+  }
+
+  private def fitAndScore(family: String): (Double, Double, Double) = {
+    val Array(train, test) = planted.randomSplit(Array(0.8, 0.2), seed = 123L)
+    val model = ChurnML.pipeline(family, gbtIter = 10).fit(train)
+    val pred = model.transform(test)
+      .withColumn("prob1", Metrics.positiveProb(col("probability")))
+    val auc = Metrics.auc(pred)
+    val rep = Metrics.classificationReport(pred)
+    (auc, rep("accuracy"), rep("f1"))
+  }
+
+  for (family <- Seq("rf", "gbt", "lr", "fm")) {
+    test(s"$family learns a planted signal (AUC floor) and re-fits deterministically") {
+      val (auc1, acc1, f11) = fitAndScore(family)
+      assert(auc1 >= 0.85, s"$family planted-signal AUC $auc1 under floor 0.85")
+      assert(!acc1.isNaN && acc1 > 0.5 && f11 > 0.0 && f11 <= 1.0,
+        s"$family metrics not sane: acc=$acc1 f1=$f11")
+      val (auc2, acc2, f12) = fitAndScore(family)
+      assert((auc1, acc1, f11) == (auc2, acc2, f12),
+        s"$family re-fit not deterministic: ($auc1,$acc1,$f11) vs ($auc2,$acc2,$f12)")
+    }
+  }
+
+  test("trainEval emits a finite, seed-deterministic metrics row (rf)") {
+    val r1 = ChurnML.trainEval(spark, dir, "rf").collect().head
+    val r2 = ChurnML.trainEval(spark, dir, "rf").collect().head
+    assert(r1 == r2, s"trainEval not deterministic under fixed seeds:\n$r1\n$r2")
+    val auc = r1.getAs[Double]("auc")
+    val nTrain = r1.getAs[Long]("n_train"); val nTest = r1.getAs[Long]("n_test")
+    assert(auc >= 0.0 && auc <= 1.0 && !auc.isNaN)
+    assert(nTrain + nTest == 775L) // sf0.01 wide-table cardinality
+    Seq("accuracy", "precision", "recall", "f1").foreach { m =>
+      val v = r1.getAs[Double](m)
+      assert(!v.isNaN && v >= 0.0 && v <= 1.0, s"$m = $v out of range")
+    }
+  }
+}
