@@ -47,7 +47,15 @@ object ChurnML {
     Seq("shop_channel") ++ Churn.Groups.map(_._1) ++
       Seq("CHANNEL_NUM_ID", "VIP_TYPE_NUM_ID")
 
-  /** M1+M2+M3 front-end: indexers → one-hot → assembler. */
+  /** M1+M2+M3 front-end: indexers → one-hot → assembler.
+    *
+    * handleInvalid="skip" is the RF path (RF/randomforest_churn.scala:
+    * 243-248, unseen rows dropped); "keep" is the XGB path
+    * (GBDT/spark/churn_xgb4j_spark.scala:34-36, unseen label → extra
+    * index numLabels). With "keep" the OneHotEncoder must also keep —
+    * the indexer's extra index is out of the OHE's fitted range and
+    * would otherwise throw at scoring time; keep gives it the extra
+    * one-hot slot, matching the dictionary+1 layout. */
   def featureStages(handleInvalid: String = "skip"): Array[PipelineStage] = {
     val indexers = categoricalCols.map { c =>
       new StringIndexer()
@@ -58,6 +66,7 @@ object ChurnML {
     val onehot = new OneHotEncoder()
       .setInputCols(categoricalCols.map(c => s"${c}_idx").toArray)
       .setOutputCols(categoricalCols.map(c => s"${c}_vec").toArray)
+      .setHandleInvalid(if (handleInvalid == "keep") "keep" else "error")
       .setDropLast(false)
     val assembler = new VectorAssembler()
       .setInputCols((continuousCols ++ categoricalCols.map(c => s"${c}_vec")).toArray)
@@ -175,6 +184,23 @@ object ChurnML {
       .select($"value", $"idx".cast("long").as("idx"))
   }
 
+  /** M1 handleInvalid="keep" variant — the XGB path's unseen-label
+    * semantics (churn_xgb4j_spark.scala:34-36): fit the indexer on
+    * orders WITHOUT '5-LOW', transform the full table; the unseen value
+    * maps to the extra index numLabels (= dictionary + 1 slot). */
+  private val m1Keep: Q = (spark, dir) => {
+    import spark.implicits._
+    val orders = graft.Tables.load(spark, dir, "orders")
+    val model = new StringIndexer()
+      .setInputCol("o_orderpriority").setOutputCol("idx")
+      .setHandleInvalid("keep")
+      .setStringOrderType("frequencyDesc")
+      .fit(orders.filter($"o_orderpriority" =!= "5-LOW"))
+    model.transform(orders)
+      .select($"o_orderpriority".as("value"), $"idx".cast("long").as("idx"))
+      .distinct()
+  }
+
   /** M2: one-hot of the indexed value; with dropLast=false the hot
     * position equals the index and the vector size is the dictionary
     * size. Emitted as (value, idx, vec_size, hot_pos) — fully
@@ -230,6 +256,7 @@ object ChurnML {
 
   val queries: Map[String, Q] = Map(
     "m1_string_indexer" -> m1,
+    "m1_keep"           -> m1Keep,
     "m2_onehot"         -> m2,
     "m3_assembler"      -> m3,
     "o3_random_split"   -> o3,
@@ -243,6 +270,14 @@ object ChurnML {
       """SELECT o_orderpriority AS value,
         |       row_number() OVER (ORDER BY count(*) DESC, o_orderpriority) - 1 AS idx
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "m1_keep" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS value,
+        |         row_number() OVER (ORDER BY count(*) DESC, o_orderpriority) - 1 AS idx
+        |  FROM orders WHERE o_orderpriority <> '5-LOW' GROUP BY o_orderpriority)
+        |SELECT value, idx FROM d
+        |UNION ALL
+        |SELECT '5-LOW' AS value, (SELECT count(*) FROM d) AS idx""".stripMargin,
     "m2_onehot" ->
       """WITH d AS (
         |  SELECT o_orderpriority AS value,

@@ -63,6 +63,24 @@ class MLChurnSpec extends SparkSpec {
     }
   }
 
+  test("featureStages(keep) scores rows whose category was unseen at fit time") {
+    import org.apache.spark.ml.Pipeline
+    val wide = planted
+    val v = wide.select("VIP_TYPE_NUM_ID").distinct().limit(1)
+      .collect().head.get(0)
+    val train = wide.filter(col("VIP_TYPE_NUM_ID") =!= lit(v))
+    val model = new Pipeline().setStages(ChurnML.featureStages("keep")).fit(train)
+    // keep: the unseen category maps to the extra index + extra one-hot
+    // slot instead of being dropped (skip) or throwing (error) — every
+    // input row survives with an assembled feature vector.
+    val out = model.transform(wide)
+    assert(out.count() == wide.count())
+    assert(out.filter(col("features").isNull).count() == 0)
+    // and the skip path drops exactly the unseen-category rows
+    val skipModel = new Pipeline().setStages(ChurnML.featureStages("skip")).fit(train)
+    assert(skipModel.transform(wide).count() == train.count())
+  }
+
   test("trainEval emits a finite, seed-deterministic metrics row (rf)") {
     val r1 = ChurnML.trainEval(spark, dir, "rf").collect().head
     val r2 = ChurnML.trainEval(spark, dir, "rf").collect().head
