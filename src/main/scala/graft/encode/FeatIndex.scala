@@ -30,7 +30,15 @@ object FeatIndex {
   /** Build a featindex dictionary from data: per field, slot `other`
     * first then observed values lexically ascending; global indices run
     * across fields in field order (matching the reference layout
-    * `0:other 0, 0:v.. 1-5, 1:other 6, ...`). */
+    * `0:other 0, 0:v.. 1-5, 1:other 6, ...`).
+    *
+    * Scale shape: the per-field rank is a PARTITIONED window
+    * (partitionBy field_idx) — a high-cardinality field ranks inside its
+    * own partition instead of serializing the whole dictionary through
+    * one task (the round-2 global orderBy). The cross-field offsets come
+    * from a #fields-row aggregate: that tiny frame is the only place a
+    * global-order window runs, and broadcasting it back keeps the join
+    * shuffle-free. */
   def buildDict(df: DataFrame, fields: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -41,12 +49,18 @@ object FeatIndex {
     val others = fields.indices.map(i =>
       Seq((i, "other")).toDF("field_idx", "raw_value"))
     val all = (perField ++ others).reduce(_ unionAll _)
-    // `other` sorts first within its field; one global running index.
-    val w = Window.orderBy(
-      $"field_idx",
+    // `other` sorts first within its field; rank is per-field.
+    val perFieldW = Window.partitionBy($"field_idx").orderBy(
       when($"raw_value" === "other", 0).otherwise(1),
       $"raw_value")
-    all.withColumn("global_idx", (row_number().over(w) - 1).cast("long"))
+    val local = all.withColumn("local_idx", row_number().over(perFieldW) - 1)
+    val offsets = all.groupBy($"field_idx").agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        sum($"n").over(Window.orderBy($"field_idx")) - $"n")
+      .select($"field_idx", $"offset")
+    local.join(broadcast(offsets), Seq("field_idx"))
+      .select($"field_idx", $"raw_value",
+        ($"local_idx" + $"offset").cast("long").as("global_idx"))
   }
 
   /** Parse the reference's dictionary text format (`i:value idx`). */
