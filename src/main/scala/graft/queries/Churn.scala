@@ -185,17 +185,33 @@ object Churn {
       .na.fill(1, Seq("label"))
   }
 
-  // ---- U5: repurchase flag (RF:87-95), 90-day window, label 2
-  private val u5: Q = (spark, dir) => {
+  // ---- U5: repurchase flag (RF:87-95), parameterized window.
+  // The reference computes it at 30/90/180 days (RF:97-99 — the
+  // last_1/2/4_repurchase frames; never joined into the wide table, dead
+  // code there, but the operator itself is window-parametric).
+  def repurchase(spark: SparkSession, dir: String, days: Int): DataFrame = {
     import spark.implicits._
     val endD = lit(FeatureEnd).cast("date")
     ChurnAdapter.sales(spark, dir)
-      .filter($"ORDER_DATE" >= date_sub(endD, 90) && $"ORDER_DATE" <= endD)
+      .filter($"ORDER_DATE" >= date_sub(endD, days) && $"ORDER_DATE" <= endD)
       .groupBy($"USR_NUM_ID")
       .agg(countDistinct($"TML_NUM_ID").as("cnt"))
       .filter($"cnt" > 1)
       .withColumn("last_2_repurchase", lit(2))
       .drop("cnt")
+  }
+
+  private val u5: Q = (spark, dir) => repurchase(spark, dir, 90)
+
+  /** All three reference windows in one result, keyed by window_days —
+    * one scan per window over the date-pruned fact, unioned. */
+  private val u5Windows: Q = (spark, dir) => {
+    import spark.implicits._
+    Seq(30, 90, 180).map { d =>
+      repurchase(spark, dir, d)
+        .select($"USR_NUM_ID", lit(d).as("window_days"),
+          $"last_2_repurchase".as("repurchase"))
+    }.reduce(_ unionAll _)
   }
 
   // ---- U4: one standalone group-flag query (RF:132-152, meat group)
@@ -219,6 +235,7 @@ object Churn {
     "churn_features"   -> ((s, d) => features(s, d)),
     "churn_wide_table" -> ((s, d) => wideTable(s, d)),
     "u5_repurchase"    -> u5,
+    "u5_repurchase_windows" -> u5Windows,
     "u4_group_flags"   -> u4,
     "e4_class_balance" -> e4)
 
@@ -339,6 +356,15 @@ object Churn {
          |SELECT USR_NUM_ID, 2 AS last_2_repurchase FROM sales
          |WHERE ORDER_DATE >= DATE '$FeatureEnd' - 90 AND ORDER_DATE <= DATE '$FeatureEnd'
          |GROUP BY USR_NUM_ID HAVING COUNT(DISTINCT TML_NUM_ID) > 1""".stripMargin,
+
+    "u5_repurchase_windows" -> {
+      val one = (d: Int) =>
+        s"""SELECT USR_NUM_ID, $d AS window_days, 2 AS repurchase FROM sales
+           |WHERE ORDER_DATE >= DATE '$FeatureEnd' - $d AND ORDER_DATE <= DATE '$FeatureEnd'
+           |GROUP BY USR_NUM_ID HAVING COUNT(DISTINCT TML_NUM_ID) > 1""".stripMargin
+      s"""${ChurnAdapter.duckdbWith}
+         |${Seq(30, 90, 180).map(one).mkString("\nUNION ALL\n")}""".stripMargin
+    },
     "u4_group_flags" ->
       s"""${ChurnAdapter.duckdbWith}
          |SELECT DISTINCT s.USR_NUM_ID, '肉禽客群' AS meat_group
