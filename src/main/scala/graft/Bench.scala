@@ -17,6 +17,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
 
+    // Untimed warmup: absorb JVM/codegen/parquet-footer startup so the
+    // first alphabetical timed entry stops carrying ~6 s of one-time
+    // cost and round-over-round comparisons stay honest.
+    try SparkEntry.queries("a3_group_count")(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
+
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors  = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

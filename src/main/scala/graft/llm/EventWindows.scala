@@ -85,9 +85,12 @@ object EventWindows {
     "ev_session" ->
       """WITH o AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value,
+        |         -- >= not >: Spark session_window is end-exclusive
+        |         -- ([start, max(ts)+gap)), so an event at exactly
+        |         -- lastTs+30min opens a NEW session.
         |         CASE WHEN CAST(ts AS TIMESTAMP) -
         |              lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
-        |              > INTERVAL '30 minutes'
+        |              >= INTERVAL '30 minutes'
         |              OR lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events),

@@ -157,10 +157,20 @@ object ChurnML {
     val (nTrain, nTest) = (train.count(), pred.count())
     train.unpersist(); pred.unpersist()
 
-    Seq((family, aucV, rep("accuracy"), rep("precision"), rep("recall"),
-         rep("f1"), nTrain, nTest))
-      .toDF("family", "auc", "accuracy", "precision", "recall", "f1",
-            "n_train", "n_test")
+    // config column: make the fitted hyperparameters part of the emitted
+    // row so a bench reader can't mistake the budget-scaled GBT round
+    // count for the reference's 200.
+    val config = family match {
+      case "rf"  => "numTrees=100 maxDepth=10 maxBins=100 (reference RF:259-264)"
+      case "gbt" => s"maxDepth=7 stepSize=0.1 maxIter=$gbtIter (reference num_round=200, budget-scaled)"
+      case "lr"  => "maxIter=100 regParam=0 std-scaled"
+      case "fm"  => "factorSize=8 stepSize=0.1 maxIter=50 std-scaled"
+      case other => other
+    }
+    Seq((family, config, aucV, rep("accuracy"), rep("precision"),
+         rep("recall"), rep("f1"), nTrain, nTest))
+      .toDF("family", "config", "auc", "accuracy", "precision", "recall",
+            "f1", "n_train", "n_test")
   }
 
   // ------------------------------------------------------------------

@@ -201,6 +201,15 @@ object Relational {
     Tables.load(spark, dir, "nation").orderBy(rand(42)).select($"n_nationkey", $"n_name")
   }
 
+  // O1 unseeded spelling — the reference's literal `order by rand()`
+  // (RF:21 passes no seed). The ORDER is nondeterministic but the row
+  // SET is exact, and the driver hashes sorted rows, so this still
+  // carries a full oracle.
+  private val o1Unseeded: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "nation").orderBy(rand()).select($"n_nationkey", $"n_name")
+  }
+
   // ---- O2: sort (RF:221)
   private val o2: Q = (spark, dir) => {
     import spark.implicits._
@@ -257,6 +266,7 @@ object Relational {
     "a6_having"          -> a6,
     "w14_window_rfm"     -> w14,
     "o1_orderby_rand"    -> o1,
+    "o1_rand_unseeded"   -> o1Unseeded,
     "o2_sort"            -> o2,
     "f_scalar_suite"     -> fScalar,
     "t2_recency_window"  -> t2)
@@ -356,6 +366,9 @@ object Relational {
         |FROM orders GROUP BY o_custkey""".stripMargin,
 
     "o1_orderby_rand" ->
+      "SELECT n_nationkey, n_name FROM nation",
+
+    "o1_rand_unseeded" ->
       "SELECT n_nationkey, n_name FROM nation",
 
     "o2_sort" ->
