@@ -265,11 +265,11 @@ object TextOps {
          |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS avg_token_len,
          |  CAST(len(list_filter(w, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / len(w) AS stop_ratio,
          |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio,
-         |  (CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 0.25 ELSE 0.0 END +
+         |  CAST(CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 0.25 ELSE 0.0 END +
          |   CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.2 THEN 0.25 ELSE 0.0 END +
          |   CASE WHEN CAST(len(list_filter(w, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / len(w) <= 0.5 THEN 0.25 ELSE 0.0 END +
-         |   CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
-         |  AS quality_score
+         |   CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+         |  AS DOUBLE) AS quality_score
          |FROM t""".stripMargin,
 
     "d_lang_id" ->
