@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.TextOps
+
+/** Dev tool: time labeled subexpressions of a hot query (noop-write the
+  * plan, print seconds). Usage: runMain graft.Profile <sfDir>. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.local("graft-profile")
+    import spark.implicits._
+
+    def time(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    val docs = Tables.load(spark, dir, "documents")
+
+    for (round <- 1 to 2) {
+      println(s"[profile] --- round $round ---")
+      time("toks explode + count") {
+        docs.select($"doc_id", explode(TextOps.toks($"text")).as("t"))
+          .groupBy($"doc_id").count()
+      }
+      time("shingles explode + count") {
+        docs.select($"doc_id", explode(TextOps.shingles(TextOps.toks($"text"))).as("s"))
+          .groupBy($"doc_id").count()
+      }
+      time("full minhashSigTable") {
+        TextOps.minhashSigTable(docs)
+      }
+    }
+    spark.stop()
+  }
+}

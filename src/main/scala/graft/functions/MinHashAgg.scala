@@ -13,11 +13,12 @@ import graft.llm.TextOps
   * TypedImperativeAggregate — Spark plans it as an ObjectHashAggregate
   * with partial merge, so the signature still reduces map-side before the
   * shuffle. Values are IDENTICAL to the relational spelling in
-  * [[graft.llm.TextOps.minhashSigTable]] (same salted md5 family), which
-  * stays the hot path: native min() aggs get whole-stage codegen, an
-  * Aggregator does not. This class exists to cover the custom-aggregate
-  * surface — the escape hatch for sketches that CAN'T be phrased as
-  * native aggs (verified equal in FunctionsSpec).
+  * [[graft.llm.TextOps.minhashSigTable]] (one md5 base hash + the
+  * MinHashA multiplicative permutations), which stays the hot path:
+  * native min() aggs get whole-stage codegen, an Aggregator does not.
+  * This class exists to cover the custom-aggregate surface — the escape
+  * hatch for sketches that CAN'T be phrased as native aggs (verified
+  * equal in FunctionsSpec).
   */
 object MinHashAgg extends Aggregator[String, Array[Long], Array[Long]] {
 
@@ -44,10 +45,11 @@ object MinHashAgg extends Aggregator[String, Array[Long], Array[Long]] {
   override def zero: Array[Long] = Array.fill(K)(Empty)
 
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    val h = hash48(shingle) // ONE digest; slots are multiplicative perms
     var j = 0
     while (j < K) {
-      val h = hash48(s"mh${j}_$shingle")
-      if (h < buf(j)) buf(j) = h
+      val p = (h * TextOps.MinHashA(j)) & (TextOps.M48 - 1)
+      if (p < buf(j)) buf(j) = p
       j += 1
     }
     buf

@@ -75,20 +75,25 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Deterministic pseudo-random hyperplane component for (plane g,
-    * dim d): centered 48-bit md5 integer. Same expression exists in
-    * DuckDB, so LSH bucketing is bit-identical across engines. Plane
-    * indices are GLOBAL (band·r + j): band 0 reuses hp0..hp{r-1}. */
-  private def hpComponent(g: Int, d: Column): Column =
-    (hash48(concat(lit(s"hp${g}_"), d.cast("string"))) - lit(1L << 47)).cast("double")
+  /** Hyperplane g as a 64-component CONSTANT array: centered 48-bit md5
+    * integers hash48("hp<g>_<d>") − 2^47, computed once in Scala and
+    * interpolated as literals into both engines. (Round 2 evaluated the
+    * md5 inside the row expression — 2048 digests PER VECTOR at 8×4
+    * planes, ~12 s of the sf0.1 bench on EACH LSH query; folding the
+    * constants makes bucketing pure multiply-add.) Values are identical
+    * to the round-2 family: same salt strings, same derivation. */
+  private def hpArray(g: Int): IndexedSeq[Double] =
+    (0 until 64).map(d => (TextOps.hash48Jvm(s"hp${g}_$d") - (1L << 47)).toDouble)
 
-  /** LSH bucket id for one band: sign bits of v·hp_{band·r+j}, j < r. */
+  /** LSH bucket id for one band: sign bits of v·hp_{band·r+j}, j < r.
+    * Summation order is d = 0..63 on both engines (bit-exact parity). */
   def lshBucket(v: Column, band: Int = 0, bitsPerBand: Int = LshBitsPerBand): Column = {
     val bits: Seq[Column] = (0 until bitsPerBand).map { j =>
+      val hp = typedlit(hpArray(band * bitsPerBand + j))
       val proj = aggregate(
-        sequence(lit(0), lit(63)),
+        zip_with(v, hp, (x, c) => x * c),
         lit(0.0),
-        (acc, d) => acc + element_at(v, d + 1) * hpComponent(band * bitsPerBand + j, d))
+        (acc, x) => acc + x)
       when(proj > 0, lit(1L << j)).otherwise(0L)
     }
     bits.reduce(_ + _)
@@ -206,16 +211,19 @@ object Similarity {
       |    list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2])),
       |    (acc, x) -> acc + x)""".stripMargin
 
-  private def hp48Sql(g: Int, dExpr: String): String =
-    s"(CAST(('0x' || substr(md5('hp${g}_' || CAST($dExpr AS VARCHAR)), 1, 12)) AS BIGINT) - ${1L << 47})::DOUBLE"
+  /** Hyperplane constants as a DuckDB DOUBLE[] literal (exact integral
+    * doubles — no parse ambiguity). */
+  private def hpArraySql(g: Int): String =
+    hpArray(g).map(c => s"${c.toLong}.0").mkString("[", ", ", "]::DOUBLE[]")
 
   /** DuckDB spelling of [[lshBucket]] for one band (global plane index
-    * band·r + j, bit weight 2^j — mirrors the Spark side exactly). */
+    * band·r + j, bit weight 2^j — mirrors the Spark side exactly,
+    * including the d = 0..63 summation order). */
   def bucketSql(vExpr: String, band: Int = 0,
                 bitsPerBand: Int = LshBitsPerBand): String = {
     val bits = (0 until bitsPerBand).map { j =>
       s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
-         |  list_transform(generate_series(1, 64), d -> $vExpr[d] * ${hp48Sql(band * bitsPerBand + j, "d - 1")})),
+         |  list_transform(list_zip($vExpr, ${hpArraySql(band * bitsPerBand + j)}), p -> p[1] * p[2])),
          |  (acc, x) -> acc + x) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
     }
     bits.mkString("(", " + ", ")")

@@ -26,14 +26,40 @@ object TextOps {
   /** 2^48 modulus for rolling hashes. */
   val M48: Long = 281474976710656L
 
-  /** Number of MinHash permutations. The hash family is SALTED md5 —
-    * hash48("mh<j>_" ++ shingle) — i.e. k genuinely independent hash
-    * functions. (A first draft used (a·h+b) mod p with small a; since
-    * a·h never exceeded p, those "permutations" were monotone in h and
+  /** Number of MinHash permutations. The family is ONE md5 per shingle
+    * (hash48) composed with k fixed odd 48-bit multipliers:
+    * slot_j = (h · A_j) mod 2^48 — multiplicative hashing over an
+    * already-uniform md5 base. Odd A_j makes each map a bijection on
+    * Z_2^48, and the 64-bit wrap (2^48 | 2^64) keeps Spark's Long
+    * arithmetic exact; DuckDB mirrors it with a HUGEINT product mod
+    * 2^48, so the family stays bit-identical across engines at 1/8 the
+    * digest cost of the round-2 salted-md5 family (8 md5s per shingle —
+    * measured 8.5 s of the sf0.1 bench on d_minhash_sig alone).
+    *
+    * History note: an EARLier draft used (a·h+b) mod p with small a; a·h
+    * never exceeded p, so those "permutations" were monotone in h and
     * perfectly correlated — every slot returned the same argmin shingle.
-    * Caught by the planted-near-dup unit test, not by the oracle, which
-    * faithfully replicated the same degenerate family.) */
+    * The wrap is what breaks monotonicity: A_j are full 48-bit odd
+    * constants, so products overflow 2^48 on essentially every input.
+    * The planted-near-dup tests (DedupSpec) guard the family's slot
+    * independence empirically. */
   val MinHashK: Int = 8
+
+  /** JVM-side hash48 (same value as the [[hash48]] column / DuckDB
+    * spelling): first 6 md5 bytes big-endian. */
+  def hash48Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 6) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** The k odd multipliers, themselves md5-derived (hash48("mhA<j>")|1)
+    * — fixed constants interpolated into both engines' expressions. */
+  val MinHashA: IndexedSeq[Long] =
+    (0 until MinHashK).map(j => hash48Jvm(s"mhA$j") | 1L)
 
   val SimHashBits: Int = 48
 
@@ -54,16 +80,24 @@ object TextOps {
   def hash48(s: Column): Column =
     call_function("graft_hash48", s)
 
-  /** Distinct token 3-gram shingles (empty array for <3 tokens). */
-  def shingles(toksCol: Column): Column =
-    when(size(toksCol) >= 3,
-      array_distinct(transform(
-        sequence(lit(0), size(toksCol) - 3),
-        i => concat_ws(" ",
-          element_at(toksCol, i + 1),
-          element_at(toksCol, i + 2),
-          element_at(toksCol, i + 3)))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct token 3-gram shingles (empty array for <3 tokens).
+    *
+    * Spelled as zip_with over the token array and its shifted slices —
+    * NOT transform(sequence, i => element_at(toksCol, i+k)): HOF lambdas
+    * are interpreted (CodegenFallback, no subexpression elimination), so
+    * an element_at over a non-attribute toksCol re-evaluates the regex
+    * split PER ELEMENT ACCESS — measured 8 s of the sf0.1 bench on the
+    * minhash signature alone. zip_with's array arguments are evaluated
+    * once per row by construction. Trailing zip padding (nulls) is
+    * filtered; shingle strings, order, and distinctness are identical
+    * to the old spelling and to the DuckDB oracle. */
+  def shingles(toksCol: Column): Column = {
+    val pair = zip_with(toksCol, slice(toksCol, lit(2), size(toksCol)),
+      (a, b) => concat(a, lit(" "), b))
+    val tri = zip_with(pair, slice(toksCol, lit(3), size(toksCol)),
+      (ab, c) => concat(ab, lit(" "), c))
+    array_distinct(filter(tri, x => x.isNotNull))
+  }
 
   /** Rolling polynomial fingerprint over token hashes:
     * h_i = (h_{i-1} * 31 + hash48(tok_i)) mod 2^48 — an order-sensitive
@@ -87,12 +121,18 @@ object TextOps {
     bitCols.reduce(_ + _)
   }
 
+  /** slot_j permutation of a 48-bit base hash: (h · A_j) & (2^48−1).
+    * The bitand (not %) extracts the low 48 bits of the wrapped signed
+    * product — equal to the exact product mod 2^48 since 2^48 | 2^64. */
+  def minhashPerm(h: Column, j: Int): Column =
+    (h * lit(MinHashA(j))).bitwiseAND(lit(M48 - 1))
+
   /** MinHash signature j over distinct shingles: min over shingles of
-    * the salted hash hash48("mh<j>_" ++ s); empty set → 2^48 (identity
-    * of min, above every real hash). */
+    * the permuted base hash; empty set → 2^48 (identity of min, above
+    * every real hash). */
   def minhashSig(shinglesCol: Column, j: Int): Column =
     aggregate(
-      transform(shinglesCol, s => hash48(concat(lit(s"mh${j}_"), s))),
+      transform(shinglesCol, s => minhashPerm(hash48(s), j)),
       lit(1L << 48),
       (m, h) => least(m, h))
 
@@ -177,16 +217,17 @@ object TextOps {
       .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
   }
 
-  /** Per-doc MinHash signatures via explode → 8 salted hashes per
-    * shingle → ONE aggregation of 8 mins (same rationale as
-    * [[simhashTable]]; map-side partial min ships 8 longs per doc).
-    * Docs with <3 tokens (empty shingle set) are re-attached with the
-    * empty-set signature 2^48. */
+  /** Per-doc MinHash signatures via explode → ONE md5 per shingle → 8
+    * multiplicative permutations → ONE aggregation of 8 mins (same
+    * rationale as [[simhashTable]]; map-side partial min ships 8 longs
+    * per doc). Docs with <3 tokens (empty shingle set) are re-attached
+    * with the empty-set signature 2^48. */
   def minhashSigTable(docs: DataFrame): DataFrame = {
     val exploded = docs
       .select(col("doc_id"), explode(shingles(toks(col("text")))).as("s"))
+      .select(col("doc_id"), hash48(col("s")).as("h"))
     val hashCols = (0 until MinHashK).map { j =>
-      hash48(concat(lit(s"mh${j}_"), col("s"))).as(s"h$j")
+      minhashPerm(col("h"), j).as(s"h$j")
     }
     val mins = (0 until MinHashK).map(j => min(col(s"h$j")).as(s"s$j"))
     val sig = exploded.select(col("doc_id") +: hashCols: _*)
@@ -248,9 +289,14 @@ object TextOps {
     votes.mkString("(", " + ", ")")
   }
 
+  /** DuckDB spelling of [[minhashPerm]]: HUGEINT product mod 2^48 (the
+    * exact product, reduced — equal to Spark's wrapped-Long bitand). */
+  def minhashPermSql(hExpr: String, j: Int): String =
+    s"CAST((CAST($hExpr AS HUGEINT) * ${MinHashA(j)}) % $M48 AS BIGINT)"
+
   /** DuckDB spelling of [[minhashSig]] (shared with the Dedup oracle). */
   def minhashSigSql(j: Int): String =
-    s"list_reduce(list_prepend(${1L << 48}, list_transform(sh, s -> ${hash48Sql(s"'mh${j}_' || s")})), (x, y) -> least(x, y))"
+    s"list_reduce(list_prepend(${1L << 48}, list_transform(sh, s -> ${minhashPermSql(hash48Sql("s"), j)})), (x, y) -> least(x, y))"
 
   private def minhashSigSqlCols: String =
     (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
