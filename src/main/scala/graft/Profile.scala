@@ -18,6 +18,22 @@ object Profile {
       println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
+    if (args.length > 1 && args(1) == "ml") {
+      // partition-sizing experiment for the iterative fitters
+      val wide0 = graft.queries.Churn.wideTable(spark, dir)
+        .withColumn("label", col("label").cast("double"))
+      for (p <- Seq(8, 4, 2)) {
+        val wide = wide0.coalesce(p)
+        val Array(train, _) = wide.randomSplit(Array(0.8, 0.2), seed = 123L)
+        train.cache(); train.count()
+        val t0 = System.nanoTime()
+        graft.ml.ChurnML.pipeline("gbt", gbtIter = 20).fit(train)
+        println(f"[profile] gbt(iter=20) coalesce($p): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        train.unpersist()
+      }
+      spark.stop(); return
+    }
+
     val docs = Tables.load(spark, dir, "documents")
 
     for (round <- 1 to 2) {

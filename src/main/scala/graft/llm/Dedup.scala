@@ -168,6 +168,53 @@ object Dedup {
     jaccardOnPairs(cand, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** Near-dup CLUSTERS: pairs → connected components → every document's
+    * canonical id (min doc_id of its component; unpaired docs map to
+    * themselves). The step real dedup pipelines need after pair
+    * generation — pairwise thresholds alone don't give "keep one copy
+    * per group" because near-dup is not transitive.
+    *
+    * Spark shape: iterative min-label propagation over the symmetric
+    * edge list — each round one join + one aggregate, labels
+    * localCheckpoint'ed so lineage doesn't grow with iterations.
+    * Converges in O(component diameter) rounds; near-dup components are
+    * shallow in practice (dup groups, not long chains), and the round
+    * cap turns a pathological chain into a bounded-error result rather
+    * than a hung job. At cluster scale the same loop shape holds (each
+    * round is a bounded shuffle); for graphs with large diameters the
+    * alternating-star CC algorithm halves rounds, at the cost of a more
+    * complex step — not needed for dedup graphs. */
+  def nearDupClusters(spark: SparkSession, dir: String,
+                      threshold: Double = 0.8,
+                      maxRounds: Int = 25): DataFrame = {
+    import spark.implicits._
+    val pairs = ngramJaccard(spark, dir, threshold).select($"id_a", $"id_b")
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionAll(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+      .localCheckpoint()
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("lbl", $"id").localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select($"id".as("src"), $"lbl".as("src_lbl")), Seq("src"))
+        .groupBy($"dst").agg(min($"src_lbl").as("nbr_min"))
+        .select($"dst".as("id"), $"nbr_min")
+      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select($"id", least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.select($"id", $"lbl".as("old_lbl")), Seq("id"))
+        .filter($"lbl" =!= $"old_lbl").count()
+      labels = next
+      round += 1
+    }
+    Tables.load(spark, dir, "documents").select($"doc_id")
+      .join(labels.select($"id".as("doc_id"), $"lbl".as("canonical_id")),
+        Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"canonical_id", $"doc_id").as("canonical_id"))
+  }
+
   /** Library variant: Spark ML HashingTF + MinHashLSH approxSimilarityJoin
     * (different hash family → no SQL oracle; rows-only check). Kept
     * alongside the native path to cover the `ml.feature` surface. */
@@ -250,6 +297,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dedup_exact"         -> exact,
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "dedup_clusters"      -> ((s, d) => nearDupClusters(s, d)),
     "dedup_minhash"       -> ((s, d) => minhashDedup(s, d)),
     "dedup_minhash_ml"    -> ((s, d) => minhashMl(s, d)),
     "dedup_embedding"     -> ((s, d) => embeddingNearDup(s, d)),
@@ -281,6 +329,37 @@ object Dedup {
          |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
          |FROM pair JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+
+    "dedup_clusters" -> {
+      // transitive closure of the ngram near-dup graph via recursive CTE;
+      // canonical = min reachable node (incl. self)
+      s"""${shCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |inv AS (SELECT DISTINCT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(list_transform(sh, s -> ${hash48Sql("s")})) AS tok FROM s)),
+         |keep AS (SELECT tok FROM inv GROUP BY tok HAVING COUNT(*) BETWEEN 2 AND 1000),
+         |pair AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM inv x JOIN keep k ON k.tok = x.tok
+         |  JOIN inv y ON x.tok = y.tok AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+         |nd AS (
+         |  SELECT id_a, id_b FROM pair
+         |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS s2, id_b AS d2 FROM nd
+         |  UNION SELECT id_b, id_a FROM nd),
+         |reach(s2, d2) AS (
+         |  SELECT s2, d2 FROM edges
+         |  UNION
+         |  SELECT r.s2, e.d2 FROM reach r JOIN edges e ON r.d2 = e.s2),
+         |canon AS (
+         |  SELECT s2 AS doc_id, LEAST(s2, MIN(d2)) AS canonical_id
+         |  FROM reach GROUP BY s2)
+         |SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+         |FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id""".stripMargin
+    },
 
     "dedup_minhash" -> {
       val sigCols = (0 until MinHashK)

@@ -148,9 +148,18 @@ object ChurnML {
       .withColumn("label", col("label").cast("double"))
       .coalesce(math.max(2, spark.sparkContext.defaultParallelism / 4))
     val Array(train, test) = wide.randomSplit(Array(0.8, 0.2), seed = 123L) // O3
-    train.cache() // mirrors RF:235 — 16 indexer fits + tree passes reuse it
+    train.cache() // mirrors RF:235 — indexer fit + tree passes reuse it
+    val nTrain = train.count() // materialize the cache; also the emitted count
 
-    val model = pipeline(family, gbtIter).fit(train)
+    // Iterative fitters make 50-200 passes over the cached split, and
+    // below ~50k rows/partition the per-task scheduler overhead of each
+    // pass dominates the compute. Coalesce the FIT input to the
+    // MATERIALIZED volume (measured at sf0.1: GBT 19.4→15.5 s for 20
+    // rounds going 8→2 partitions); the rule scales partitions back up
+    // linearly with data volume, capped by the cluster's parallelism.
+    val fitParts = math.max(2L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nTrain / 50000L)).toInt
+    val model = pipeline(family, gbtIter).fit(train.coalesce(fitParts))
 
     // M7/K2: persist + reload, then score with the reloaded model.
     val dir = Files.createTempDirectory(s"graft-$family-model").toString
@@ -162,7 +171,7 @@ object ChurnML {
       .cache()
     val aucV = Metrics.auc(pred)                                     // E1
     val rep  = Metrics.classificationReport(pred)                    // E2
-    val (nTrain, nTest) = (train.count(), pred.count())
+    val nTest = pred.count()
     train.unpersist(); pred.unpersist()
 
     // config column: make the fitted hyperparameters part of the emitted

@@ -116,6 +116,13 @@ class DedupSpec extends SparkSpec {
     assert(uncapped >= 4950L)
   }
 
+  test("connected components assign one canonical id per near-dup group") {
+    import spark.implicits._
+    val canon = Dedup.nearDupClusters(spark, dir, threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(canon == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+  }
+
   /** Short docs (<3 tokens → empty shingle set) must not pair with each
     * other through the identity MinHash signature, and must not produce
     * NULL/NaN Jaccard rows. */
