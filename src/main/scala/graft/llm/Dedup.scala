@@ -168,6 +168,41 @@ object Dedup {
     jaccardOnPairs(cand, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** SimHash near-dup: pairs within Hamming distance maxHamming of the
+    * 48-bit SimHash sketch. Candidates by PIGEONHOLE banding — split the
+    * 48 bits into maxHamming+1 bands (4 × 12 bits for the default 3):
+    * any pair with ≤ maxHamming differing bits must agree EXACTLY on at
+    * least one band, so a per-band equality join has guaranteed recall
+    * (unlike MinHash banding, which is probabilistic). One posexplode +
+    * posting lists per band bucket, verify = bit_count(xor) on the
+    * candidate pairs — never all-pairs. */
+  def simhashDedup(spark: SparkSession, dir: String,
+                   maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val nBands = maxHamming + 1
+    val width = TextOps.SimHashBits / nBands // 12 bits per band
+    val mask = (1L << width) - 1
+    val sim = simhashTable(Tables.load(spark, dir, "documents"))
+    val bandArr = array((0 until nBands).map { b =>
+      shiftright($"simhash", b * width).bitwiseAND(lit(mask))
+    }: _*)
+    val posts = sim.select($"doc_id", posexplode(bandArr))
+      .select($"doc_id", $"pos".as("band"), $"col".as("key"))
+      .groupBy($"band", $"key")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") >= 2)
+    val cand = posts
+      .select(explode(orderedPairs($"ids")).as("p"))
+      .select($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
+      .distinct()
+    val a = sim.select($"doc_id".as("id_a"), $"simhash".as("sim_a"))
+    val b = sim.select($"doc_id".as("id_b"), $"simhash".as("sim_b"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("hamming", bit_count($"sim_a".bitwiseXOR($"sim_b")))
+      .filter($"hamming" <= maxHamming)
+      .select($"id_a", $"id_b", $"hamming".cast("long").as("hamming"))
+  }
+
   /** Near-dup CLUSTERS: pairs → connected components → every document's
     * canonical id (min doc_id of its component; unpaired docs map to
     * themselves). The step real dedup pipelines need after pair
@@ -298,6 +333,7 @@ object Dedup {
     "dedup_exact"         -> exact,
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "dedup_clusters"      -> ((s, d) => nearDupClusters(s, d)),
+    "dedup_simhash"       -> ((s, d) => simhashDedup(s, d)),
     "dedup_minhash"       -> ((s, d) => minhashDedup(s, d)),
     "dedup_minhash_ml"    -> ((s, d) => minhashMl(s, d)),
     "dedup_embedding"     -> ((s, d) => embeddingNearDup(s, d)),
@@ -329,6 +365,27 @@ object Dedup {
          |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
          |FROM pair JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+
+    "dedup_simhash" -> {
+      val width = TextOps.SimHashBits / 4
+      val mask = (1L << width) - 1
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, (simhash >> ${b * width}) & $mask AS key FROM sim"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |h AS (SELECT doc_id, list_transform(w, t2 -> ${hash48Sql("t2")}) AS hs FROM t),
+         |sim AS (SELECT doc_id, ${TextOps.simhashSql} AS simhash FROM h),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM cand c JOIN sim a ON a.doc_id = c.id_a JOIN sim b ON b.doc_id = c.id_b
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+    },
 
     "dedup_clusters" -> {
       // transitive closure of the ngram near-dup graph via recursive CTE;

@@ -282,7 +282,9 @@ object TextOps {
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       | ELSE [] END""".stripMargin
 
-  private def simhashSql: String = {
+  /** DuckDB spelling of the SimHash bit votes (shared with the Dedup
+    * oracle). */
+  def simhashSql: String = {
     val votes = (0 until SimHashBits).map { i =>
       s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END"
     }

@@ -116,6 +116,16 @@ class DedupSpec extends SparkSpec {
     assert(uncapped >= 4950L)
   }
 
+  test("simhash banding finds identical docs at hamming 0, never unrelated ones") {
+    import spark.implicits._
+    val out = Dedup.simhashDedup(spark, dir, maxHamming = 3)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect()
+    assert(out.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
+    // pigeonhole guarantee: every emitted pair is within the radius
+    assert(out.forall(_._3 <= 3L))
+  }
+
   test("connected components assign one canonical id per near-dup group") {
     import spark.implicits._
     val canon = Dedup.nearDupClusters(spark, dir, threshold = 0.5)
