@@ -182,7 +182,11 @@ object Dedup {
     val nBands = maxHamming + 1
     val width = TextOps.SimHashBits / nBands // 12 bits per band
     val mask = (1L << width) - 1
+    // (doc_id, simhash) is consumed three times (band build + both
+    // verify sides); localCheckpoint materializes the 2-column sketch
+    // once instead of re-running the aggregation per consumer.
     val sim = simhashTable(Tables.load(spark, dir, "documents"))
+      .localCheckpoint()
     val bandArr = array((0 until nBands).map { b =>
       shiftright($"simhash", b * width).bitwiseAND(lit(mask))
     }: _*)
