@@ -21,7 +21,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def local(appName: String = "graft"): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to every available core (the driver environment is
+    // local[32]); SPARK_GRAFT_CPUS overrides for small dev runs.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
