@@ -261,13 +261,40 @@ object TextOps {
           .as("chars_per_token"))
   }
 
+  /** C4/Gopher-style document filter: keep iff EVERY quality rule
+    * passes; reason names the first failing rule (deterministic rule
+    * order) so drop rates are auditable per rule. Same thresholds as
+    * the quality_score components in [[stats]]. */
+  private val qualityFilter: Q = (spark, dir) => {
+    import spark.implicits._
+    val t = toks($"text")
+    val nTok = size(t)
+    val sumLen = aggregate(t, lit(0), (a, x) => a + length(x))
+    val nStop = size(filter(t, x => x.isInCollection(Stopwords)))
+    val nUniq = size(array_distinct(t))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", nTok.as("n_tokens"),
+        (nUniq.cast("double") / nTok).as("uniq_ratio"),
+        (nStop.cast("double") / nTok).as("stop_ratio"),
+        (sumLen.cast("double") / nTok).as("avg_token_len"))
+      .withColumn("reason",
+        when(!$"n_tokens".between(20, 1000), "length")
+          .when($"uniq_ratio" < 0.2, "repetition")
+          .when($"stop_ratio" > 0.5, "stopwords")
+          .when(!$"avg_token_len".between(3.0, 12.0), "token_shape")
+          .otherwise("ok"))
+      .withColumn("keep", ($"reason" === "ok").cast("int"))
+      .select($"doc_id", $"keep", $"reason")
+  }
+
   val queries: Map[String, Q] = Map(
-    "d_text_stats"   -> stats,
-    "d_lang_id"      -> langId,
-    "d_fingerprint"  -> fingerprint,
-    "d_simhash"      -> simhashQ,
-    "d_minhash_sig"  -> minhashSigQ,
-    "d_token_counts" -> tokenCounts)
+    "d_text_stats"     -> stats,
+    "d_lang_id"        -> langId,
+    "d_fingerprint"    -> fingerprint,
+    "d_simhash"        -> simhashQ,
+    "d_minhash_sig"    -> minhashSigQ,
+    "d_token_counts"   -> tokenCounts,
+    "d_quality_filter" -> qualityFilter)
 
   // ---- DuckDB oracles ----------------------------------------------
 
@@ -358,6 +385,23 @@ object TextOps {
          |SELECT doc_id,
          |    $minhashSigSqlCols
          |FROM s""".stripMargin,
+
+    "d_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(w) AS n_tokens,
+         |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio,
+         |  CAST(len(list_filter(w, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / len(w) AS stop_ratio,
+         |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS avg_token_len
+         |FROM t),
+         |r AS (SELECT doc_id,
+         |  CASE WHEN n_tokens NOT BETWEEN 20 AND 1000 THEN 'length'
+         |       WHEN uniq_ratio < 0.2 THEN 'repetition'
+         |       WHEN stop_ratio > 0.5 THEN 'stopwords'
+         |       WHEN avg_token_len NOT BETWEEN 3.0 AND 12.0 THEN 'token_shape'
+         |       ELSE 'ok' END AS reason
+         |FROM m)
+         |SELECT doc_id, CAST(reason = 'ok' AS INT) AS keep, reason FROM r""".stripMargin,
 
     "d_token_counts" ->
       s"""SELECT doc_id,

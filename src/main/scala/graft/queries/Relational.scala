@@ -195,6 +195,25 @@ object Relational {
       .distinct()
   }
 
+  // ---- A8 (extension): exact interpolated percentiles per group — the
+  // order-statistic aggregate a warehouse engine needs next to sum/avg.
+  // Spark `percentile` and DuckDB `quantile_cont` share the definition
+  // (sort + linear interpolation at q·(n-1)); both sides round to 4 dp,
+  // which quarter/0.05-step interpolation of 2-decimal prices cannot
+  // straddle, so the comparison is ulp-robust.
+  private val a8: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice".cast("double").as("x"))
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(x, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"))
+      .select($"l_returnflag",
+        bround(element_at($"ps", 1), 4).as("p25"),
+        bround(element_at($"ps", 2), 4).as("p50"),
+        bround(element_at($"ps", 3), 4).as("p75"),
+        bround(element_at($"ps", 4), 4).as("p95"))
+  }
+
   // ---- O1: global random shuffle (RF:21) — row set preserved, order random
   private val o1: Q = (spark, dir) => {
     import spark.implicits._
@@ -264,6 +283,7 @@ object Relational {
     "a4_bround_mean"     -> a4,
     "a5_distinct"        -> a5,
     "a6_having"          -> a6,
+    "a8_percentiles"     -> a8,
     "w14_window_rfm"     -> w14,
     "o1_orderby_rand"    -> o1,
     "o1_rand_unseeded"   -> o1Unseeded,
@@ -364,6 +384,17 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary,
         |  COUNT(o_orderkey) AS orders_count
         |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "a8_percentiles" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |         quantile_cont(CAST(l_extendedprice AS DOUBLE),
+        |                       [0.25, 0.5, 0.75, 0.95]) AS qs
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |       round(qs[1], 4) AS p25, round(qs[2], 4) AS p50,
+        |       round(qs[3], 4) AS p75, round(qs[4], 4) AS p95
+        |FROM q""".stripMargin,
 
     "o1_orderby_rand" ->
       "SELECT n_nationkey, n_name FROM nation",
