@@ -133,6 +133,21 @@ class DedupSpec extends SparkSpec {
     assert(canon == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
   }
 
+  test("cluster law on driver testdata: near-dup pair endpoints share a canonical id") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val canon = Dedup.nearDupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val pairs = Dedup.ngramJaccard(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(canon(a) == canon(b), s"pair ($a,$b) split across components")
+    }
+    // canonical ids are component minima → idempotent under lookup
+    canon.values.foreach(c => assert(canon(c) == c, s"canonical $c not a fixpoint"))
+  }
+
   /** Short docs (<3 tokens → empty shingle set) must not pair with each
     * other through the identity MinHash signature, and must not produce
     * NULL/NaN Jaccard rows. */

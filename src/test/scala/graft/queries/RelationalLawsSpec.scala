@@ -49,6 +49,25 @@ class RelationalLawsSpec extends SparkSpec {
     assert(blanket.filter($"s" === "unknow").count() == 1)
   }
 
+  test("A8 law: percentiles are monotone in q and bracketed by min/max") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val ps = Relational.queries("a8_percentiles")(spark, sf)
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(ps.nonEmpty)
+    val bounds = graft.Tables.load(spark, sf, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(min($"l_extendedprice".cast("double")).as("lo"),
+           max($"l_extendedprice".cast("double")).as("hi"))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    ps.foreach { case (flag, p25, p50, p75, p95) =>
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p95, s"$flag not monotone")
+      val (lo, hi) = bounds(flag)
+      assert(p25 >= lo - 1e-9 && p95 <= hi + 1e-9, s"$flag outside [min,max]")
+    }
+  }
+
   test("U1 shopchannel udf reproduces the reference's quirky 4-way mapping") {
     import spark.implicits._
     val cases = Seq(
