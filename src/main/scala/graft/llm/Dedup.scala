@@ -213,16 +213,16 @@ object Dedup {
     * generation — pairwise thresholds alone don't give "keep one copy
     * per group" because near-dup is not transitive.
     *
-    * Spark shape: iterative min-label propagation over the symmetric
-    * edge list — each round one join + one aggregate, labels
-    * localCheckpoint'ed so lineage doesn't grow with iterations.
-    * Converges in O(component diameter) rounds; near-dup components are
-    * shallow in practice (dup groups, not long chains), and the round
-    * cap turns a pathological chain into a bounded-error result rather
-    * than a hung job. At cluster scale the same loop shape holds (each
-    * round is a bounded shuffle); for graphs with large diameters the
-    * alternating-star CC algorithm halves rounds, at the cost of a more
-    * complex step — not needed for dedup graphs. */
+    * Spark shape: iterative min-label propagation WITH pointer jumping
+    * over the symmetric edge list — each round (a) takes the min of the
+    * neighbors' labels, then (b) path-halves (label ← label's label),
+    * labels localCheckpoint'ed so lineage doesn't grow with iterations.
+    * Neighbor-min alone needs O(component diameter) rounds — a chain of
+    * d docs takes d rounds, silently wrong past any cap; the jump step
+    * makes label paths collapse geometrically, so convergence is
+    * O(log n) rounds for ANY component shape (the standard distributed
+    * CC recipe — Hash-to-Min / pointer-doubling family). At cluster
+    * scale every round is two bounded shuffles on (id, lbl) pairs. */
   def nearDupClusters(spark: SparkSession, dir: String,
                       threshold: Double = 0.8,
                       maxRounds: Int = 25): DataFrame = {
@@ -240,8 +240,14 @@ object Dedup {
         .join(labels.select($"id".as("src"), $"lbl".as("src_lbl")), Seq("src"))
         .groupBy($"dst").agg(min($"src_lbl").as("nbr_min"))
         .select($"dst".as("id"), $"nbr_min")
-      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+      val propagated = labels.join(nbrMin, Seq("id"), "left_outer")
         .select($"id", least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"))
+      // pointer jump: follow the label one hop (labels are node ids, so
+      // the label's own label is defined) — halves path lengths.
+      val next = propagated
+        .join(propagated.select($"id".as("lbl"), $"lbl".as("lbl2")),
+          Seq("lbl"), "left_outer")
+        .select($"id", least($"lbl", coalesce($"lbl2", $"lbl")).as("lbl"))
         .localCheckpoint()
       changed = next.join(labels.select($"id", $"lbl".as("old_lbl")), Seq("id"))
         .filter($"lbl" =!= $"old_lbl").count()

@@ -133,6 +133,26 @@ class DedupSpec extends SparkSpec {
     assert(canon == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
   }
 
+  /** 30-doc CHAIN: doc i shares a token block only with doc i+1, so the
+    * component's diameter is 29 — plain neighbor-min propagation needs
+    * 29 rounds (past the 25-round cap → silently wrong); pointer
+    * jumping must collapse it in O(log n). */
+  test("connected components converge on a long chain (pointer jumping)") {
+    import spark.implicits._
+    def block(i: Int) = (0 until 10).map(k => s"b${i}w$k").mkString(" ")
+    val docs = (0 until 30).map { i =>
+      (i.toLong, block(i) + " " + block(i + 1), "en", s"s$i", 100L)
+    }
+    val d = Files.createTempDirectory("dedup-chain").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val canon = Dedup.nearDupClusters(spark, d, threshold = 0.2)
+      .as[(Long, Long)].collect().toMap
+    assert(canon.size == 30)
+    assert(canon.values.forall(_ == 0L),
+      s"chain not fully merged: ${canon.filter(_._2 != 0L)}")
+  }
+
   test("cluster law on driver testdata: near-dup pair endpoints share a canonical id") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.01"
