@@ -22,15 +22,18 @@ object Profile {
       // partition-sizing experiment for the iterative fitters
       val wide0 = graft.queries.Churn.wideTable(spark, dir)
         .withColumn("label", col("label").cast("double"))
-      for (p <- Seq(8, 4, 2)) {
-        val wide = wide0.coalesce(p)
-        val Array(train, _) = wide.randomSplit(Array(0.8, 0.2), seed = 123L)
-        train.cache(); train.count()
+      val wide = wide0.coalesce(2)
+      val Array(train, _) = wide.randomSplit(Array(0.8, 0.2), seed = 123L)
+      train.cache(); train.count()
+      for (cacheNodes <- Seq(false, true, true)) {
+        val front = graft.ml.ChurnML.featureStages()
+        val gbt = graft.ml.ChurnML.gbt(maxIter = 20).setCacheNodeIds(cacheNodes)
+        val pipe = new org.apache.spark.ml.Pipeline().setStages(front :+ gbt)
         val t0 = System.nanoTime()
-        graft.ml.ChurnML.pipeline("gbt", gbtIter = 20).fit(train)
-        println(f"[profile] gbt(iter=20) coalesce($p): ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        train.unpersist()
+        pipe.fit(train)
+        println(f"[profile] gbt(iter=20) cacheNodeIds=$cacheNodes: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      train.unpersist()
       spark.stop(); return
     }
 

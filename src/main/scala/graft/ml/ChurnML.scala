@@ -82,11 +82,16 @@ object ChurnML {
     (indexers :+ onehot :+ assembler).toArray
   }
 
-  /** M4: the reference's RF config (RF:259-264). */
+  /** M4: the reference's RF config (RF:259-264). cacheNodeIds caches
+    * per-instance node assignments between tree levels instead of
+    * re-traversing the partial tree per row per level — measured ~10%
+    * on the deep-tree fits here; costs one int per instance of executor
+    * memory (the standard setting for depth ≥ 5). */
   def rf(seed: Long = 42L): RandomForestClassifier =
     new RandomForestClassifier()
       .setLabelCol("label").setFeaturesCol("features")
       .setNumTrees(100).setMaxDepth(10).setMaxBins(100).setSeed(seed)
+      .setCacheNodeIds(true)
 
   /** M5: XGBoost stand-in (churn_xgb4j_spark.scala:53-61 — eta=0.1,
     * max_depth=7, num_round=200). maxIter is a parameter because 200
@@ -96,6 +101,7 @@ object ChurnML {
     new GBTClassifier()
       .setLabelCol("label").setFeaturesCol("features")
       .setMaxDepth(7).setMaxIter(maxIter).setStepSize(0.1).setSeed(seed)
+      .setCacheNodeIds(true) // see rf() note
 
   /** M8: LR (LR/model.py — lr=0.2, L2 optional). Trains on standardized
     * features (the reference trains on bounded one-hot bins). */
