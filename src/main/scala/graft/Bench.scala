@@ -22,7 +22,11 @@ object Bench {
     // cost and round-over-round comparisons stay honest.
     try SparkEntry.queries("a3_group_count")(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      // a broken warmup re-skews the first timed query — say so loudly
+      System.err.println(s"[bench] WARMUP FAILED (timings of the first " +
+        s"query will absorb startup cost): ${e.getMessage}")
+    }
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors  = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -25,27 +25,12 @@ object MinHashAgg extends Aggregator[String, Array[Long], Array[Long]] {
   private val K = TextOps.MinHashK
   private val Empty = (1L << 48)
 
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  private def hash48(s: String): Long = {
-    val md = digest.get()
-    md.reset()
-    val d = md.digest(s.getBytes("UTF-8"))
-    // first 6 digest bytes as a big-endian 48-bit integer (same value as
-    // parsing the first 12 hex chars — no hex round-trip)
-    var h = 0L
-    var i = 0
-    while (i < 6) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    h
-  }
-
   override def zero: Array[Long] = Array.fill(K)(Empty)
 
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
-    val h = hash48(shingle) // ONE digest; slots are multiplicative perms
+    // ONE digest (the shared TextOps definition — oracle parity depends
+    // on exactly one hash48 implementation); slots are mult. perms
+    val h = TextOps.hash48Jvm(shingle)
     var j = 0
     while (j < K) {
       val p = (h * TextOps.MinHashA(j)) & (TextOps.M48 - 1)

@@ -80,17 +80,20 @@ object Dedup {
         b => struct(element_at(ids, i + 1).as("id_a"), b.as("id_b")))))
 
   /** Diagnostic companion to [[ngramJaccard]]: the stop-shingles its df
-    * cap drops, with their document frequency. The cap is a recall knob;
-    * this makes it auditable instead of silent (run it at the same cap
-    * to see what was excluded and how big the skew was). */
+    * cap drops, with their document frequency AND an example of the
+    * shingle text (the 48-bit hash alone is not invertible — an audit
+    * that can't name the dropped shingle is no audit). The cap is a
+    * recall knob; this makes it auditable instead of silent. */
   def stopShingles(spark: SparkSession, dir: String,
                    maxShingleDf: Long = 1000L): DataFrame = {
     import spark.implicits._
     docShingles(spark, dir)
       .select($"doc_id", explode($"sh").as("tok0"))
-      .select($"doc_id", hash48($"tok0").as("tok"))
-      .groupBy($"tok").agg(countDistinct($"doc_id").as("df"))
+      .select($"doc_id", $"tok0", hash48($"tok0").as("tok"))
+      .groupBy($"tok")
+      .agg(countDistinct($"doc_id").as("df"), first($"tok0").as("shingle"))
       .filter($"df" > maxShingleDf)
+      .select($"tok", $"shingle", $"df")
   }
 
   /** N-gram Jaccard near-dup via shingle inverted index:
@@ -227,7 +230,11 @@ object Dedup {
                       threshold: Double = 0.8,
                       maxRounds: Int = 25): DataFrame = {
     import spark.implicits._
+    // checkpoint the pairs BEFORE symmetrizing: a union of two selects
+    // over the raw plan would materialize the whole ~4 s pair-generation
+    // subtree twice (ReuseExchange saves the shuffles, not the joins).
     val pairs = ngramJaccard(spark, dir, threshold).select($"id_a", $"id_b")
+      .localCheckpoint()
     val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
       .unionAll(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
       .localCheckpoint()

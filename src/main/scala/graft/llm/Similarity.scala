@@ -7,7 +7,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.TextOps.hash48
 
 /** Similarity search over the `embeddings` table (unit-norm float[64]).
   *

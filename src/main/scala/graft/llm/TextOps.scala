@@ -46,10 +46,18 @@ object TextOps {
   val MinHashK: Int = 8
 
   /** JVM-side hash48 (same value as the [[hash48]] column / DuckDB
-    * spelling): first 6 md5 bytes big-endian. */
+    * spelling): first 6 md5 bytes big-endian. THE single JVM definition
+    * of the 48-bit hash — MinHashAgg and the LSH constant tables both
+    * call it, so oracle parity hinges on exactly one implementation. */
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def hash48Jvm(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
     var h = 0L
     var i = 0
     while (i < 6) { h = (h << 8) | (d(i) & 0xffL); i += 1 }

@@ -165,7 +165,14 @@ object ChurnML {
     // linearly with data volume, capped by the cluster's parallelism.
     val fitParts = math.max(2L, math.min(
       spark.sparkContext.defaultParallelism.toLong, nTrain / 50000L)).toInt
-    val model = pipeline(family, gbtIter).fit(train.coalesce(fitParts))
+    // coalesce can only SHRINK partition counts — growing (big nTrain,
+    // few cached partitions) needs a real repartition or the rule is
+    // silently inert above the cache's partition count.
+    val fitInput =
+      if (fitParts < train.rdd.getNumPartitions) train.coalesce(fitParts)
+      else if (fitParts > train.rdd.getNumPartitions) train.repartition(fitParts)
+      else train
+    val model = pipeline(family, gbtIter).fit(fitInput)
 
     // M7/K2: persist + reload, then score with the reloaded model.
     val dir = Files.createTempDirectory(s"graft-$family-model").toString

@@ -204,14 +204,29 @@ object Churn {
   private val u5: Q = (spark, dir) => repurchase(spark, dir, 90)
 
   /** All three reference windows in one result, keyed by window_days —
-    * one scan per window over the date-pruned fact, unioned. */
+    * ONE scan of the 180-day-pruned fact, two-level aggregation (per
+    * (user, terminal) window-membership flags, then per-user flag sums
+    * = distinct-terminal counts per window). Three distinct-counts with
+    * different filters would otherwise either triple the fact scan
+    * (union of three groupBys) or hit the Catalyst Expand blowup
+    * (multi-countDistinct) — this spelling avoids both. */
   private val u5Windows: Q = (spark, dir) => {
     import spark.implicits._
-    Seq(30, 90, 180).map { d =>
-      repurchase(spark, dir, d)
-        .select($"USR_NUM_ID", lit(d).as("window_days"),
-          $"last_2_repurchase".as("repurchase"))
-    }.reduce(_ unionAll _)
+    val endD = lit(FeatureEnd).cast("date")
+    val perTml = ChurnAdapter.sales(spark, dir)
+      .filter($"ORDER_DATE" >= date_sub(endD, 180) && $"ORDER_DATE" <= endD)
+      .groupBy($"USR_NUM_ID", $"TML_NUM_ID")
+      .agg(max(($"ORDER_DATE" >= date_sub(endD, 30)).cast("int")).as("in30"),
+           max(($"ORDER_DATE" >= date_sub(endD, 90)).cast("int")).as("in90"))
+    perTml.groupBy($"USR_NUM_ID")
+      .agg(sum($"in30").as("c30"), sum($"in90").as("c90"),
+           count(lit(1)).as("c180"))
+      .select($"USR_NUM_ID", explode(array(
+          struct(lit(30).as("d"), $"c30".as("cnt")),
+          struct(lit(90).as("d"), $"c90".as("cnt")),
+          struct(lit(180).as("d"), $"c180".as("cnt")))).as("w"))
+      .filter($"w.cnt" > 1)
+      .select($"USR_NUM_ID", $"w.d".as("window_days"), lit(2).as("repurchase"))
   }
 
   // ---- U4: one standalone group-flag query (RF:132-152, meat group)
