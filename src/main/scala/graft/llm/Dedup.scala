@@ -302,9 +302,7 @@ object Dedup {
       .crossJoin(e.select($"vec_id".as("id_b"), $"v".as("vb")))
       .filter($"id_a" < $"id_b")
     pairs
-      .withColumn("cosine",
-        aggregate(zip_with($"va", $"vb", (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x))
+      .withColumn("cosine", Similarity.dot($"va", $"vb"))
       .filter($"cosine" >= threshold)
       .select($"id_a", $"id_b", $"cosine")
   }
@@ -339,9 +337,7 @@ object Dedup {
     cand
       .join(e.select($"vec_id".as("id_a"), $"v".as("va")), Seq("id_a"))
       .join(e.select($"vec_id".as("id_b"), $"v".as("vb")), Seq("id_b"))
-      .withColumn("cosine",
-        aggregate(zip_with($"va", $"vb", (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x))
+      .withColumn("cosine", Similarity.dot($"va", $"vb"))
       .filter($"cosine" >= threshold)
       .select($"id_a", $"id_b", $"cosine")
   }

@@ -70,9 +70,13 @@ object Similarity {
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
   }
 
-  /** Exact left-fold dot product (unit vectors → cosine). */
+  /** Exact left-fold dot product (unit vectors → cosine). Backed by the
+    * codegen'd [[graft.functions.DotF64]] expression — value-identical
+    * to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (same summation
+    * order) but stays inside whole-stage codegen instead of two
+    * interpreted HOF evaluations per candidate pair. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
 
   /** Hyperplane g as a 64-component CONSTANT array: centered 48-bit md5
     * integers hash48("hp<g>_<d>") − 2^47, computed once in Scala and
@@ -85,14 +89,11 @@ object Similarity {
     (0 until 64).map(d => (TextOps.hash48Jvm(s"hp${g}_$d") - (1L << 47)).toDouble)
 
   /** LSH bucket id for one band: sign bits of v·hp_{band·r+j}, j < r.
-    * Summation order is d = 0..63 on both engines (bit-exact parity). */
+    * Summation order is d = 0..63 on both engines (bit-exact parity);
+    * each projection is the codegen'd dot against the constant plane. */
   def lshBucket(v: Column, band: Int = 0, bitsPerBand: Int = LshBitsPerBand): Column = {
     val bits: Seq[Column] = (0 until bitsPerBand).map { j =>
-      val hp = typedlit(hpArray(band * bitsPerBand + j))
-      val proj = aggregate(
-        zip_with(v, hp, (x, c) => x * c),
-        lit(0.0),
-        (acc, x) => acc + x)
+      val proj = dot(v, typedlit(hpArray(band * bitsPerBand + j)))
       when(proj > 0, lit(1L << j)).otherwise(0L)
     }
     bits.reduce(_ + _)

@@ -170,5 +170,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => WindowDistinctToAggregate)
     graft.functions.Hash48.register(ext)
+    graft.functions.DotF64.register(ext)
   }
 }

@@ -34,4 +34,34 @@ class FunctionsSpec extends SparkSpec {
       assert(sig.toSeq == relational(id).toSeq, s"doc $id")
     }
   }
+
+  test("graft_dot is bit-identical to the HOF fold spelling, incl. null cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Seq[Option[Double]], Seq[Option[Double]])] =
+      (0 until 50).map { _ =>
+        (Seq.fill(64)(Some(rnd.nextDouble() - 0.5)),
+         Seq.fill(64)(Some(rnd.nextDouble() - 0.5)))
+      } ++ Seq(
+        // a null ELEMENT must null the whole product (zip_with parity)
+        (Seq(Some(1.0), None, Some(2.0)), Seq(Some(3.0), Some(4.0), Some(5.0))))
+    val df = rows.toDF("a", "b")
+      .withColumn("hof",
+        aggregate(zip_with($"a", $"b", (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("native", call_function("graft_dot", $"a", $"b"))
+    // bit-exact, not just approximately equal (doubleToLongBits compare)
+    val vals = df.select($"hof", $"native").collect()
+    assert(vals.length == rows.length)
+    vals.foreach { r =>
+      (r.isNullAt(0), r.isNullAt(1)) match {
+        case (true, true) => // both null (the null-element row)
+        case (false, false) =>
+          assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+                 java.lang.Double.doubleToLongBits(r.getDouble(1)),
+            s"bit mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+        case other => fail(s"null mismatch: $r")
+      }
+    }
+  }
 }
