@@ -272,28 +272,33 @@ object TextOps {
   /** C4/Gopher-style document filter: keep iff EVERY quality rule
     * passes; reason names the first failing rule (deterministic rule
     * order) so drop rates are auditable per rule. Same thresholds as
-    * the quality_score components in [[stats]]. */
-  private val qualityFilter: Q = (spark, dir) => {
-    import spark.implicits._
-    val t = toks($"text")
+    * the quality_score components in [[stats]]. Takes the docs frame
+    * directly (rather than (spark, dir)) because it is pure map-side —
+    * the SAME plan runs batch or as a readStream stage (parity-tested
+    * in StreamingSpec). */
+  def qualityFilterOf(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
     val nTok = size(t)
     val sumLen = aggregate(t, lit(0), (a, x) => a + length(x))
     val nStop = size(filter(t, x => x.isInCollection(Stopwords)))
     val nUniq = size(array_distinct(t))
-    Tables.load(spark, dir, "documents")
-      .select($"doc_id", nTok.as("n_tokens"),
+    docs
+      .select(col("doc_id"), nTok.as("n_tokens"),
         (nUniq.cast("double") / nTok).as("uniq_ratio"),
         (nStop.cast("double") / nTok).as("stop_ratio"),
         (sumLen.cast("double") / nTok).as("avg_token_len"))
       .withColumn("reason",
-        when(!$"n_tokens".between(20, 1000), "length")
-          .when($"uniq_ratio" < 0.2, "repetition")
-          .when($"stop_ratio" > 0.5, "stopwords")
-          .when(!$"avg_token_len".between(3.0, 12.0), "token_shape")
+        when(!col("n_tokens").between(20, 1000), "length")
+          .when(col("uniq_ratio") < 0.2, "repetition")
+          .when(col("stop_ratio") > 0.5, "stopwords")
+          .when(!col("avg_token_len").between(3.0, 12.0), "token_shape")
           .otherwise("ok"))
-      .withColumn("keep", ($"reason" === "ok").cast("int"))
-      .select($"doc_id", $"keep", $"reason")
+      .withColumn("keep", (col("reason") === "ok").cast("int"))
+      .select(col("doc_id"), col("keep"), col("reason"))
   }
+
+  private val qualityFilter: Q = (spark, dir) =>
+    qualityFilterOf(Tables.load(spark, dir, "documents"))
 
   val queries: Map[String, Q] = Map(
     "d_text_stats"     -> stats,

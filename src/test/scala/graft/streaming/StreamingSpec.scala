@@ -57,6 +57,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("quality filter runs identically as a readStream stage (map-only parity)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, ("the quick brown fox jumps over a lazy dog and " * 3).trim, "en", "s0", 100L),
+      (1L, "too short", "en", "s1", 9L),
+      (2L, ("spam " * 40).trim, "en", "s2", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Files.createTempDirectory("stream-docs").toString
+    docs.repartition(2).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val schema = spark.read.parquet(s"$d/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$d/documents.parquet")
+    val got = StreamingWindows.runToCompletion(spark,
+        graft.llm.TextOps.qualityFilterOf(stream), "t_quality", OutputMode.Append())
+      .orderBy($"doc_id").as[(Long, Int, String)].collect().toSeq
+    val want = graft.llm.TextOps.qualityFilterOf(spark.read.parquet(s"$d/documents.parquet"))
+      .orderBy($"doc_id").as[(Long, Int, String)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    assert(want.map(_._3).toSet.size >= 2) // exercises >1 rule outcome
+  }
+
   test("streaming exact dedup by key drops re-deliveries across micro-batches") {
     import spark.implicits._
     // duplicate event_ids in a second directory of files
