@@ -261,6 +261,12 @@ object Dedup {
       labels = next
       round += 1
     }
+    if (changed > 0)
+      // pointer jumping converges in O(log n) rounds, so hitting the cap
+      // means something is genuinely pathological — never silently emit
+      // split components as if they were final.
+      System.err.println(s"[dedup_clusters] NOT CONVERGED after $maxRounds " +
+        s"rounds ($changed labels still changing); components may be split")
     Tables.load(spark, dir, "documents").select($"doc_id")
       .join(labels.select($"id".as("doc_id"), $"lbl".as("canonical_id")),
         Seq("doc_id"), "left_outer")
