@@ -80,6 +80,29 @@ object Sinks {
       .select($"r_regionkey", $"r_name")
   }
 
+  /** K4's semantic twin (GBDT/spark/utils.scala:141-156, hashMD5 at
+    * :125-132): the HBase put itself is out of scope (no cluster), but
+    * the KV-row PRODUCTION is plain SQL — rowkey = first 5 md5 hex chars
+    * + "_" + key (the salt prefix that spreads sequential keys across
+    * region servers), value = the array column rendered "[a,b,c]"
+    * (mkString("[", ",", "]") in the reference). Here: per customer, the
+    * sorted list of their order keys, round-tripped through a parquet
+    * sink. Any KV store (HBase/Cassandra/Redis) consumes these rows
+    * as-is. */
+  private val k4: Q = (spark, dir) => {
+    import spark.implicits._
+    val kv = Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sort_array(collect_list($"o_orderkey".cast("string"))).as("items"))
+      .select(
+        concat(substring(md5($"o_custkey".cast("string")), 1, 5), lit("_"),
+          $"o_custkey".cast("string")).as("rowkey"),
+        concat(lit("["), concat_ws(",", $"items"), lit("]")).as("recommend"))
+    val tmp = Files.createTempDirectory("graft-k4").toString
+    kv.write.mode("overwrite").parquet(s"$tmp/kv")
+    spark.read.parquet(s"$tmp/kv")
+  }
+
   /** K7 + F11: sigmoid scores dumped as text lines
     * (FM/fm_csv/fm_churn_csv.py:178-180; LR/model.py:81), read back and
     * re-emitted. Fixed-format %.9f keeps the text form engine-portable. */
@@ -109,6 +132,7 @@ object Sinks {
     "k1_save_as_table" -> k1,
     "k2_model_persist" -> k2,
     "k3_jdbc_roundtrip"-> k3,
+    "k4_kv_rows"       -> k4,
     "k7_text_dump"     -> k7,
     "f11_sigmoid"      -> f11)
 
@@ -125,6 +149,13 @@ object Sinks {
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "k3_jdbc_roundtrip" ->
       "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
+    "k4_kv_rows" ->
+      """SELECT substr(md5(CAST(o_custkey AS VARCHAR)), 1, 5) || '_' ||
+        |         CAST(o_custkey AS VARCHAR) AS rowkey,
+        |       '[' || array_to_string(
+        |         list_sort(list(CAST(o_orderkey AS VARCHAR))), ',') || ']'
+        |         AS recommend
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "k7_text_dump" ->
       """SELECT CAST(o_orderkey AS VARCHAR) || ',' ||
         |       printf('%.9f', 1.0 / (1.0 + exp(-CAST((o_orderkey % 13) - 6 AS DOUBLE))))

@@ -68,6 +68,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Materialize an intermediate for iterative reuse. Local mode (the
+    * default, `checkpointDir = None`) uses `localCheckpoint()` — blocks
+    * live un-replicated in executor storage, the right call when the
+    * executors can't disappear. On a real cluster a lost executor kills
+    * a long iterative run's lineage-free blocks, so callers pass a
+    * reliable `checkpointDir` (HDFS/S3) and get `checkpoint()` — same
+    * values, fault-tolerant materialization (both modes asserted equal
+    * in DedupSpec). */
+  private def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   /** Ordered-pair expansion of a sorted, distinct id array: every
     * (ids[i], ids[j]) with i < j, as structs (id_a, id_b). Used by both
     * near-dup candidate generators — a posting list of d ids emits
@@ -180,16 +197,18 @@ object Dedup {
     * posting lists per band bucket, verify = bit_count(xor) on the
     * candidate pairs — never all-pairs. */
   def simhashDedup(spark: SparkSession, dir: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   checkpointDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     val nBands = maxHamming + 1
     val width = TextOps.SimHashBits / nBands // 12 bits per band
     val mask = (1L << width) - 1
     // (doc_id, simhash) is consumed three times (band build + both
-    // verify sides); localCheckpoint materializes the 2-column sketch
-    // once instead of re-running the aggregation per consumer.
-    val sim = simhashTable(Tables.load(spark, dir, "documents"))
-      .localCheckpoint()
+    // verify sides); materialize the 2-column sketch once instead of
+    // re-running the aggregation per consumer (see [[materialize]] for
+    // the local-vs-reliable choice).
+    val sim = materialize(
+      simhashTable(Tables.load(spark, dir, "documents")), checkpointDir)
     val bandArr = array((0 until nBands).map { b =>
       shiftright($"simhash", b * width).bitwiseAND(lit(mask))
     }: _*)
@@ -228,18 +247,18 @@ object Dedup {
     * scale every round is two bounded shuffles on (id, lbl) pairs. */
   def nearDupClusters(spark: SparkSession, dir: String,
                       threshold: Double = 0.8,
-                      maxRounds: Int = 25): DataFrame = {
+                      maxRounds: Int = 25,
+                      checkpointDir: Option[String] = None): DataFrame = {
     import spark.implicits._
+    def mat(df: DataFrame): DataFrame = materialize(df, checkpointDir)
     // checkpoint the pairs BEFORE symmetrizing: a union of two selects
     // over the raw plan would materialize the whole ~4 s pair-generation
     // subtree twice (ReuseExchange saves the shuffles, not the joins).
-    val pairs = ngramJaccard(spark, dir, threshold).select($"id_a", $"id_b")
-      .localCheckpoint()
-    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
-      .unionAll(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
-      .localCheckpoint()
-    var labels = edges.select($"src".as("id")).distinct()
-      .withColumn("lbl", $"id").localCheckpoint()
+    val pairs = mat(ngramJaccard(spark, dir, threshold).select($"id_a", $"id_b"))
+    val edges = mat(pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionAll(pairs.select($"id_b".as("src"), $"id_a".as("dst"))))
+    var labels = mat(edges.select($"src".as("id")).distinct()
+      .withColumn("lbl", $"id"))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -251,11 +270,10 @@ object Dedup {
         .select($"id", least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"))
       // pointer jump: follow the label one hop (labels are node ids, so
       // the label's own label is defined) — halves path lengths.
-      val next = propagated
+      val next = mat(propagated
         .join(propagated.select($"id".as("lbl"), $"lbl".as("lbl2")),
           Seq("lbl"), "left_outer")
-        .select($"id", least($"lbl", coalesce($"lbl2", $"lbl")).as("lbl"))
-        .localCheckpoint()
+        .select($"id", least($"lbl", coalesce($"lbl2", $"lbl")).as("lbl")))
       changed = next.join(labels.select($"id", $"lbl".as("old_lbl")), Seq("id"))
         .filter($"lbl" =!= $"old_lbl").count()
       labels = next

@@ -47,6 +47,22 @@ object ChurnML {
     Seq("shop_channel") ++ Churn.Groups.map(_._1) ++
       Seq("CHANNEL_NUM_ID", "VIP_TYPE_NUM_ID")
 
+  /** The XGB path's column selection (GBDT/spark/churn_xgb4j_spark.scala:
+    * 23-32) — deliberately NOT the RF path's 37: 20 continuous (drops
+    * `save_amount`), 14 indexed strings, and `CHANNEL_NUM_ID` consumed
+    * DIRECTLY as a numeric category index (no StringIndexer);
+    * `VIP_TYPE_NUM_ID` dropped entirely. 20 + 15 = 35 assembler inputs.
+    * Order preserved from the reference source. */
+  val xgbContinuousCols: Seq[String] = Seq(
+    "shop_duration", "recent", "monetary", "max_amount", "items_count",
+    "valid_points_sum", "member_day", "frequence", "avg_amount",
+    "item_count_turn", "avg_piece_amount", "monetary3", "max_amount3",
+    "items_count3", "frequence3", "shops_count", "promote_percent",
+    "wxapp_diff", "store_diff", "week_percent")
+
+  val xgbStringCols: Seq[String] =
+    Seq("shop_channel") ++ Churn.Groups.map(_._1)
+
   /** M1+M2+M3 front-end: indexers → one-hot → assembler.
     *
     * handleInvalid="skip" is the RF path (RF/randomforest_churn.scala:
@@ -80,6 +96,34 @@ object ChurnML {
       .setInputCols((continuousCols ++ categoricalCols.map(c => s"${c}_vec")).toArray)
       .setOutputCol("features")
     (indexers :+ onehot :+ assembler).toArray
+  }
+
+  /** The XGB path's front-end, byte-faithful to
+    * churn_xgb4j_spark.scala:34-50: handleInvalid="keep" indexers over
+    * the 14 string columns (unseen label → extra index numLabels, :35),
+    * one-hot dropLast=false over CHANNEL_NUM_ID ++ the 14 index columns
+    * (CHANNEL_NUM_ID straight into the encoder as a numeric category,
+    * :39-45), assembler over the 35-column selection (:48-50). The OHE
+    * also keeps (same rationale as [[featureStages]]: the indexer's
+    * extra index is out of the fitted range otherwise). The 14
+    * dictionaries come from ONE multi-column indexer pass, as in
+    * [[featureStages]]. */
+  def xgbFeatureStages(): Array[PipelineStage] = {
+    val indexer = new StringIndexer()
+      .setInputCols(xgbStringCols.toArray)
+      .setOutputCols(xgbStringCols.map(c => s"${c}_idx").toArray)
+      .setHandleInvalid("keep")
+      .setStringOrderType("frequencyDesc")
+    val catCols = Seq("CHANNEL_NUM_ID") ++ xgbStringCols.map(c => s"${c}_idx")
+    val onehot = new OneHotEncoder()
+      .setInputCols(catCols.toArray)
+      .setOutputCols(catCols.map(c => s"${c}_vec").toArray)
+      .setHandleInvalid("keep")
+      .setDropLast(false)
+    val assembler = new VectorAssembler()
+      .setInputCols((xgbContinuousCols ++ catCols.map(c => s"${c}_vec")).toArray)
+      .setOutputCol("features")
+    Array(indexer, onehot, assembler)
   }
 
   /** M4: the reference's RF config (RF:259-264). cacheNodeIds caches
@@ -127,10 +171,12 @@ object ChurnML {
   def pipeline(family: String, gbtIter: Int = 50): Pipeline = {
     val front = featureStages()
     val stages = family match {
-      case "rf"  => front :+ rf()
-      case "gbt" => front :+ gbt(maxIter = gbtIter)
-      case "lr"  => front :+ stdScaler :+ lr()
-      case "fm"  => front :+ stdScaler :+ fm()
+      case "rf"      => front :+ rf()
+      case "gbt"     => front :+ gbt(maxIter = gbtIter)
+      // the XGB path: its own 35-column "keep" front-end + GBT back-end
+      case "gbt_xgb" => xgbFeatureStages() :+ gbt(maxIter = gbtIter)
+      case "lr"      => front :+ stdScaler :+ lr()
+      case "fm"      => front :+ stdScaler :+ fm()
       case other => throw new IllegalArgumentException(s"unknown family $other")
     }
     new Pipeline().setStages(stages.toArray)
@@ -191,10 +237,11 @@ object ChurnML {
     // row so a bench reader can't mistake the budget-scaled GBT round
     // count for the reference's 200.
     val config = family match {
-      case "rf"  => "numTrees=100 maxDepth=10 maxBins=100 (reference RF:259-264)"
-      case "gbt" => s"maxDepth=7 stepSize=0.1 maxIter=$gbtIter (reference num_round=200, budget-scaled)"
-      case "lr"  => "maxIter=100 regParam=0 std-scaled"
-      case "fm"  => "factorSize=8 stepSize=0.1 maxIter=50 std-scaled"
+      case "rf"      => "numTrees=100 maxDepth=10 maxBins=100 (reference RF:259-264)"
+      case "gbt"     => s"maxDepth=7 stepSize=0.1 maxIter=$gbtIter (reference num_round=200, budget-scaled; 200 validated at sf0.001 in MLChurnSpec)"
+      case "gbt_xgb" => s"XGB-path 35-col keep front-end; maxDepth=7 stepSize=0.1 maxIter=$gbtIter (reference num_round=200, budget-scaled)"
+      case "lr"      => "maxIter=100 regParam=0 std-scaled"
+      case "fm"      => "factorSize=8 stepSize=0.1 maxIter=50 std-scaled"
       case other => other
     }
     Seq((family, config, aucV, rep("accuracy"), rep("precision"),
@@ -302,6 +349,10 @@ object ChurnML {
     "o3_random_split"   -> o3,
     "ml_rf_churn"       -> ((s, d) => trainEval(s, d, "rf")),
     "ml_gbt_churn"      -> ((s, d) => trainEval(s, d, "gbt")),
+    // the front-end is the point here (boosting already benched by
+    // ml_gbt_churn at 50 rounds) — 20 rounds keeps the bench honest
+    // without double-paying the iteration cost; config column says so.
+    "ml_gbt_xgbpath"    -> ((s, d) => trainEval(s, d, "gbt_xgb", gbtIter = 20)),
     "ml_lr_churn"       -> ((s, d) => trainEval(s, d, "lr")),
     "ml_fm_churn"       -> ((s, d) => trainEval(s, d, "fm")))
 

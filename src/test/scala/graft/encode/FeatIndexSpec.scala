@@ -73,6 +73,45 @@ class FeatIndexSpec extends SparkSpec {
     assert(out.toSet == Set(Seq(0L, 3L), Seq(1L, 2L)))
   }
 
+  test("broadcast-join encode path matches the literal path on a 100k-entry dict") {
+    import spark.implicits._
+    // Synthetic big dictionary: field 0 has 100k values v0..v99999 at
+    // global indices 1.., field 1 tiny. Above the threshold encode must
+    // switch to per-field broadcast joins; rows must be IDENTICAL to the
+    // literal path (forced by a huge threshold).
+    val bigDict: Map[String, Int] =
+      (Map("0:other" -> 0) ++
+        (0 until 100000).map(v => s"0:v$v" -> (v + 1)).toMap ++
+        Map("1:other" -> 100001, "1:y" -> 100002))
+    val df = Seq(("v0", "y", 1), ("v99999", "zzz", 0), ("unseen", "y", 1))
+      .toDF("f0", "f1", "label")
+    val viaJoin = FeatIndex.encode(df, Seq("f0", "f1"), "label", bigDict)
+    val viaLiteral = FeatIndex.encode(df, Seq("f0", "f1"), "label", bigDict,
+      broadcastThreshold = Int.MaxValue)
+    // the default threshold really routed the big dict to the join path
+    assert(bigDict.size > FeatIndex.EncodeBroadcastThreshold)
+    val a = viaJoin.select($"label", $"indices").as[(Double, Seq[Int])].collect().toSet
+    val b = viaLiteral.select($"label", $"indices").as[(Double, Seq[Int])].collect().toSet
+    assert(a == b)
+    assert(a == Set((1.0, Seq(1, 100002)), (0.0, Seq(100000, 100001)),
+      (1.0, Seq(0, 100002))))
+  }
+
+  test("libsvm write is distributed by default; single file only on opt-in") {
+    import spark.implicits._
+    val lines = spark.range(0, 1000, 1, 8)
+      .select(concat($"id".cast("string"), lit(" 1:1")).as("value"))
+    val tmp = Files.createTempDirectory("libsvm-parts").toString
+    FeatIndex.writeLibsvmText(lines, s"$tmp/multi")
+    FeatIndex.writeLibsvmText(lines, s"$tmp/single", singleFile = true)
+    def parts(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.startsWith("part-"))
+    assert(parts(s"$tmp/multi") == 8)  // one file per input partition
+    assert(parts(s"$tmp/single") == 1) // fixture-fidelity opt-in
+    // distributed parts glob back to the same content
+    assert(spark.read.text(s"$tmp/multi").count() == 1000L)
+  }
+
   test("one-based write round-trips through Spark's libsvm source") {
     import spark.implicits._
     val dict = Map("0:other" -> 0, "0:a" -> 1, "0:b" -> 2, "1:other" -> 3, "1:c" -> 4)

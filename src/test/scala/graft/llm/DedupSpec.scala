@@ -168,6 +168,27 @@ class DedupSpec extends SparkSpec {
     canon.values.foreach(c => assert(canon(c) == c, s"canonical $c not a fixpoint"))
   }
 
+  /** The reliable-checkpoint mode (for real clusters, where a lost
+    * executor kills localCheckpoint's un-replicated blocks mid-iteration)
+    * must be a pure materialization-strategy switch: same rows. */
+  test("reliable checkpointDir mode matches localCheckpoint mode exactly") {
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("dedup-ckpt").toString
+    val localClusters = Dedup.nearDupClusters(spark, dir, threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    val reliableClusters = Dedup.nearDupClusters(spark, dir, threshold = 0.5,
+        checkpointDir = Some(ckpt))
+      .as[(Long, Long)].collect().toMap
+    assert(reliableClusters == localClusters)
+    val localSim = Dedup.simhashDedup(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    val reliableSim = Dedup.simhashDedup(spark, dir, checkpointDir = Some(ckpt))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(reliableSim == localSim)
+    // the reliable mode really wrote RDD checkpoint files
+    assert(new java.io.File(ckpt).listFiles().nonEmpty)
+  }
+
   /** Short docs (<3 tokens → empty shingle set) must not pair with each
     * other through the identity MinHash signature, and must not produce
     * NULL/NaN Jaccard rows. */

@@ -1,0 +1,67 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape regression suite (VERDICT r3 next-round #1): the plan wins
+  * of rounds 2-3 — Expand-free aggregation, no cartesian/nested-loop
+  * joins, broadcast on the dimension/probe side, bounded exchange
+  * counts — asserted on the physical plan of the DECLARED queries, so a
+  * refactor that reintroduces the multi-countDistinct Expand, de-hints a
+  * broadcast, or adds a stray shuffle fails here instead of only showing
+  * up as a bench regression three rounds later.
+  *
+  * Budgets are the observed sf0.001 counts (Explain dump, round 4) plus
+  * headroom for AQE/statistics drift: exchanges can merge or split by a
+  * node or two across Spark versions, but a scale-killer regression
+  * (Expand multiplies the fact 4×, a cartesian is quadratic) is never
+  * within headroom of a healthy plan.
+  *
+  * These five queries are intentionally the LAZY ones (plans built
+  * without execution); the iterative operators (clusters, simhash-dedup)
+  * materialize eagerly and are guarded by their own behavior specs.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(plan: String, token: String): Int =
+    token.r.findAllIn(plan).length
+
+  /** name → (max exchanges, min broadcast-hash joins). */
+  private val budgets: Seq[(String, Int, Int)] = Seq(
+    // flagship: 2 fact shuffles (main window + 90-day) + dim joins;
+    // observed 16 exchanges, 7 broadcast joins (goods + small dims)
+    ("churn_wide_table", 20, 1),
+    // posting lists: 1 grouping + 1 pair-count + size-attach; observed 4
+    ("dedup_ngram_jaccard", 6, 0),
+    // sig → bands → candidates → verify; observed 6
+    ("dedup_minhash", 8, 0),
+    // band buckets → candidates → vector attach; observed 4
+    ("dedup_embedding_lsh", 6, 0),
+    // probe side must stay broadcast (observed 3 BHJ); observed 5 exch.
+    ("sim_topk_lsh", 7, 1))
+
+  for ((name, maxExchanges, minBroadcast) <- budgets) {
+    test(s"$name plan: Expand-free, cartesian-free, ≤$maxExchanges exchanges" +
+      (if (minBroadcast > 0) s", ≥$minBroadcast broadcast join(s)" else "")) {
+      val p = planOf(name)
+      assert(count(p, "Expand") == 0,
+        s"$name reintroduced Expand (multi-countDistinct blowup):\n$p")
+      assert(count(p, "CartesianProduct") == 0,
+        s"$name plans a cartesian product:\n$p")
+      assert(count(p, "BroadcastNestedLoopJoin") == 0,
+        s"$name plans a nested-loop join:\n$p")
+      val exchanges = count(p, "Exchange")
+      assert(exchanges <= maxExchanges,
+        s"$name exchange count $exchanges over budget $maxExchanges " +
+          s"(a new shuffle crept in):\n$p")
+      val bhj = count(p, "BroadcastHashJoin")
+      assert(bhj >= minBroadcast,
+        s"$name lost its broadcast join ($bhj < $minBroadcast) — " +
+          s"a dim/probe side fell back to shuffle:\n$p")
+    }
+  }
+}
