@@ -37,6 +37,32 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "lsh") {
+      // LSH sizing probe (VERDICT r3 #9): pinned r=4 vs autoBitsPerBand(n)
+      // — candidate volume, bucket skew, and surviving pair count, the
+      // empirical side of the "r must grow with n" design claim.
+      import graft.llm.{Dedup, Similarity}
+      val n = Tables.load(spark, dir, "embeddings").count()
+      val autoBits = Similarity.autoBitsPerBand(n)
+      println(s"[lsh-probe] corpus n=$n autoBitsPerBand=$autoBits " +
+        s"(pinned declared-query config r=${Similarity.LshBitsPerBand})")
+      for ((label, bits) <- Seq("pinned" -> Similarity.LshBitsPerBand,
+                                "auto"   -> autoBits)) {
+        val posts = Similarity.bandBuckets(spark, dir, Similarity.LshBands, bits)
+          .groupBy($"band", $"bucket").count()
+        val s = posts.agg(
+          count(lit(1)).as("buckets"),
+          max($"count").as("max_bucket"),
+          sum($"count" * ($"count" - 1) / 2).as("gen_pairs")).head
+        val survivors = Dedup.embeddingNearDupLsh(spark, dir,
+          bands = Similarity.LshBands, bitsPerBand = bits).count()
+        println(s"[lsh-probe] $label r=$bits: buckets=${s.get(0)} " +
+          s"maxBucket=${s.get(1)} generatedPairs=${s.get(2)} " +
+          s"survivingPairs(cos≥0.30)=$survivors")
+      }
+      spark.stop(); return
+    }
+
     val docs = Tables.load(spark, dir, "documents")
 
     for (round <- 1 to 2) {
