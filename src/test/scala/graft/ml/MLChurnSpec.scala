@@ -32,13 +32,20 @@ class MLChurnSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.01"
 
   /** Wide table with the label replanted as a learnable deterministic
-    * rule; cached once — 12 pipeline fits (16 indexers each) reuse it. */
+    * rule; cached once — the pipeline fits (multi-col indexer each)
+    * reuse it. Partitioned by KEY HASH, not coalesce: randomSplit is
+    * deterministic only given fixed per-partition CONTENT (it sorts
+    * within partitions), and coalesce inherits whatever layout AQE gave
+    * the upstream join — stable normally, but a mid-suite cache
+    * recompute may re-plan and silently shift the split, flaking the
+    * 1e-9 re-fit-equality assertions. Hash repartition pins content to
+    * the key alone. */
   private lazy val planted: DataFrame = {
     val wide = Churn.wideTable(spark, dir)
     val median = wide.stat.approxQuantile("monetary", Array(0.5), 0.0).head
     wide.withColumn("label",
         (col("monetary") > lit(median)).cast("double"))
-      .coalesce(4).cache()
+      .repartition(4, col("USR_NUM_ID")).cache()
   }
 
   private def fitAndScore(family: String): (Double, Double, Double) = {
