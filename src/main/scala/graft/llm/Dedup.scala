@@ -97,10 +97,13 @@ object Dedup {
         b => struct(element_at(ids, i + 1).as("id_a"), b.as("id_b")))))
 
   /** Diagnostic companion to [[ngramJaccard]]: the stop-shingles its df
-    * cap drops, with their document frequency AND an example of the
-    * shingle text (the 48-bit hash alone is not invertible — an audit
-    * that can't name the dropped shingle is no audit). The cap is a
-    * recall knob; this makes it auditable instead of silent. */
+    * cap drops, with their document frequency AND the shingle text (the
+    * 48-bit hash alone is not invertible — an audit that can't name the
+    * dropped shingle is no audit; min() not first(): first() over an
+    * unordered group is nondeterministic, which would break the oracle).
+    * The cap is a recall knob; this makes it auditable instead of
+    * silent. Declared as `dedup_stop_shingles` at a diagnostic df > 3
+    * (the production default 1000 drops nothing at test SFs). */
   def stopShingles(spark: SparkSession, dir: String,
                    maxShingleDf: Long = 1000L): DataFrame = {
     import spark.implicits._
@@ -108,7 +111,7 @@ object Dedup {
       .select($"doc_id", explode($"sh").as("tok0"))
       .select($"doc_id", $"tok0", hash48($"tok0").as("tok"))
       .groupBy($"tok")
-      .agg(countDistinct($"doc_id").as("df"), first($"tok0").as("shingle"))
+      .agg(countDistinct($"doc_id").as("df"), min($"tok0").as("shingle"))
       .filter($"df" > maxShingleDf)
       .select($"tok", $"shingle", $"df")
   }
@@ -368,6 +371,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "dedup_exact"         -> exact,
+    "dedup_stop_shingles" -> ((s, d) => stopShingles(s, d, maxShingleDf = 3L)),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "dedup_clusters"      -> ((s, d) => nearDupClusters(s, d)),
     "dedup_simhash"       -> ((s, d) => simhashDedup(s, d)),
@@ -386,6 +390,14 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_stop_shingles" ->
+      s"""$shCte,
+         |inv AS (SELECT doc_id, unnest(sh) AS tok0 FROM s),
+         |g AS (SELECT ${hash48Sql("tok0")} AS tok,
+         |             COUNT(DISTINCT doc_id) AS df, MIN(tok0) AS shingle
+         |      FROM inv GROUP BY 1)
+         |SELECT tok, shingle, df FROM g WHERE df > 3""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""$shCte,

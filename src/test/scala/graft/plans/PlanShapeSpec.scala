@@ -35,6 +35,11 @@ class PlanShapeSpec extends SparkSpec {
     // flagship: 2 fact shuffles (main window + 90-day) + dim joins;
     // observed 16 exchanges, 7 broadcast joins (goods + small dims)
     ("churn_wide_table", 20, 1),
+    // the feature block alone; observed 13/6
+    ("churn_features", 17, 1),
+    // ONE 180-day fact scan + two-level agg (no Expand, no triple
+    // scan); observed 3
+    ("u5_repurchase_windows", 5, 0),
     // posting lists: 1 grouping + 1 pair-count + size-attach; observed 4
     ("dedup_ngram_jaccard", 6, 0),
     // sig → bands → candidates → verify; observed 6
@@ -62,6 +67,28 @@ class PlanShapeSpec extends SparkSpec {
       assert(bhj >= minBroadcast,
         s"$name lost its broadcast join ($bhj < $minBroadcast) — " +
           s"a dim/probe side fell back to shuffle:\n$p")
+    }
+  }
+
+  test("w14_window_rfm is rewritten to ONE aggregate: no Window node, one exchange") {
+    // the WindowDistinctToAggregate rule's win, visible in the physical
+    // plan: the window+distinct idiom costs a window sort + a distinct
+    // aggregate unrewritten; rewritten it is a single hash aggregate.
+    val p = planOf("w14_window_rfm")
+    assert(count(p, "Window \\[") == 0,
+      s"w14_window_rfm plans a Window node — the rewrite rule stopped firing:\n$p")
+    assert(count(p, "Expand") == 0)
+    assert(count(p, "Exchange") <= 2, s"observed 1 exchange; plan now:\n$p")
+  }
+
+  for (name <- Seq("d_text_stats", "d_lang_id", "d_fingerprint",
+                   "d_token_counts", "d_quality_filter")) {
+    test(s"$name stays a pure map-side op: ZERO exchanges") {
+      // TextOps' design contract: per-doc text analysis never shuffles.
+      val p = planOf(name)
+      assert(count(p, "Exchange") == 0,
+        s"$name gained a shuffle — HOF respelled as explode+agg?:\n$p")
+      assert(count(p, "Expand") == 0)
     }
   }
 }
