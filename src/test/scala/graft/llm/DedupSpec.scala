@@ -168,6 +168,36 @@ class DedupSpec extends SparkSpec {
     canon.values.foreach(c => assert(canon(c) == c, s"canonical $c not a fixpoint"))
   }
 
+  /** Cross-operator consistency on driver testdata: minhash banding is
+    * the PROBABILISTIC candidate generator for the same exact-Jaccard
+    * predicate ngramJaccard evaluates exhaustively, so at a SF where the
+    * df cap drops nothing (sf0.01 max shingle df = 7) minhash pairs ⊆
+    * ngram pairs MUST hold; and exact text duplicates (identical
+    * shingles → identical signatures → same band buckets → Jaccard 1)
+    * are GUARANTEED to surface in both. */
+  test("cross-operator law: minhash ⊆ ngram; exact dups surface in both") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val ngram = Dedup.ngramJaccard(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val minhash = Dedup.minhashDedup(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(minhash.nonEmpty && ngram.nonEmpty)
+    assert(minhash.subsetOf(ngram),
+      s"minhash emitted pairs ngram rejects: ${minhash -- ngram}")
+    // exact-dup guarantee on the planted corpus (driver testdata has
+    // near-dups but no byte-identical texts): docs 0/1 are identical →
+    // identical shingles → identical signatures → same buckets → both
+    // detectors MUST emit the pair, at the default 0.8 threshold.
+    val plantedNgram = Dedup.ngramJaccard(spark, dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val plantedMinhash = Dedup.minhashDedup(spark, dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(plantedNgram.contains((0L, 1L)))
+    assert(plantedMinhash.contains((0L, 1L)))
+    assert(plantedMinhash.subsetOf(plantedNgram))
+  }
+
   /** The reliable-checkpoint mode (for real clusters, where a lost
     * executor kills localCheckpoint's un-replicated blocks mid-iteration)
     * must be a pure materialization-strategy switch: same rows. */
