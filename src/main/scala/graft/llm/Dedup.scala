@@ -80,7 +80,10 @@ object Dedup {
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        // setCheckpointDir registers a UUID SUBDIR of dir (and qualifies
+        // the scheme), so compare by containment, not equality — an
+        // equality check re-registers a fresh subdir on every call.
+        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
         df.checkpoint()
       case None => df.localCheckpoint()
     }
