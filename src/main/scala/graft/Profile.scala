@@ -37,6 +37,26 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "mlparts") {
+      // fit-input partition-count experiment: is the floor of 2 right
+      // for tiny materialized volumes, or does 1 partition win by
+      // halving per-iteration task count?
+      val wide0 = graft.queries.Churn.wideTable(spark, dir)
+        .withColumn("label", col("label").cast("double"))
+      val Array(train0, _) = wide0.randomSplit(Array(0.8, 0.2), seed = 123L)
+      for (parts <- Seq(2, 1, 2, 1)) {
+        val train = train0.repartition(parts)
+        train.cache(); train.count()
+        val pipe = new org.apache.spark.ml.Pipeline()
+          .setStages(graft.ml.ChurnML.featureStages() :+ graft.ml.ChurnML.gbt(maxIter = 20))
+        val t0 = System.nanoTime()
+        pipe.fit(train)
+        println(f"[profile] gbt(iter=20) fitParts=$parts: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        train.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "lsh") {
       // LSH sizing probe (VERDICT r3 #9): pinned r=4 vs autoBitsPerBand(n)
       // — candidate volume, bucket skew, and surviving pair count, the
