@@ -39,6 +39,14 @@ object Bench {
     // JIT side effects (used to chase the r3 d_fingerprint drift). The
     // driver never sets it — the contract run times everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // Fail fast on unknown names: a typo would otherwise time an empty
+    // selection and overwrite bench_result.json with a 0-query "success".
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+          unknown.mkString(", "))
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 

@@ -18,42 +18,31 @@ object Profile {
       println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
-    if (args.length > 1 && args(1) == "ml") {
-      // partition-sizing experiment for the iterative fitters
-      val wide0 = graft.queries.Churn.wideTable(spark, dir)
-        .withColumn("label", col("label").cast("double"))
-      val wide = wide0.coalesce(2)
-      val Array(train, _) = wide.randomSplit(Array(0.8, 0.2), seed = 123L)
-      train.cache(); train.count()
-      for (cacheNodes <- Seq(false, true, true)) {
-        val front = graft.ml.ChurnML.featureStages()
-        val gbt = graft.ml.ChurnML.gbt(maxIter = 20).setCacheNodeIds(cacheNodes)
-        val pipe = new org.apache.spark.ml.Pipeline().setStages(front :+ gbt)
-        val t0 = System.nanoTime()
-        pipe.fit(train)
-        println(f"[profile] gbt(iter=20) cacheNodeIds=$cacheNodes: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      }
-      train.unpersist()
-      spark.stop(); return
-    }
-
-    if (args.length > 1 && args(1) == "mlparts") {
-      // fit-input partition-count experiment: is the floor of 2 right
-      // for tiny materialized volumes, or does 1 partition win by
-      // halving per-iteration task count?
+    if (args.length > 1 && (args(1) == "ml" || args(1) == "mlparts")) {
+      // GBT-fit experiments over one shared harness:
+      //  ml      — cacheNodeIds on/off
+      //  mlparts — fit-input partition count (is the floor of 2 right
+      //            for tiny materialized volumes?)
       val wide0 = graft.queries.Churn.wideTable(spark, dir)
         .withColumn("label", col("label").cast("double"))
       val Array(train0, _) = wide0.randomSplit(Array(0.8, 0.2), seed = 123L)
-      for (parts <- Seq(2, 1, 2, 1)) {
-        val train = train0.repartition(parts)
+      def timeGbtFit(label: String, train: org.apache.spark.sql.DataFrame,
+                     cacheNodes: Boolean): Unit = {
         train.cache(); train.count()
+        val gbt = graft.ml.ChurnML.gbt(maxIter = 20).setCacheNodeIds(cacheNodes)
         val pipe = new org.apache.spark.ml.Pipeline()
-          .setStages(graft.ml.ChurnML.featureStages() :+ graft.ml.ChurnML.gbt(maxIter = 20))
+          .setStages(graft.ml.ChurnML.featureStages() :+ gbt)
         val t0 = System.nanoTime()
         pipe.fit(train)
-        println(f"[profile] gbt(iter=20) fitParts=$parts: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println(f"[profile] gbt(iter=20) $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         train.unpersist()
       }
+      if (args(1) == "ml")
+        for (cn <- Seq(false, true, true))
+          timeGbtFit(s"cacheNodeIds=$cn", train0.coalesce(2), cacheNodes = cn)
+      else
+        for (parts <- Seq(2, 1, 2, 1))
+          timeGbtFit(s"fitParts=$parts", train0.repartition(parts), cacheNodes = true)
       spark.stop(); return
     }
 

@@ -37,6 +37,11 @@ object Sessions {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Reliable checkpoints (Dedup's checkpointDir mode) are only
+      // deleted by the context cleaner when this is on (default false);
+      // without it every round of an iterative job leaks a full
+      // snapshot into the checkpoint dir.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // saveAsTable (K1) writes through the in-memory catalog; use a
       // FRESH tmp warehouse per JVM — a fixed path fails on the next run
       // with LOCATION_ALREADY_EXISTS (catalog is per-session, dir isn't).
@@ -44,6 +49,16 @@ object Sessions {
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ALWAYS have a checkpoint dir: MLlib's iterative fitters
+    // (GBTClassifier et al.) only truncate their per-iteration RDD
+    // lineage via PeriodicRDDCheckpointer when one is set — without it
+    // a 200-round boost builds a ~200-deep zipPartitions lineage and
+    // dies of StackOverflowError (observed at maxIter=200, sf0.001).
+    // Graft callers that pass an explicit reliable dir (Dedup's
+    // checkpointDir mode) override this per-application default.
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     spark
   }
 }

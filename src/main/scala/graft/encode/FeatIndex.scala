@@ -110,12 +110,18 @@ object FeatIndex {
       import spark.implicits._
       // (field_idx, raw_value, idx) rows; the per-field `other` slots
       // stay driver-side scalars (fields.size of them) for the fallback.
-      val entries = dict.toSeq.map { case (k, v) =>
+      // Malformed keys (no "field:" prefix) are unreachable in the
+      // literal path's lookups, so they are skipped here too; a field
+      // with no `other` slot falls back to a NULL index, exactly as
+      // element_at(map, "i:other") does on the literal path.
+      val entries = dict.toSeq.flatMap { case (k, v) =>
         val c = k.indexOf(':')
-        (k.substring(0, c).toInt, k.substring(c + 1), v)
+        if (c <= 0) None
+        else k.substring(0, c).toIntOption.map(fi => (fi, k.substring(c + 1), v))
       }
       val dictDf = entries.toDF("field_idx", "raw_value", "idx")
-      val others = fields.indices.map(i => dict(s"$i:other"))
+      val others: Seq[Column] = fields.indices.map(i =>
+        dict.get(s"$i:other").map(v => lit(v)).getOrElse(lit(null).cast("int")))
       val joined = fields.zipWithIndex.foldLeft(df) { case (acc, (f, i)) =>
         val d = dictDf.filter($"field_idx" === i)
           .select($"raw_value".as(s"__k$i"), $"idx".as(s"__idx$i"))
@@ -124,7 +130,7 @@ object FeatIndex {
       joined.select(
         col(labelCol).cast("double").as("label"),
         array(fields.indices.map(i =>
-          coalesce(col(s"__idx$i"), lit(others(i)))): _*).as("indices"))
+          coalesce(col(s"__idx$i"), others(i))): _*).as("indices"))
     }
 
   /** K6: LibSVM text lines (`label idx:1 idx:1 ...`, label as int when

@@ -16,7 +16,7 @@ import graft.{SparkEntry, SparkSpec}
   * (Expand multiplies the fact 4×, a cartesian is quadratic) is never
   * within headroom of a healthy plan.
   *
-  * These five queries are intentionally the LAZY ones (plans built
+  * Covered queries are intentionally the LAZY ones (plans built
   * without execution); the iterative operators (clusters, simhash-dedup)
   * materialize eagerly and are guarded by their own behavior specs.
   */
