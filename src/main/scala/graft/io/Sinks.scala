@@ -38,14 +38,15 @@ object Sinks {
         to_date($"order_date").as("order_date"), $"o_orderpriority")
   }
 
-  /** K1: saveAsTable (ORC in the reference, RF:225; parquet here —
-    * same DataFrameWriter surface) + read back via the catalog. */
+  /** K1: saveAsTable in ORC — the reference's exact spelling (RF:225
+    * writes its feature table as an ORC hive table) — + read back via
+    * the catalog. */
   private val k1: Q = (spark, dir) => {
     import spark.implicits._
     Tables.load(spark, dir, "orders")
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").format("parquet").saveAsTable("k1_orders_agg")
+      .write.mode("overwrite").format("orc").saveAsTable("k1_orders_agg")
     spark.table("k1_orders_agg")
   }
 

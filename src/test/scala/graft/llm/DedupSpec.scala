@@ -168,6 +168,27 @@ class DedupSpec extends SparkSpec {
     canon.values.foreach(c => assert(canon(c) == c, s"canonical $c not a fixpoint"))
   }
 
+  /** Property check on the pair expansion EVERY candidate generator
+    * rides on (ngram, minhash, simhash, embedding-LSH posting lists):
+    * a sorted distinct d-element list must emit exactly d(d-1)/2 pairs,
+    * each strictly ordered, covering every 2-subset once. */
+  test("orderedPairs emits exactly the d(d-1)/2 strict 2-subsets") {
+    import spark.implicits._
+    val lists: Seq[Seq[Long]] =
+      Seq(Seq(), Seq(7L), Seq(1L, 2L), Seq(3L, 9L, 27L),
+        (0L until 10L).toSeq, Seq(5L, 10L, 15L, 20L, 25L, 30L, 35L))
+    lists.foreach { ids =>
+      val got = Seq(ids).toDF("ids")
+        .select(explode(Dedup.orderedPairs(col("ids"))).as("p"))
+        .select($"p.id_a", $"p.id_b").as[(Long, Long)].collect().toSet
+      val want = (for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield (ids(i), ids(j))).toSet
+      assert(got == want, s"ids=$ids")
+      assert(got.size == ids.size * (ids.size - 1) / 2)
+      assert(got.forall { case (a, b) => a < b })
+    }
+  }
+
   /** Cross-operator consistency on driver testdata: minhash banding is
     * the PROBABILISTIC candidate generator for the same exact-Jaccard
     * predicate ngramJaccard evaluates exhaustively, so at a SF where the
