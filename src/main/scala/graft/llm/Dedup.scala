@@ -264,6 +264,27 @@ object Dedup {
     * O(log n) rounds for ANY component shape (the standard distributed
     * CC recipe — Hash-to-Min / pointer-doubling family). At cluster
     * scale every round is two bounded shuffles on (id, lbl) pairs. */
+  /** ONE round of the CC loop, lazy (materialization is the caller's):
+    * neighbor-min propagation followed by a pointer jump. Extracted so
+    * PlanShapeSpec can pin the per-round physical plan — the loop's cost
+    * is (this plan) × O(log n) rounds, so a stray shuffle here multiplies.
+    * Labels are node ids, so the label's own label is defined; the jump
+    * halves label-path lengths, giving O(log n) convergence for ANY
+    * component shape. */
+  private[graft] def ccRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val nbrMin = edges
+      .join(labels.select($"id".as("src"), $"lbl".as("src_lbl")), Seq("src"))
+      .groupBy($"dst").agg(min($"src_lbl").as("nbr_min"))
+      .select($"dst".as("id"), $"nbr_min")
+    val propagated = labels.join(nbrMin, Seq("id"), "left_outer")
+      .select($"id", least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"))
+    propagated
+      .join(propagated.select($"id".as("lbl"), $"lbl".as("lbl2")),
+        Seq("lbl"), "left_outer")
+      .select($"id", least($"lbl", coalesce($"lbl2", $"lbl")).as("lbl"))
+  }
+
   def nearDupClusters(spark: SparkSession, dir: String,
                       threshold: Double = 0.8,
                       maxRounds: Int = 25,
@@ -294,19 +315,8 @@ object Dedup {
     var changed = true
     var round = 0
     while (changed && round < maxRounds) {
-      val nbrMin = edges
-        .join(labels.select($"id".as("src"), $"lbl".as("src_lbl")), Seq("src"))
-        .groupBy($"dst").agg(min($"src_lbl").as("nbr_min"))
-        .select($"dst".as("id"), $"nbr_min")
-      val propagated = labels.join(nbrMin, Seq("id"), "left_outer")
-        .select($"id", least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"))
-      // pointer jump: follow the label one hop (labels are node ids, so
-      // the label's own label is defined) — halves path lengths.
-      val next = materialize(propagated
-        .join(propagated.select($"id".as("lbl"), $"lbl".as("lbl2")),
-          Seq("lbl"), "left_outer")
-        .select($"id", least($"lbl", coalesce($"lbl2", $"lbl")).as("lbl")),
-        checkpointDir, eager = false)
+      val next = materialize(ccRound(edges, labels), checkpointDir,
+        eager = false)
       val nextSum = labelSum(next)
       changed = nextSum.compareTo(lblSum) != 0
       lblSum = nextSum

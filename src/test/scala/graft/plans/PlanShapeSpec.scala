@@ -91,4 +91,53 @@ class PlanShapeSpec extends SparkSpec {
       assert(count(p, "Expand") == 0)
     }
   }
+
+  test("CC round plan: bounded exchanges, cartesian-free, checkpoint-fed") {
+    // The iterative operators materialize eagerly, so the suite's lazy
+    // planOf can't cover the loop — but the loop's cost is exactly
+    // (one round's plan) × O(log n) rounds, so pin THAT. ccRound is the
+    // extracted round body (VERDICT r4 #7); inputs mimic the loop's
+    // state: localCheckpoint'ed edges/labels, as in nearDupClusters.
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionAll(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+      .localCheckpoint()
+    val labels = edges.select($"src".as("id")).distinct()
+      .withColumn("lbl", $"id").localCheckpoint()
+    val p = graft.llm.Dedup.ccRound(edges, labels)
+      .queryExecution.executedPlan.toString
+    assert(count(p, "CartesianProduct") == 0,
+      s"CC round plans a cartesian product:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") == 0,
+      s"CC round plans a nested-loop join:\n$p")
+    // neighbor-min (2 join + 1 agg) + propagate (≤2) + jump self-join
+    // (≤2, subtree duplicated in the plan text) — observed 8; a per-round
+    // budget blowout multiplies by every round, so keep headroom tight.
+    val exchanges = count(p, "Exchange")
+    assert(exchanges <= 11,
+      s"CC round exchange count $exchanges over budget 11 — a new " +
+        s"per-round shuffle multiplies across O(log n) rounds:\n$p")
+    // Checkpointed inputs must enter as materialized scans (truncated
+    // lineage), never by re-deriving the pair-generation subtree.
+    assert(count(p, "Scan ExistingRDD") >= 3,
+      s"CC round inputs are not checkpoint scans — lineage grew back:\n$p")
+  }
+
+  test("simhashDedup verify plan: sketch scanned from checkpoint, not recomputed") {
+    // simhashDedup materializes the 2-col sketch once and consumes it
+    // three times (band build + both verify sides). The plan of the
+    // returned (lazy) verify subtree must show checkpoint scans — if the
+    // sketch aggregation re-appears per consumer, the materialize
+    // contract broke and the simhash pass runs 3×.
+    val df = graft.llm.Dedup.simhashDedup(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(count(p, "CartesianProduct") == 0)
+    assert(count(p, "BroadcastNestedLoopJoin") == 0)
+    assert(count(p, "Scan ExistingRDD") >= 3,
+      s"simhash sketch is being recomputed instead of checkpoint-scanned:\n$p")
+    val exchanges = count(p, "Exchange")
+    assert(exchanges <= 10,
+      s"simhashDedup exchange count $exchanges over budget 10:\n$p")
+  }
 }
