@@ -53,16 +53,31 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors  = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          timings(name) = (System.nanoTime() - t0) / 1e9
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.take(1).mkString.take(200)
-          System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+      // Order independence (VERDICT r4 #5): non-ML queries run twice and
+      // the MIN of the two timings is reported — the first pass absorbs
+      // whatever position-dependent one-time cost (codegen compile, page
+      // cache, broadcast re-use) its alphabetical slot hands it, and min
+      // additionally rejects stray GC/JIT hits on either pass (keeping
+      // just the second still disagreed 10-40% on sub-second queries
+      // across consecutive runs). ML fits run once: 50-200 sequential
+      // boosting/LBFGS rounds dwarf any order effect and doubling them
+      // would double the bench's wall clock.
+      val passes = if (name.startsWith("ml_")) 1 else 2
+      var i = 0
+      while (i < passes && !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          timings(name) = timings.get(name).fold(t)(math.min(_, t))
+        } catch {
+          case e: Throwable =>
+            timings(name) = (System.nanoTime() - t0) / 1e9
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString.take(200)
+            System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+        }
+        i += 1
       }
     }
 

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.llm.TextOps
@@ -68,6 +69,82 @@ object Profile {
         println(s"[lsh-probe] $label r=$bits: buckets=${s.get(0)} " +
           s"maxBucket=${s.get(1)} generatedPairs=${s.get(2)} " +
           s"survivingPairs(cos≥0.30)=$survivors")
+      }
+      spark.stop(); return
+    }
+
+    if (args.length > 1 && args(1) == "cc") {
+      // Dedup-family scale probe (VERDICT r4 #6): does the posting-list +
+      // pointer-jumping design hold at 10× the bench corpus? Build a
+      // REALISTIC 10× documents table — 10 copies with remapped doc_ids,
+      // each copy's token stream salted with a copy marker so shingles
+      // are DISJOINT across copies (a naive 10× clone makes every doc an
+      // exact dup of its 9 clones: pair volume grows 100×, which is a
+      // duplication artifact, not scale). Salted copies keep per-shingle
+      // df flat, so candidate pairs should grow ~linearly and CC rounds
+      // ~O(log n) — the two claims this probe checks empirically.
+      // Two growth regimes, two salted 10× corpora:
+      //  - "shard": every token gets a per-copy suffix → copies are
+      //    shingle-disjoint sub-corpora with the SAME df distribution as
+      //    1× (models heterogeneous growth: new shards, new domains).
+      //    Everything should grow ~linearly here.
+      //  - "homog": a per-copy marker token interleaved into the stream →
+      //    the (marker, token, marker) shingles have df = per-copy
+      //    token-df, i.e. COMMON shingles whose df grows with the corpus
+      //    (models homogeneous growth: same distribution, more of it).
+      //    This is the adversarial regime for an inverted-index join —
+      //    df under the cap grows ⇒ pairs per list grow quadratically —
+      //    and the df cap (maxShingleDf) is the explicit control knob.
+      import graft.llm.Dedup
+      val factor = if (args.length > 2) args(2).toInt else 10
+      val base = Tables.load(spark, dir, "documents")
+      def scaled(salt: Int => Column): DataFrame =
+        (0 until factor).map { i =>
+          if (i == 0) base
+          else base.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+            salt(i).as("text"), $"lang", $"source", $"n_chars")
+        }.reduce(_ unionAll _)
+      val corpora = Seq(
+        "shard" -> scaled(i => regexp_replace($"text", "(\\S+)", s"$$1z$i")),
+        "homog" -> scaled(i => regexp_replace($"text", " ", s" z$i ")))
+      val dirs = ("1x", dir) +: corpora.map { case (label, df) =>
+        val d = s"target/ccprobe-$label"
+        df.write.mode("overwrite").parquet(s"$d/documents.parquet")
+        (s"${factor}x-$label", d)
+      }
+      def postingStats(d: String, cap: Long): String = {
+        val sh = Tables.load(spark, d, "documents")
+          .select($"doc_id", graft.llm.TextOps.shingles(TextOps.toks($"text")).as("sh"))
+        val st = sh.select($"doc_id", explode($"sh").as("tok0"))
+          .select($"doc_id", graft.llm.TextOps.hash48($"tok0").as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("d"))
+          .filter($"d".between(2, cap))
+          .agg(count(lit(1)).as("lists"), max($"d").as("max_df"),
+            sum($"d" * ($"d" - 1) / 2).as("gen_pairs")).head
+        s"postingLists=${st.get(0)} maxDf=${st.get(1)} genPairs=${st.get(2)}"
+      }
+      def timed[A](body: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val a = body
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      for ((label, d) <- dirs) {
+        for (cap <- Seq(1000L, 100L)) {
+          val (n, t) = timed(Dedup.ngramJaccard(spark, d, maxShingleDf = cap).count())
+          println(f"[cc-probe] $label ngram(df<=$cap): ${postingStats(d, cap)} " +
+            f"survivingPairs=$n time=$t%.2f s")
+        }
+        if (!label.endsWith("homog")) {
+          // minhash is probed on the clean regimes only: the homog
+          // corpus' artificial marker shingles occupy half of every
+          // signature's slots, which overweights common shingles far
+          // beyond any real Zipf tail and tells nothing transferable.
+          val (nMh, tMh) = timed(Dedup.minhashDedup(spark, d).count())
+          println(f"[cc-probe] $label minhash: survivingPairs=$nMh time=$tMh%.2f s")
+        }
+        val (_, tCc) = timed(Dedup.nearDupClusters(spark, d)
+          .write.mode("overwrite").format("noop").save())
+        println(f"[cc-probe] $label clusters(total incl. pair-gen): time=$tCc%.2f s")
       }
       spark.stop(); return
     }

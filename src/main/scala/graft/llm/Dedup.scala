@@ -16,7 +16,7 @@ import graft.llm.TextOps._
   *    LSH band join (minhash) — both shuffle on a key whose fanout is
   *    bounded, then verify only candidate pairs.
   *  - The shingle inverted index caps per-shingle document frequency
-  *    (maxShingleDf, default 1000): a stop-shingle that appears in half
+  *    (maxShingleDf, default 100): a stop-shingle that appears in half
   *    the corpus would otherwise create a quadratic pair-blowup on one
   *    key (classic skew). Dropping ultra-common shingles is standard
   *    (they carry no discriminative signal) but is a RECALL KNOB, so it
@@ -119,9 +119,9 @@ object Dedup {
     * unordered group is nondeterministic, which would break the oracle).
     * The cap is a recall knob; this makes it auditable instead of
     * silent. Declared as `dedup_stop_shingles` at a diagnostic df > 3
-    * (the production default 1000 drops nothing at test SFs). */
+    * (the production default 100 drops nothing at test SFs). */
   def stopShingles(spark: SparkSession, dir: String,
-                   maxShingleDf: Long = 1000L): DataFrame = {
+                   maxShingleDf: Long = 100L): DataFrame = {
     import spark.implicits._
     docShingles(spark, dir)
       .select($"doc_id", explode($"sh").as("tok0"))
@@ -139,7 +139,7 @@ object Dedup {
     * finite by default — see [[stopShingles]] for the audit path). */
   def ngramJaccard(spark: SparkSession, dir: String,
                    threshold: Double = 0.8,
-                   maxShingleDf: Long = 1000L): DataFrame = {
+                   maxShingleDf: Long = 100L): DataFrame = {
     import spark.implicits._
     val sh = docShingles(spark, dir)
     // Posting lists instead of an inverted-index self-join: group the
@@ -329,6 +329,10 @@ object Dedup {
       // split components as if they were final.
       System.err.println(s"[dedup_clusters] NOT CONVERGED after $maxRounds " +
         s"rounds (label sum still decreasing); components may be split")
+    else
+      // one line per run, not per round: the operational signal (and the
+      // scale-probe's datum) is rounds-to-converge vs corpus size.
+      System.err.println(s"[dedup_clusters] converged in $round rounds")
     Tables.load(spark, dir, "documents").select($"doc_id")
       .join(labels.select($"id".as("doc_id"), $"lbl".as("canonical_id")),
         Seq("doc_id"), "left_outer")
@@ -444,7 +448,7 @@ object Dedup {
       s"""$shCte,
          |inv AS (SELECT DISTINCT doc_id, tok FROM (
          |  SELECT doc_id, unnest(list_transform(sh, s -> ${hash48Sql("s")})) AS tok FROM s)),
-         |keep AS (SELECT tok FROM inv GROUP BY tok HAVING COUNT(*) BETWEEN 2 AND 1000),
+         |keep AS (SELECT tok FROM inv GROUP BY tok HAVING COUNT(*) BETWEEN 2 AND 100),
          |pair AS (
          |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
          |  FROM inv x JOIN keep k ON k.tok = x.tok
@@ -483,7 +487,7 @@ object Dedup {
       s"""${shCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |inv AS (SELECT DISTINCT doc_id, tok FROM (
          |  SELECT doc_id, unnest(list_transform(sh, s -> ${hash48Sql("s")})) AS tok FROM s)),
-         |keep AS (SELECT tok FROM inv GROUP BY tok HAVING COUNT(*) BETWEEN 2 AND 1000),
+         |keep AS (SELECT tok FROM inv GROUP BY tok HAVING COUNT(*) BETWEEN 2 AND 100),
          |pair AS (
          |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
          |  FROM inv x JOIN keep k ON k.tok = x.tok
