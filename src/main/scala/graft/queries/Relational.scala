@@ -117,14 +117,19 @@ object Relational {
 
   // ---- A2 approx variant (SURVEY A2 note): HLL++ approx_count_distinct
   // — the spelling that replaces exact countDistinct at warehouse scale
-  // (no Expand, constant-size sketch, one pass). Approximate → no hash
-  // oracle; rows-only check. rsd 1% keeps it exact on small domains.
+  // (no Expand, one pass). Approximate → no hash oracle; rows-only check.
+  // The sketch is per (group, agg, partial-agg partition), so rsd is a
+  // MEMORY knob, not just an accuracy knob: rsd 1% → p=14 → 16 KB dense
+  // registers each (measured 2.8-3.2 s here, ~1.5 GB of partial sketches
+  // at a mere 1500 groups); the 5% default → 512 B, 32× smaller — the
+  // only survivable setting when groups number in the millions. Small
+  // per-group domains stay near-exact either way (linear-counting range).
   private val a2approx: Q = (spark, dir) => {
     import spark.implicits._
     Tables.load(spark, dir, "orders")
       .groupBy($"o_custkey")
-      .agg(approx_count_distinct($"o_orderkey", 0.01).as("frequence_approx"),
-           approx_count_distinct($"o_orderpriority", 0.01).as("n_priorities_approx"))
+      .agg(approx_count_distinct($"o_orderkey").as("frequence_approx"),
+           approx_count_distinct($"o_orderpriority").as("n_priorities_approx"))
   }
 
   // ---- A1 salted variant: the two-phase skew pattern. A hot key melts

@@ -64,6 +64,22 @@ object StreamingWindows {
         col("session_window.end").as("s_end"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup, state-BOUNDED: the at-least-once-ingest twin
+    * of batch `dedup_exact`/`distinct`. A plain streaming
+    * `dropDuplicates` keeps every key seen since the query started —
+    * state grows without bound at ingest scale, which is the difference
+    * between a pipeline that runs for a day and one that runs forever.
+    * `dropDuplicatesWithinWatermark` evicts a key's state once the
+    * watermark passes its event time + delay, so re-deliveries are
+    * dropped exactly as long as the source's redelivery window stays
+    * within `delay` (the contract brokers actually give you), and state
+    * size is ~(keys per delay window), constant at steady state. */
+  def dedupWithinWatermark(events: DataFrame,
+                           delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom-state example: per-user running event count + last-seen via
     * mapGroupsWithState. NoTimeout: with Trigger.AvailableNow a
     * processing-time timeout makes the stream run extra trigger cycles

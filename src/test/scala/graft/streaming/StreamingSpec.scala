@@ -97,6 +97,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 7L))
   }
 
+  test("watermark-bounded streaming dedup drops re-deliveries within the delay") {
+    import spark.implicits._
+    // same dup layout as above, but via the state-bounded production
+    // spelling: state per key is evicted once the watermark passes
+    // ts + delay, so the test's delay must cover the input's span
+    // (finite-replay parity, same caveat as the session-window test).
+    val dupDir = Files.createTempDirectory("stream-dup-wm").toString
+    val dup = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.5, "{}"),
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.5, "{}"),
+      (2L, ts("2024-01-01 10:20:00"), 1L, "click", 2.25, "{}"),
+      (2L, ts("2024-01-01 10:20:00"), 1L, "click", 2.25, "{}"),
+      (7L, ts("2024-01-01 13:00:00"), 3L, "view", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    dup.repartition(3).write.mode("overwrite").parquet(s"$dupDir/events.parquet")
+
+    val stream = StreamingWindows.dedupWithinWatermark(
+      StreamingWindows.readEventStream(spark, s"$dupDir/events.parquet"),
+      delay = "1 day")
+    val got = StreamingWindows.runToCompletion(spark, stream, "t_dedup_wm",
+        OutputMode.Append())
+      .select($"event_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 2L, 7L))
+  }
+
   test("mapGroupsWithState keeps per-user running counts") {
     import spark.implicits._
     val stream = StreamingWindows.readEventStream(spark, s"$dir/events.parquet")
