@@ -51,24 +51,56 @@ object Profile {
       // LSH sizing probe (VERDICT r3 #9): pinned r=4 vs autoBitsPerBand(n)
       // — candidate volume, bucket skew, and surviving pair count, the
       // empirical side of the "r must grow with n" design claim.
+      // Optional factor arg (`Profile <sf> lsh 10`) additionally builds a
+      // factor× corpus: copy k's vectors are CYCLICALLY SHIFTED by k·7
+      // components — within a copy every pairwise cosine is EXACTLY the
+      // 1× value (same permutation on both sides of every dot product),
+      // across copies dots decorrelate (~N(0, 1/64)), so near-dup
+      // structure replicates ×factor while per-bucket fanout behaves
+      // like a real corpus of n·factor vectors. The claim under test:
+      // pinned r keeps 2^r buckets, so pairs grow ~(factor)² — auto r
+      // grows with log n and holds per-bucket fanout (and thus pair
+      // volume per vector) constant.
       import graft.llm.{Dedup, Similarity}
-      val n = Tables.load(spark, dir, "embeddings").count()
-      val autoBits = Similarity.autoBitsPerBand(n)
-      println(s"[lsh-probe] corpus n=$n autoBitsPerBand=$autoBits " +
-        s"(pinned declared-query config r=${Similarity.LshBitsPerBand})")
-      for ((label, bits) <- Seq("pinned" -> Similarity.LshBitsPerBand,
-                                "auto"   -> autoBits)) {
-        val posts = Similarity.bandBuckets(spark, dir, Similarity.LshBands, bits)
-          .groupBy($"band", $"bucket").count()
-        val s = posts.agg(
-          count(lit(1)).as("buckets"),
-          max($"count").as("max_bucket"),
-          sum($"count" * ($"count" - 1) / 2).as("gen_pairs")).head
-        val survivors = Dedup.embeddingNearDupLsh(spark, dir,
-          bands = Similarity.LshBands, bitsPerBand = bits).count()
-        println(s"[lsh-probe] $label r=$bits: buckets=${s.get(0)} " +
-          s"maxBucket=${s.get(1)} generatedPairs=${s.get(2)} " +
-          s"survivingPairs(cos≥0.30)=$survivors")
+      val factor = if (args.length > 2) args(2).toInt else 1
+      val dims = 64
+      val dirs = ("1x", dir) +: (if (factor <= 1) Seq() else {
+        val d = "target/lshprobe-docs"
+        val base = Tables.load(spark, dir, "embeddings")
+        (0 until factor).map { i =>
+          if (i == 0) base
+          else {
+            val s = (i * 7) % dims
+            base.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"),
+              concat(slice($"embedding", s + 1, dims - s),
+                     slice($"embedding", 1, s)).as("embedding"),
+              $"label")
+          }
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+        Seq((s"${factor}x", d))
+      })
+      for ((lbl, d) <- dirs) {
+        val n = Tables.load(spark, d, "embeddings").count()
+        val autoBits = Similarity.autoBitsPerBand(n)
+        println(s"[lsh-probe] $lbl corpus n=$n autoBitsPerBand=$autoBits " +
+          s"(pinned declared-query config r=${Similarity.LshBitsPerBand})")
+        for ((label, bits) <- Seq("pinned" -> Similarity.LshBitsPerBand,
+                                  "auto"   -> autoBits)) {
+          val posts = Similarity.bandBuckets(spark, d, Similarity.LshBands, bits)
+            .groupBy($"band", $"bucket").count()
+          val s = posts.agg(
+            count(lit(1)).as("buckets"),
+            max($"count").as("max_bucket"),
+            sum($"count" * ($"count" - 1) / 2).as("gen_pairs")).head
+          val t0 = System.nanoTime()
+          val survivors = Dedup.embeddingNearDupLsh(spark, d,
+            bands = Similarity.LshBands, bitsPerBand = bits).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          println(f"[lsh-probe] $lbl $label r=$bits: buckets=${s.get(0)} " +
+            f"maxBucket=${s.get(1)} generatedPairs=${s.get(2)} " +
+            f"survivingPairs(cos≥0.30)=$survivors time=$t%.2f s")
+        }
       }
       spark.stop(); return
     }

@@ -285,16 +285,23 @@ object Dedup {
       .select($"id", least($"lbl", coalesce($"lbl2", $"lbl")).as("lbl"))
   }
 
-  def nearDupClusters(spark: SparkSession, dir: String,
-                      threshold: Double = 0.8,
-                      maxRounds: Int = 25,
-                      checkpointDir: Option[String] = None): DataFrame = {
-    import spark.implicits._
+  /** Connected components over an UNDIRECTED pair list (columns id_a,
+    * id_b) → (id, lbl) with lbl = min node id of the component. Public
+    * composition point: any pair source clusters the same way —
+    * [[ngramJaccard]] (the declared query), [[minhashDedup]],
+    * [[simhashDedup]], [[embeddingNearDupLsh]]. Only ids appearing in
+    * `pairs` are labeled; callers left-join and coalesce for singletons.
+    * Verified against a driver-side union-find on random graphs and a
+    * planted long chain (DedupSpec). */
+  def connectedComponents(pairs0: DataFrame,
+                          maxRounds: Int = 25,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    import pairs0.sparkSession.implicits._
     def mat(df: DataFrame): DataFrame = materialize(df, checkpointDir)
     // checkpoint the pairs BEFORE symmetrizing: a union of two selects
-    // over the raw plan would materialize the whole ~4 s pair-generation
+    // over the raw plan would materialize the whole pair-generation
     // subtree twice (ReuseExchange saves the shuffles, not the joins).
-    val pairs = mat(ngramJaccard(spark, dir, threshold).select($"id_a", $"id_b"))
+    val pairs = mat(pairs0.select($"id_a", $"id_b"))
     val edges = mat(pairs.select($"id_a".as("src"), $"id_b".as("dst"))
       .unionAll(pairs.select($"id_b".as("src"), $"id_a".as("dst"))))
     // Convergence WITHOUT a per-round join: min-propagation is monotone
@@ -333,6 +340,16 @@ object Dedup {
       // one line per run, not per round: the operational signal (and the
       // scale-probe's datum) is rounds-to-converge vs corpus size.
       System.err.println(s"[dedup_clusters] converged in $round rounds")
+    labels
+  }
+
+  def nearDupClusters(spark: SparkSession, dir: String,
+                      threshold: Double = 0.8,
+                      maxRounds: Int = 25,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val labels = connectedComponents(
+      ngramJaccard(spark, dir, threshold), maxRounds, checkpointDir)
     Tables.load(spark, dir, "documents").select($"doc_id")
       .join(labels.select($"id".as("doc_id"), $"lbl".as("canonical_id")),
         Seq("doc_id"), "left_outer")

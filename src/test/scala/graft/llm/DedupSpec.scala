@@ -153,6 +153,35 @@ class DedupSpec extends SparkSpec {
       s"chain not fully merged: ${canon.filter(_._2 != 0L)}")
   }
 
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    import spark.implicits._
+    // Property check of the distributed CC (incl. the monotone label-sum
+    // convergence test) against a trivially-correct sequential oracle,
+    // on seeded random graphs spanning sparse fragments to one giant
+    // component.
+    val rnd = new scala.util.Random(20260812L)
+    for (nEdges <- Seq(15, 60, 150)) {
+      val n = 60
+      val edges = Seq.fill(nEdges)((rnd.nextInt(n), rnd.nextInt(n)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b).toLong, math.max(a, b).toLong) }
+        .distinct
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val minOfComp = (0 until n).groupBy(find).map { case (r, ms) => r -> ms.min }
+      val inEdges = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = inEdges.map(i => i -> minOfComp(find(i.toInt)).toLong).toMap
+      assert(got == want, s"nEdges=$nEdges: CC disagrees with union-find")
+    }
+  }
+
   test("cluster law on driver testdata: near-dup pair endpoints share a canonical id") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.01"
