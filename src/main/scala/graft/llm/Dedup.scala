@@ -356,6 +356,24 @@ object Dedup {
       .select($"doc_id", coalesce($"canonical_id", $"doc_id").as("canonical_id"))
   }
 
+  /** [[connectedComponents]] over the SIMHASH pair graph — the declared
+    * demonstration that clustering composes with any pair source (the
+    * guaranteed-recall hamming graph here vs. ngram Jaccard in
+    * [[nearDupClusters]]); same canonical-id contract, same recursive-CTE
+    * oracle shape. */
+  def simhashClusters(spark: SparkSession, dir: String,
+                      maxHamming: Int = 3,
+                      maxRounds: Int = 25,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val labels = connectedComponents(
+      simhashDedup(spark, dir, maxHamming, checkpointDir), maxRounds, checkpointDir)
+    Tables.load(spark, dir, "documents").select($"doc_id")
+      .join(labels.select($"id".as("doc_id"), $"lbl".as("canonical_id")),
+        Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"canonical_id", $"doc_id").as("canonical_id"))
+  }
+
   /** Library variant: Spark ML HashingTF + MinHashLSH approxSimilarityJoin
     * (different hash family → no SQL oracle; rows-only check). Kept
     * alongside the native path to cover the `ml.feature` surface. */
@@ -436,6 +454,7 @@ object Dedup {
     "dedup_stop_shingles" -> ((s, d) => stopShingles(s, d, maxShingleDf = 3L)),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "dedup_clusters"      -> ((s, d) => nearDupClusters(s, d)),
+    "dedup_clusters_simhash" -> ((s, d) => simhashClusters(s, d)),
     "dedup_simhash"       -> ((s, d) => simhashDedup(s, d)),
     "dedup_minhash"       -> ((s, d) => minhashDedup(s, d)),
     "dedup_minhash_ml"    -> ((s, d) => minhashMl(s, d)),
@@ -447,6 +466,29 @@ object Dedup {
   private val shCte =
     s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
        |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t)""".stripMargin
+
+  /** The simhash pair statement, shared by the `dedup_simhash` oracle and
+    * (nested as a CTE body) the `dedup_clusters_simhash` oracle. */
+  private val simhashPairsSql: String = {
+    val width = TextOps.SimHashBits / 4
+    val mask = (1L << width) - 1
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, (simhash >> ${b * width}) & $mask AS key FROM sim"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+       |h AS (SELECT doc_id, list_transform(w, t2 -> ${hash48Sql("t2")}) AS hs FROM t),
+       |sim AS (SELECT doc_id, ${TextOps.simhashSql} AS simhash FROM h),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+       |SELECT c.id_a, c.id_b,
+       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM cand c JOIN sim a ON a.doc_id = c.id_a JOIN sim b ON b.doc_id = c.id_b
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -477,26 +519,24 @@ object Dedup {
          |FROM pair JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
 
-    "dedup_simhash" -> {
-      val width = TextOps.SimHashBits / 4
-      val mask = (1L << width) - 1
-      val bandSelects = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS band, (simhash >> ${b * width}) & $mask AS key FROM sim"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
-         |h AS (SELECT doc_id, list_transform(w, t2 -> ${hash48Sql("t2")}) AS hs FROM t),
-         |sim AS (SELECT doc_id, ${TextOps.simhashSql} AS simhash FROM h),
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-         |SELECT c.id_a, c.id_b,
-         |       bit_count(xor(a.simhash, b.simhash)) AS hamming
-         |FROM cand c JOIN sim a ON a.doc_id = c.id_a JOIN sim b ON b.doc_id = c.id_b
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
-    },
+    "dedup_simhash" -> simhashPairsSql,
+
+    "dedup_clusters_simhash" ->
+      // same transitive-closure shape as dedup_clusters, over the simhash
+      // pair graph (the whole pairs statement nests as a CTE body)
+      s"""WITH RECURSIVE nd AS ($simhashPairsSql),
+         |edges AS (
+         |  SELECT id_a AS s2, id_b AS d2 FROM nd
+         |  UNION SELECT id_b, id_a FROM nd),
+         |reach(s2, d2) AS (
+         |  SELECT s2, d2 FROM edges
+         |  UNION
+         |  SELECT r.s2, e.d2 FROM reach r JOIN edges e ON r.d2 = e.s2),
+         |canon AS (
+         |  SELECT s2 AS doc_id, LEAST(s2, MIN(d2)) AS canonical_id
+         |  FROM reach GROUP BY s2)
+         |SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+         |FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id""".stripMargin,
 
     "dedup_clusters" -> {
       // transitive closure of the ngram near-dup graph via recursive CTE;
