@@ -24,6 +24,7 @@ object SparkEntry {
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.EventWindows.queries ++
+      graft.llm.TemporalJoins.queries ++
       graft.encode.FeatIndex.queries ++
       graft.io.Sinks.queries ++
       graft.llm.Multimodal.queries
@@ -36,6 +37,7 @@ object SparkEntry {
       graft.llm.Dedup.oracles ++
       graft.llm.Similarity.oracles ++
       graft.llm.EventWindows.oracles ++
+      graft.llm.TemporalJoins.oracles ++
       graft.encode.FeatIndex.oracles ++
       graft.io.Sinks.oracles ++
       graft.llm.Multimodal.oracles

@@ -8,6 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.util.Cols._
 
 /** Remaining source/sink operators (SURVEY §2.1/2.2): S2 CSV scan,
   * K1 saveAsTable, K2 model persist, K3 JDBC, K7 text dump, F11 sigmoid.
@@ -119,6 +120,29 @@ object Sinks {
     spark.read.text(s"$tmp/preds")
   }
 
+  /** J4: co-bucketed fact join — the production layout for the biggest
+    * join at warehouse scale. Both fact tables are written
+    * `bucketBy(8, orderkey).sortBy(orderkey)` (K1's saveAsTable path),
+    * then joined through the catalog: with matching bucket counts the
+    * join reads co-located buckets and plans ZERO exchanges on its
+    * inputs (asserted in BucketingSpec) — at 100 TB this deletes the
+    * two largest shuffles of the pipeline. The oracle checks the
+    * round-trip end-to-end: bucketed write → catalog read → join → agg
+    * must equal the plain parquet join. */
+  private val j4: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders").write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("j4_orders_bkt")
+    Tables.load(spark, dir, "lineitem").write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("j4_lineitem_bkt")
+    spark.table("j4_orders_bkt")
+      .join(spark.table("j4_lineitem_bkt"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+  }
+
   /** F11 standalone: sigmoid as a native expression over a column. */
   private val f11: Q = (spark, dir) => {
     import spark.implicits._
@@ -134,6 +158,7 @@ object Sinks {
     "k2_model_persist" -> k2,
     "k3_jdbc_roundtrip"-> k3,
     "k4_kv_rows"       -> k4,
+    "j4_bucketed_join" -> j4,
     "k7_text_dump"     -> k7,
     "f11_sigmoid"      -> f11)
 
@@ -157,6 +182,11 @@ object Sinks {
         |         list_sort(list(CAST(o_orderkey AS VARCHAR))), ',') || ']'
         |         AS recommend
         |FROM orders GROUP BY o_custkey""".stripMargin,
+    "j4_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "k7_text_dump" ->
       """SELECT CAST(o_orderkey AS VARCHAR) || ',' ||
         |       printf('%.9f', 1.0 / (1.0 + exp(-CAST((o_orderkey % 13) - 6 AS DOUBLE))))

@@ -1,0 +1,120 @@
+package graft.llm
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** TemporalJoins: planted-scenario semantics + equivalence of the
+  * scale-shaped spellings against naive reference spellings on testdata.
+  */
+class TemporalJoinsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asofJoin: picks latest prior, strict excludes equal ts, no-match is null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // two priors → latest (09:30)
+      (2L, 10L, ts("2024-01-01 09:10:00")), // one prior  → 09:00
+      (3L, 10L, ts("2024-01-01 09:00:00")), // equal-ts right only → strict: null
+      (4L, 20L, ts("2024-01-01 12:00:00")), // other key, no right rows → null
+      (5L, 30L, ts("2024-01-01 08:00:00"))  // right exists but only AFTER → null
+    ).toDF("p_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, ts("2024-01-01 09:00:00"), 1.0),
+      (102L, 10L, ts("2024-01-01 09:30:00"), 2.0),
+      (103L, 30L, ts("2024-01-01 09:00:00"), 3.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+
+    val out = TemporalJoins.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+        rightPayload = Seq("event_id", "value"))
+      .select($"p_id", $"asof_event_id", $"asof_value")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, Some(102L), Some(2.0)),
+      (2L, Some(101L), Some(1.0)),
+      (3L, None, None),
+      (4L, None, None),
+      (5L, None, None)))
+
+    // inclusive mode: the equal-ts right row becomes visible
+    val incl = TemporalJoins.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+        rightPayload = Seq("event_id"), strict = false)
+      .select($"p_id", $"asof_event_id")
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(incl.find(_._1 == 3L).get._2 == Some(101L))
+    assert(incl.find(_._1 == 5L).get._2.isEmpty) // later right still invisible
+  }
+
+  test("asofJoin matches the naive pair-max spelling on testdata events") {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, sf, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+    val v = ev.filter($"event_type" === "view")
+      .select($"event_id".as("v_id"), $"user_id".as("v_user"), $"ts".as("v_ts"))
+
+    val fast = TemporalJoins.asofJoin(
+        p, v.withColumnRenamed("v_user", "user_id").withColumnRenamed("v_ts", "ts"),
+        Seq("user_id"), "p_ts", "ts", rightPayload = Seq("v_id"))
+      .select($"p_id", $"asof_v_id".as("v_id"))
+
+    // naive: expand all prior pairs, keep max v_ts (3 shuffles, pair blowup
+    // — the spelling asofJoin exists to avoid, used here as the oracle)
+    val naive = p.join(v, $"user_id" === $"v_user" && $"v_ts" < $"p_ts", "left")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"p_id").orderBy($"v_ts".desc_nulls_last)))
+      .filter($"rk" === 1)
+      .select($"p_id", $"v_id")
+
+    val a = fast.as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    val b = naive.as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("boundedRangeJoin: boundary inclusivity and cross-bucket matches") {
+    import spark.implicits._
+    // lag 60 s; rights planted exactly at the boundaries and across the
+    // minute-bucket edge that the bin trick must bridge.
+    val left = Seq((1L, 7L, ts("2024-01-01 10:01:30"))).toDF("p_id", "user_id", "ts")
+    val right = Seq(
+      (201L, 7L, ts("2024-01-01 10:00:30")), // exactly ts - lag → included
+      (202L, 7L, ts("2024-01-01 10:00:29")), // just outside → excluded
+      (203L, 7L, ts("2024-01-01 10:00:59")), // previous bucket, inside → included
+      (204L, 7L, ts("2024-01-01 10:01:29")), // same bucket, inside → included
+      (205L, 7L, ts("2024-01-01 10:01:30")), // equal ts → excluded (strict <)
+      (206L, 8L, ts("2024-01-01 10:01:00"))  // other key → excluded
+    ).toDF("event_id", "user_id", "ts")
+    val got = TemporalJoins.boundedRangeJoin(left, right, Seq("user_id"),
+        "ts", "ts", lagSeconds = 60)
+      .select($"r_event_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(201L, 203L, 204L))
+  }
+
+  test("boundedRangeJoin matches the naive range-predicate join on testdata") {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, sf, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts")
+    val lag = 12L * 3600
+
+    val fast = TemporalJoins.boundedRangeJoin(p, v, Seq("user_id"), "ts", "ts", lag)
+      .select($"p_id", $"r_event_id".as("v_id"))
+    val naive = p.as("p").join(v.as("v"),
+        $"p.user_id" === $"v.user_id" &&
+          $"v.ts" >= $"p.ts" - expr(s"INTERVAL $lag seconds") &&
+          $"v.ts" < $"p.ts")
+      .select($"p_id", $"v.event_id".as("v_id"))
+
+    val a = fast.as[(Long, Long)].collect().sorted.toSeq
+    val b = naive.as[(Long, Long)].collect().sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+}

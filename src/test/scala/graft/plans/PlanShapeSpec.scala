@@ -47,7 +47,12 @@ class PlanShapeSpec extends SparkSpec {
     // band buckets → candidates → vector attach; observed 4
     ("dedup_embedding_lsh", 6, 0),
     // probe side must stay broadcast (observed 3 BHJ); observed 5 exch.
-    ("sim_topk_lsh", 7, 1))
+    ("sim_topk_lsh", 7, 1),
+    // union+window as-of: ONE key shuffle total, no pair expansion
+    ("ev_asof_join", 2, 0),
+    // binned interval join: 2 side shuffles max (no per-key quadratic
+    // nested loop — the cartesian/BNLJ zero-checks are the real guard)
+    ("ev_range_join", 3, 0))
 
   for ((name, maxExchanges, minBroadcast) <- budgets) {
     test(s"$name plan: Expand-free, cartesian-free, ≤$maxExchanges exchanges" +
