@@ -105,6 +105,84 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "temporal") {
+      // Temporal-join scale probe: the adversarial regime for per-key
+      // temporal joins is DENSITY growth — same keys, factor× history
+      // per key (more events per user over the same span). A bare range
+      // predicate plans as equi-join-on-key + filter, so its candidate
+      // volume is Σᵤ p_u·v_u — quadratic in per-key density — while the
+      // binned spelling's candidates are capped at ±1 lag window per
+      // left row (linear in density for fixed lag), and the union+window
+      // as-of never forms pairs at all (sort-dominated, ~linear).
+      // Build: factor copies of events, SAME user_ids, event_id remapped,
+      // ts shifted by i·1327 ms (breaks exact-ts ties, keeps the span).
+      import graft.llm.TemporalJoins
+      val factor = if (args.length > 2) args(2).toInt else 10
+      val lagSec = 12L * 3600
+      val base = Tables.load(spark, dir, "events")
+      val dirs = ("1x", dir) +: (if (factor <= 1) Seq() else {
+        val d = "target/temporalprobe"
+        (0 until factor).map { i =>
+          if (i == 0) base
+          else base.select(($"event_id" + lit(i * 10000000L)).as("event_id"),
+            ($"ts" + expr(s"INTERVAL ${i * 1327} milliseconds")).as("ts"),
+            $"user_id", $"event_type", $"value", $"props")
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$d/events.parquet")
+        Seq((s"${factor}x-dense", d))
+      })
+      def timed[A](body: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val a = body
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      for ((lbl, d) <- dirs) {
+        val ev = Tables.load(spark, d, "events")
+        val p = ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("p_id"), $"user_id", $"ts")
+        val v = ev.filter($"event_type" === "view")
+          .select($"event_id", $"user_id", $"ts", $"value")
+        // candidate volume each spelling materializes before its filter
+        val perUser = p.groupBy($"user_id").agg(count(lit(1)).as("np"))
+          .join(v.groupBy($"user_id").agg(count(lit(1)).as("nv")), Seq("user_id"))
+        val naiveCand = perUser.agg(sum($"np" * $"nv")).head.getLong(0)
+        val lagUs = lagSec * 1000000L
+        val binnedCand = p.withColumn("b", floor(unix_micros($"ts") / lagUs))
+          .groupBy($"user_id", $"b").agg(count(lit(1)).as("np"))
+          .join(v.withColumn("b0", floor(unix_micros($"ts") / lagUs))
+              .withColumn("b", explode(array($"b0", $"b0" + 1)))
+              .groupBy($"user_id", $"b").agg(count(lit(1)).as("nv")),
+            Seq("user_id", "b"))
+          .agg(sum($"np" * $"nv")).head.getLong(0)
+        println(s"[temporal-probe] $lbl candidates: naiveRange=$naiveCand " +
+          s"binnedRange=$binnedCand (x${naiveCand / math.max(binnedCand, 1)} reduction)")
+
+        val (nBin, tBin) = timed(TemporalJoins.boundedRangeJoin(
+          p, v, Seq("user_id"), "ts", "ts", lagSec).count())
+        val (nNaive, tNaive) = timed(p.as("p").join(v.as("v"),
+            $"p.user_id" === $"v.user_id" &&
+              $"v.ts" >= $"p.ts" - expr(s"INTERVAL $lagSec seconds") &&
+              $"v.ts" < $"p.ts").count())
+        println(f"[temporal-probe] $lbl rangeJoin: binned=$tBin%.2f s " +
+          f"naive=$tNaive%.2f s (pairs=$nBin%d, equal=${nBin == nNaive})")
+
+        val (nAsof, tAsof) = timed(TemporalJoins.asofJoin(p, v,
+          Seq("user_id"), "ts", "ts", rightPayload = Seq("event_id")).count())
+        val (nAsofN, tAsofN) = timed {
+          import org.apache.spark.sql.expressions.Window
+          p.join(v.select($"event_id".as("v_id"), $"user_id", $"ts".as("v_ts")),
+              Seq("user_id"), "left")
+            .filter($"v_ts".isNull || $"v_ts" < $"ts")
+            .withColumn("rk", row_number().over(
+              Window.partitionBy($"p_id").orderBy($"v_ts".desc_nulls_last)))
+            .filter($"rk" === 1).count()
+        }
+        println(f"[temporal-probe] $lbl asof: unionWindow=$tAsof%.2f s " +
+          f"naivePairMax=$tAsofN%.2f s (rows=$nAsof%d/$nAsofN%d)")
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "cc") {
       // Dedup-family scale probe (VERDICT r4 #6): does the posting-list +
       // pointer-jumping design hold at 10× the bench corpus? Build a
