@@ -120,6 +120,24 @@ object Sinks {
     spark.read.text(s"$tmp/preds")
   }
 
+  /** S9 (extension): Hive-style partitioned layout round-trip — write
+    * orders partitioned by status, read back through a partition filter.
+    * The scan must PRUNE: only the o_orderstatus=F directory is listed
+    * and read (PartitionFilters in the scan node, asserted in
+    * BucketingSpec) — at 100 TB this is the difference between scanning
+    * one partition and scanning the warehouse. The oracle checks the
+    * round-trip: partition values are carried by directory name, not
+    * data pages, and must survive bit-identically. */
+  private val s9: Q = (spark, dir) => {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-part").toString
+    Tables.load(spark, dir, "orders").write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(s"$tmp/orders_by_status")
+    spark.read.parquet(s"$tmp/orders_by_status")
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+  }
+
   /** J4: co-bucketed fact join — the production layout for the biggest
     * join at warehouse scale. Both fact tables are written
     * `bucketBy(8, orderkey).sortBy(orderkey)` (K1's saveAsTable path),
@@ -159,6 +177,7 @@ object Sinks {
     "k3_jdbc_roundtrip"-> k3,
     "k4_kv_rows"       -> k4,
     "j4_bucketed_join" -> j4,
+    "s9_partition_pruning" -> s9,
     "k7_text_dump"     -> k7,
     "f11_sigmoid"      -> f11)
 
@@ -187,6 +206,9 @@ object Sinks {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "s9_partition_pruning" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     "k7_text_dump" ->
       """SELECT CAST(o_orderkey AS VARCHAR) || ',' ||
         |       printf('%.9f', 1.0 / (1.0 + exp(-CAST((o_orderkey % 13) - 6 AS DOUBLE))))

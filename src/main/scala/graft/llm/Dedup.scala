@@ -374,6 +374,25 @@ object Dedup {
       .select($"doc_id", coalesce($"canonical_id", $"doc_id").as("canonical_id"))
   }
 
+  /** [[connectedComponents]] over the EMBEDDING-LSH pair graph — third
+    * leg of the composition matrix (ngram Jaccard, simhash, embedding):
+    * banded sign-LSH candidates verified at cosine ≥ threshold feed the
+    * same pointer-jumping CC, canonical id per semantic near-dup group.
+    * Same recursive-CTE oracle shape, nesting the fully-oracled
+    * `dedup_embedding_lsh` pair statement. */
+  def embeddingClusters(spark: SparkSession, dir: String,
+                        threshold: Double = 0.30,
+                        maxRounds: Int = 25,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val labels = connectedComponents(
+      embeddingNearDupLsh(spark, dir, threshold), maxRounds, checkpointDir)
+    Tables.load(spark, dir, "embeddings").select($"vec_id")
+      .join(labels.select($"id".as("vec_id"), $"lbl".as("canonical_id")),
+        Seq("vec_id"), "left_outer")
+      .select($"vec_id", coalesce($"canonical_id", $"vec_id").as("canonical_id"))
+  }
+
   /** Library variant: Spark ML HashingTF + MinHashLSH approxSimilarityJoin
     * (different hash family → no SQL oracle; rows-only check). Kept
     * alongside the native path to cover the `ml.feature` surface. */
@@ -459,7 +478,8 @@ object Dedup {
     "dedup_minhash"       -> ((s, d) => minhashDedup(s, d)),
     "dedup_minhash_ml"    -> ((s, d) => minhashMl(s, d)),
     "dedup_embedding"     -> ((s, d) => embeddingNearDup(s, d)),
-    "dedup_embedding_lsh" -> ((s, d) => embeddingNearDupLsh(s, d)))
+    "dedup_embedding_lsh" -> ((s, d) => embeddingNearDupLsh(s, d)),
+    "dedup_clusters_embedding" -> ((s, d) => embeddingClusters(s, d)))
 
   // ---- DuckDB oracles ----------------------------------------------
 
@@ -488,6 +508,28 @@ object Dedup {
        |       bit_count(xor(a.simhash, b.simhash)) AS hamming
        |FROM cand c JOIN sim a ON a.doc_id = c.id_a JOIN sim b ON b.doc_id = c.id_b
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+  }
+
+  /** The embedding-LSH pair statement, shared by the
+    * `dedup_embedding_lsh` oracle and (nested as a CTE body) the
+    * `dedup_clusters_embedding` oracle. */
+  private val embeddingLshPairsSql: String = {
+    val bandJoins = (0 until Similarity.LshBands).map { b =>
+      s"""SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM eb x JOIN eb y ON x.b$b = y.b$b AND x.vec_id < y.vec_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |eb AS (${Similarity.bandedCteSql(Similarity.LshBands)}),
+       |cand AS (
+       |  $bandJoins)
+       |SELECT c.id_a, c.id_b,
+       |  list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
+       |    (acc, x) -> acc + x) AS cosine
+       |FROM cand c JOIN e0 a ON a.vec_id = c.id_a JOIN e0 b ON b.vec_id = c.id_b
+       |WHERE list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
+       |    (acc, x) -> acc + x) >= 0.30""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -594,24 +636,24 @@ object Dedup {
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin
     },
 
-    "dedup_embedding_lsh" -> {
-      val bandJoins = (0 until Similarity.LshBands).map { b =>
-        s"""SELECT x.vec_id AS id_a, y.vec_id AS id_b
-           |  FROM eb x JOIN eb y ON x.b$b = y.b$b AND x.vec_id < y.vec_id""".stripMargin
-      }.mkString("\n  UNION\n")
-      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |eb AS (${Similarity.bandedCteSql(Similarity.LshBands)}),
-         |cand AS (
-         |  $bandJoins)
-         |SELECT c.id_a, c.id_b,
-         |  list_reduce(list_prepend(0.0::DOUBLE,
-         |    list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
-         |    (acc, x) -> acc + x) AS cosine
-         |FROM cand c JOIN e0 a ON a.vec_id = c.id_a JOIN e0 b ON b.vec_id = c.id_b
-         |WHERE list_reduce(list_prepend(0.0::DOUBLE,
-         |    list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
-         |    (acc, x) -> acc + x) >= 0.30""".stripMargin
-    },
+    "dedup_embedding_lsh" -> embeddingLshPairsSql,
+
+    "dedup_clusters_embedding" ->
+      // same transitive-closure shape as the other two cluster oracles,
+      // over the embedding-LSH pair graph; canonical per vec_id
+      s"""WITH RECURSIVE nd AS ($embeddingLshPairsSql),
+         |edges AS (
+         |  SELECT id_a AS s2, id_b AS d2 FROM nd
+         |  UNION SELECT id_b, id_a FROM nd),
+         |reach(s2, d2) AS (
+         |  SELECT s2, d2 FROM edges
+         |  UNION
+         |  SELECT r.s2, e.d2 FROM reach r JOIN edges e ON r.d2 = e.s2),
+         |canon AS (
+         |  SELECT s2 AS vec_id, LEAST(s2, MIN(d2)) AS canonical_id
+         |  FROM reach GROUP BY s2)
+         |SELECT d.vec_id, COALESCE(c.canonical_id, d.vec_id) AS canonical_id
+         |FROM embeddings d LEFT JOIN canon c ON c.vec_id = d.vec_id""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (

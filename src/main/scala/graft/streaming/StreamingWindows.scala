@@ -38,6 +38,18 @@ object StreamingWindows {
       .option("maxFilesPerTrigger", "1")
       .parquet(path)
 
+  /** Stream-static enrichment join: attach a dimension row to every
+    * stream event — the standard streaming-ingest enrichment pattern
+    * (stream fact ⋈ slowly-changing dim). The static side is re-planned
+    * per micro-batch (so a refreshed dim snapshot is picked up) and
+    * broadcast: the stream side never shuffles and the join keeps ZERO
+    * streaming state — append mode, no watermark needed. Left-outer so
+    * unknown keys pass through (nulls), mirroring j3's anti-label
+    * semantics rather than silently dropping events. */
+  def enrich(events: DataFrame, dim: DataFrame,
+             key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
   /** Tumbling 1h × event_type (same shape as batch ev_tumbling). */
   def tumbling(events: DataFrame): DataFrame =
     events

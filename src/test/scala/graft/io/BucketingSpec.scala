@@ -45,4 +45,21 @@ class BucketingSpec extends SparkSpec {
     val b = plain.orderBy($"o_orderpriority").as[(String, Double)].collect().toSeq
     assert(a == b)
   }
+
+  test("partitioned layout prunes: the status filter becomes a PartitionFilter") {
+    // s9_partition_pruning's scale claim, pinned on the physical plan:
+    // the o_orderstatus predicate must land in PartitionFilters (directory
+    // pruning — only the matching partition is listed/read), NOT in
+    // PushedFilters/data filters over a full scan.
+    val df = graft.SparkEntry.queries("s9_partition_pruning")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters"))
+      .getOrElse(fail(s"no PartitionFilters in scan node:\n$plan"))
+    assert(scanLine.contains("o_orderstatus"),
+      s"status predicate did not become a partition filter:\n$scanLine")
+    assert(!scanLine.matches(".*PartitionFilters: \\[\\].*"),
+      s"PartitionFilters is empty — scan reads every partition:\n$scanLine")
+  }
 }

@@ -122,6 +122,23 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 7L))
   }
 
+  test("stream-static enrichment join equals the batch join, unknown keys kept") {
+    import spark.implicits._
+    // user 2 has no dim row → must pass through with null segment
+    val dim = Seq((1L, "gold")).toDF("user_id", "segment")
+    val stream = StreamingWindows.readEventStream(spark, s"$dir/events.parquet")
+    val got = StreamingWindows.runToCompletion(spark,
+        StreamingWindows.enrich(stream, dim), "t_enrich", OutputMode.Append())
+      .select($"event_id", $"segment")
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .join(dim, Seq("user_id"), "left_outer")
+      .select($"event_id", $"segment")
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty)
+    assert(got.exists(_._2.isEmpty) && got.exists(_._2 == Some("gold")))
+  }
+
   test("mapGroupsWithState keeps per-user running counts") {
     import spark.implicits._
     val stream = StreamingWindows.readEventStream(spark, s"$dir/events.parquet")
