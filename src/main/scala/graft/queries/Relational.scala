@@ -274,6 +274,31 @@ object Relational {
            datediff(end, max(to_date($"o_orderdate"))).as("recent"))
   }
 
+  // ---- A9 (extension): pivot — wide conditional aggregation. Spark's
+  // groupBy().pivot(values) compiles to ONE pass of conditional
+  // aggregates (one shuffle, partial agg applies); the pivot values are
+  // pinned explicitly so the plan needs no driver-side distinct pre-scan
+  // (at 100 TB the implicit-values form costs an extra full scan).
+  private val a9: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum($"o_totalprice"))
+      .select($"o_orderpriority", $"F".as("total_f"), $"O".as("total_o"),
+        $"P".as("total_p"))
+  }
+
+  // ---- A10 (extension): rollup — hierarchical subtotals + grand total
+  // in one pass. The Expand (×3 for two levels) is inherent to grouping
+  // sets in any engine; partial aggregation still applies per set.
+  private val a10: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_scan_dates"      -> s1,
     "p_column_ops"       -> pOps,
@@ -289,6 +314,8 @@ object Relational {
     "a5_distinct"        -> a5,
     "a6_having"          -> a6,
     "a8_percentiles"     -> a8,
+    "a9_pivot"           -> a9,
+    "a10_rollup"         -> a10,
     "w14_window_rfm"     -> w14,
     "o1_orderby_rand"    -> o1,
     "o1_rand_unseeded"   -> o1Unseeded,
@@ -400,6 +427,22 @@ object Relational {
         |       round(qs[1], 4) AS p25, round(qs[2], 4) AS p50,
         |       round(qs[3], 4) AS p75, round(qs[4], 4) AS p95
         |FROM q""".stripMargin,
+
+    "a9_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "a10_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
 
     "o1_orderby_rand" ->
       "SELECT n_nationkey, n_name FROM nation",
