@@ -299,6 +299,66 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
   }
 
+  // ---- W15 (extension): grouped top-k via row_number ≤ k. Catalyst
+  // plans this as WindowGroupLimit (asserted in PlanShapeSpec): each map
+  // task keeps only its local top-k per group BEFORE the shuffle, so the
+  // exchange carries O(groups × k) rows instead of the full table — the
+  // difference between sorting the warehouse and sorting k rows per
+  // group. Tie-broken on orderkey for determinism.
+  private val w15: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderstatus", $"o_orderkey", $"o_totalprice")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+  }
+
+  // ---- F12 (extension): semi-structured extraction from the events
+  // JSON props column, both spellings: from_json with an explicit schema
+  // (ONE parse per row, codegen'd struct access — the scale path) and
+  // get_json_object (ad-hoc path re-parses per extraction; fine for one
+  // field, quadratic in fields extracted). Values asserted equal so the
+  // two paths can never drift.
+  private val f12: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select($"event_id", $"event_type",
+        from_json($"props",
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"),
+        get_json_object($"props", "$.k").cast("long").as("k_adhoc"))
+      .filter($"k" === $"k_adhoc" && $"k" >= 50)
+  }
+
+  // ---- P2 (extension): set operations. INTERSECT/EXCEPT plan as
+  // aggregate + semi/anti joins — one shuffle each side, partial agg
+  // applies; tagged and unioned so one oracle covers both.
+  private val p2: Q = (spark, dir) => {
+    import spark.implicits._
+    val a = Tables.load(spark, dir, "orders").select($"o_custkey".as("id"))
+    val b = Tables.load(spark, dir, "events").select($"user_id".as("id"))
+    a.intersect(b).withColumn("op", lit("intersect"))
+      .unionAll(a.except(b).withColumn("op", lit("except")))
+  }
+
+  // ---- J5 (extension): semi/anti joins as first-class spellings (j3
+  // builds the anti semantics via left join + null-fill for reference
+  // fidelity; these are the native forms — the probe side never
+  // duplicates rows and only the key column shuffles).
+  private val j5: Q = (spark, dir) => {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", lit("semi").as("op"))
+      .unionAll(
+        c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", lit("anti").as("op")))
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_scan_dates"      -> s1,
     "p_column_ops"       -> pOps,
@@ -316,6 +376,10 @@ object Relational {
     "a8_percentiles"     -> a8,
     "a9_pivot"           -> a9,
     "a10_rollup"         -> a10,
+    "w15_topk_group"     -> w15,
+    "f12_json_extract"   -> f12,
+    "p2_set_ops"         -> p2,
+    "j5_semi_anti"       -> j5,
     "w14_window_rfm"     -> w14,
     "o1_orderby_rand"    -> o1,
     "o1_rand_unseeded"   -> o1Unseeded,
@@ -443,6 +507,36 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "p2_set_ops" ->
+      """SELECT id, 'intersect' AS op FROM
+        |  (SELECT o_custkey AS id FROM orders
+        |   INTERSECT SELECT user_id FROM events)
+        |UNION ALL
+        |SELECT id, 'except' AS op FROM
+        |  (SELECT o_custkey AS id FROM orders
+        |   EXCEPT SELECT user_id FROM events)""".stripMargin,
+
+    "j5_semi_anti" ->
+      """SELECT c_custkey, 'semi' AS op FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 'anti' AS op FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+
+    "f12_json_extract" ->
+      """SELECT event_id, event_type,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_adhoc
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""".stripMargin,
+
+    "w15_topk_group" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
 
     "o1_orderby_rand" ->
       "SELECT n_nationkey, n_name FROM nation",

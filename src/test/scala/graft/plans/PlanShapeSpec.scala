@@ -75,6 +75,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("w15_topk_group plans a WindowGroupLimit: map-side top-k before the shuffle") {
+    // the rank-pushdown win: each map task keeps its local top-k per
+    // group pre-shuffle, so the exchange carries O(groups × k) rows —
+    // if this node disappears the query sorts the full table instead.
+    val p = planOf("w15_topk_group")
+    assert(count(p, "WindowGroupLimit") >= 1,
+      s"w15_topk_group lost its WindowGroupLimit (rank pushdown):\n$p")
+    assert(count(p, "Exchange") <= 2, s"observed 1 exchange; plan now:\n$p")
+  }
+
   test("w14_window_rfm is rewritten to ONE aggregate: no Window node, one exchange") {
     // the WindowDistinctToAggregate rule's win, visible in the physical
     // plan: the window+distinct idiom costs a window sort + a distinct
