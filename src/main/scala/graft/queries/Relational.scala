@@ -359,6 +359,25 @@ object Relational {
           .select($"c_custkey", lit("anti").as("op")))
   }
 
+  // ---- A11 (extension): statistical aggregates — corr/covar/stddev per
+  // group, one pass, partial aggregation applies. Results are rounded to
+  // 6 decimals on BOTH engines: the moment sums are order-dependent in
+  // IEEE double (distributed merge order differs from DuckDB's serial
+  // scan), so bit-identity holds only after rounding — same treatment as
+  // a8's percentiles.
+  private val a11: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag",
+        $"l_quantity".cast("double").as("x"),
+        $"l_extendedprice".cast("double").as("y"))
+      .groupBy($"l_returnflag")
+      .agg(
+        bround(corr($"x", $"y"), 6).as("corr_qp"),
+        bround(covar_samp($"x", $"y"), 6).as("covar_qp"),
+        bround(stddev_samp($"x"), 6).as("sd_qty"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_scan_dates"      -> s1,
     "p_column_ops"       -> pOps,
@@ -376,6 +395,7 @@ object Relational {
     "a8_percentiles"     -> a8,
     "a9_pivot"           -> a9,
     "a10_rollup"         -> a10,
+    "a11_stats_agg"      -> a11,
     "w15_topk_group"     -> w15,
     "f12_json_extract"   -> f12,
     "p2_set_ops"         -> p2,
@@ -530,6 +550,15 @@ object Relational {
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_adhoc
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""".stripMargin,
+
+    "a11_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(corr(CAST(l_quantity AS DOUBLE),
+        |             CAST(l_extendedprice AS DOUBLE)), 6) AS corr_qp,
+        |  round(covar_samp(CAST(l_quantity AS DOUBLE),
+        |                   CAST(l_extendedprice AS DOUBLE)), 6) AS covar_qp,
+        |  round(stddev_samp(CAST(l_quantity AS DOUBLE)), 6) AS sd_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "w15_topk_group" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice, rk FROM (
