@@ -374,6 +374,52 @@ object Dedup {
       .select($"doc_id", coalesce($"canonical_id", $"doc_id").as("canonical_id"))
   }
 
+  /** Incremental near-dup: dedupe a NEW ingest batch against itself AND
+    * the existing corpus WITHOUT re-pairing the corpus — the production
+    * shape of dedup at 100 TB, where the corpus is static and a daily
+    * batch arrives. Per posting list the candidate volume is
+    * |old|·|new| + C(|new|, 2) instead of C(df, 2): for a 1% daily batch
+    * that is ~50× fewer pairs under the same df cap, and corpus-only
+    * pairs (the quadratic bulk) are never generated at all. `isNew` is
+    * any deterministic doc predicate (ingest-date partition, id range);
+    * the declared query uses doc_id % 10 = 0 so the batch fraction is
+    * scale-invariant across test sfs. */
+  def ngramJaccardIncremental(spark: SparkSession, dir: String,
+                              isNew: Column => Column,
+                              threshold: Double = 0.8,
+                              maxShingleDf: Long = 100L): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(spark, dir)
+    // df (the cap) stays corpus-wide — the skew guard must see the true
+    // list size, not the batch's slice of it.
+    val posts = sh.select($"doc_id", explode($"sh").as("tok0"))
+      .select($"doc_id", hash48($"tok0").as("tok"))
+      .groupBy($"tok").agg(sort_array(array_distinct(collect_list($"doc_id"))).as("ids"))
+      .filter(size($"ids").between(2, maxShingleDf))
+      .withColumn("news", filter($"ids", x => isNew(x)))
+      .filter(size($"news") >= 1)
+      .withColumn("olds", filter($"ids", x => !isNew(x)))
+    // old×new cross pairs (ordered via least/greatest — the batch is not
+    // an id range in general) + within-batch ordered pairs
+    val crossPairs = posts.filter(size($"olds") >= 1)
+      .select(explode(flatten(transform($"olds", o =>
+        transform($"news", n =>
+          struct(least(o, n).as("id_a"), greatest(o, n).as("id_b")))))).as("p"))
+    val newPairs = posts.filter(size($"news") >= 2)
+      .select(explode(orderedPairs($"news")).as("p"))
+    val pairs = crossPairs.unionAll(newPairs)
+      .groupBy($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select($"doc_id", size($"sh").as("n"))
+    pairs
+      .join(sizes.select($"doc_id".as("id_a"), $"n".as("n_a")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"n".as("n_b")), "id_b")
+      .withColumn("jaccard",
+        $"inter".cast("double") / ($"n_a" + $"n_b" - $"inter"))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
   /** [[connectedComponents]] over the EMBEDDING-LSH pair graph — third
     * leg of the composition matrix (ngram Jaccard, simhash, embedding):
     * banded sign-LSH candidates verified at cosine ≥ threshold feed the
@@ -472,6 +518,8 @@ object Dedup {
     "dedup_exact"         -> exact,
     "dedup_stop_shingles" -> ((s, d) => stopShingles(s, d, maxShingleDf = 3L)),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "dedup_incremental"   -> ((s, d) =>
+      ngramJaccardIncremental(s, d, isNew = _ % 10 === 0)),
     "dedup_clusters"      -> ((s, d) => nearDupClusters(s, d)),
     "dedup_clusters_simhash" -> ((s, d) => simhashClusters(s, d)),
     "dedup_simhash"       -> ((s, d) => simhashDedup(s, d)),
@@ -554,6 +602,26 @@ object Dedup {
          |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
          |  FROM inv x JOIN keep k ON k.tok = x.tok
          |  JOIN inv y ON x.tok = y.tok AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM s)
+         |SELECT id_a, id_b,
+         |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |FROM pair JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+
+    "dedup_incremental" ->
+      // the full pair statement restricted to pairs touching the "new
+      // batch" (doc_id % 10 = 0) — df/cap/verify identical to
+      // dedup_ngram_jaccard; only corpus×corpus pairs are excluded
+      s"""$shCte,
+         |inv AS (SELECT DISTINCT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(list_transform(sh, s -> ${hash48Sql("s")})) AS tok FROM s)),
+         |keep AS (SELECT tok FROM inv GROUP BY tok HAVING COUNT(*) BETWEEN 2 AND 100),
+         |pair AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM inv x JOIN keep k ON k.tok = x.tok
+         |  JOIN inv y ON x.tok = y.tok AND x.doc_id < y.doc_id
+         |  WHERE x.doc_id % 10 = 0 OR y.doc_id % 10 = 0
          |  GROUP BY 1, 2),
          |sz AS (SELECT doc_id, len(sh) AS n FROM s)
          |SELECT id_a, id_b,

@@ -269,6 +269,21 @@ class DedupSpec extends SparkSpec {
     assert(new java.io.File(ckpt).listFiles().nonEmpty)
   }
 
+  test("incremental dedup equals the full pass restricted to new-batch pairs") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val fast = Dedup.ngramJaccardIncremental(spark, sf, isNew = _ % 10 === 0)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val full = Dedup.ngramJaccard(spark, sf)
+      .filter($"id_a" % 10 === 0 || $"id_b" % 10 === 0)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(fast == full)
+    // and the batch path never emits a corpus-only pair
+    assert(fast.forall { case (a, b, _) => a % 10 == 0 || b % 10 == 0 })
+  }
+
   /** Short docs (<3 tokens → empty shingle set) must not pair with each
     * other through the identity MinHash signature, and must not produce
     * NULL/NaN Jaccard rows. */
