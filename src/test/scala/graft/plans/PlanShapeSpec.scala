@@ -52,7 +52,17 @@ class PlanShapeSpec extends SparkSpec {
     ("ev_asof_join", 2, 0),
     // binned interval join: 2 side shuffles max (no per-key quadratic
     // nested loop — the cartesian/BNLJ zero-checks are the real guard)
-    ("ev_range_join", 3, 0))
+    ("ev_range_join", 3, 0),
+    // incremental dedup: same bounded shape as the full ngram path
+    ("dedup_incremental", 7, 0),
+    // pinned-values pivot: ONE conditional-agg pass, one shuffle
+    ("a9_pivot", 2, 0),
+    // grouped moments: one partial+final agg pass
+    ("a11_stats_agg", 2, 0),
+    // INTERSECT/EXCEPT compile to agg + semi/anti joins
+    ("p2_set_ops", 8, 0),
+    // native semi/anti: key-only shuffles, no row duplication
+    ("j5_semi_anti", 6, 0))
 
   for ((name, maxExchanges, minBroadcast) <- budgets) {
     test(s"$name plan: Expand-free, cartesian-free, ≤$maxExchanges exchanges" +
@@ -97,7 +107,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   for (name <- Seq("d_text_stats", "d_lang_id", "d_fingerprint",
-                   "d_token_counts", "d_quality_filter")) {
+                   "d_token_counts", "d_quality_filter",
+                   "f12_json_extract")) {
     test(s"$name stays a pure map-side op: ZERO exchanges") {
       // TextOps' design contract: per-doc text analysis never shuffles.
       val p = planOf(name)
