@@ -300,7 +300,35 @@ object TextOps {
   private val qualityFilter: Q = (spark, dir) =>
     qualityFilterOf(Tables.load(spark, dir, "documents"))
 
+  /** TF-IDF top terms per document — the classic retrieval/salience
+    * weighting over the corpus. Two shuffles (tf by (doc, term), df by
+    * term) + the per-doc top-k window; df attaches via a term join that
+    * AQE broadcasts when the vocabulary is small. RANKING is float-free
+    * (tf desc, df asc, term asc — all exact integers/binary strings, so
+    * Spark and DuckDB can never disagree on order); the tf·ln(N/df)
+    * VALUE is rounded to 4 decimals, the same ulp-drift treatment as
+    * a8/a11. */
+  private val tfidf: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val tok = docs.select($"doc_id", explode(toks($"text")).as("term"))
+      .filter(length($"term") > 0)
+    val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfT = tok.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"term".asc)
+    tf.join(dfT, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"term", $"tf", $"df",
+        bround($"tf" * log($"n_docs" / $"df"), 4).as("tfidf"), $"rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d_tfidf_topterms" -> tfidf,
     "d_text_stats"     -> stats,
     "d_lang_id"        -> langId,
     "d_fingerprint"    -> fingerprint,
@@ -344,6 +372,21 @@ object TextOps {
     (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    "d_tfidf_topterms" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+         |dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |r AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df, n.n_docs,
+         |        row_number() OVER (PARTITION BY tf.doc_id
+         |          ORDER BY tf.tf DESC, dft.df ASC, tf.term ASC) AS rk
+         |      FROM tf JOIN dft USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, tf, df,
+         |       round(tf * ln(n_docs / df), 4) AS tfidf, rk
+         |FROM r WHERE rk <= 3""".stripMargin,
+
     "d_text_stats" ->
       s"""WITH t AS (SELECT doc_id, lang, n_chars, text, $ToksSql AS w FROM documents)
          |SELECT doc_id, lang, n_chars,
