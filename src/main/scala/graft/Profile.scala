@@ -238,12 +238,31 @@ object Profile {
         val a = body
         (a, (System.nanoTime() - t0) / 1e9)
       }
+      // incremental candidate volume under the same cap: per list,
+      // |old|·|new| + C(|new|,2) with batch = doc_id % 10 = 0
+      def incStats(d: String, cap: Long): String = {
+        val sh = Tables.load(spark, d, "documents")
+          .select($"doc_id", graft.llm.TextOps.shingles(TextOps.toks($"text")).as("sh"))
+        val st = sh.select($"doc_id", explode($"sh").as("tok0"))
+          .select($"doc_id", graft.llm.TextOps.hash48($"tok0").as("tok"))
+          .groupBy($"tok")
+          .agg(count(lit(1)).as("d"),
+            sum(($"doc_id" % 10 === 0).cast("long")).as("nn"))
+          .filter($"d".between(2, cap) && $"nn" >= 1)
+          .agg(sum(($"d" - $"nn") * $"nn" + $"nn" * ($"nn" - 1) / 2)
+            .as("gen_pairs")).head
+        s"incGenPairs=${st.get(0)}"
+      }
       for ((label, d) <- dirs) {
         for (cap <- Seq(1000L, 100L)) {
           val (n, t) = timed(Dedup.ngramJaccard(spark, d, maxShingleDf = cap).count())
           println(f"[cc-probe] $label ngram(df<=$cap): ${postingStats(d, cap)} " +
             f"survivingPairs=$n time=$t%.2f s")
         }
+        val (nInc, tInc) = timed(
+          Dedup.ngramJaccardIncremental(spark, d, _ % 10 === 0).count())
+        println(f"[cc-probe] $label incremental(batch=10%%): ${incStats(d, 100L)} " +
+          f"survivingPairs=$nInc time=$tInc%.2f s")
         if (!label.endsWith("homog")) {
           // minhash is probed on the clean regimes only: the homog
           // corpus' artificial marker shingles occupy half of every
