@@ -316,15 +316,18 @@ object TextOps {
     val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val dfT = tok.select($"doc_id", $"term").distinct()
       .groupBy($"term").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // corpus size folded in as a literal (one metadata-scale driver
+    // count; a 1-row crossJoin(broadcast) attach plans a nested-loop
+    // join — harmless here but it would exempt this query from the
+    // suite-wide BNLJ ban, and the literal codegen-folds)
+    val nDocs = docs.count().toDouble
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"term".asc)
     tf.join(dfT, "term")
-      .crossJoin(broadcast(n))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 3)
       .select($"doc_id", $"term", $"tf", $"df",
-        bround($"tf" * log($"n_docs" / $"df"), 4).as("tfidf"), $"rk")
+        bround($"tf" * log(lit(nDocs) / $"df"), 4).as("tfidf"), $"rk")
   }
 
   val queries: Map[String, Q] = Map(

@@ -62,7 +62,9 @@ class PlanShapeSpec extends SparkSpec {
     // INTERSECT/EXCEPT compile to agg + semi/anti joins
     ("p2_set_ops", 8, 0),
     // native semi/anti: key-only shuffles, no row duplication
-    ("j5_semi_anti", 6, 0))
+    ("j5_semi_anti", 6, 0),
+    // tf by (doc,term) + df by term + per-doc top-k window
+    ("d_tfidf_topterms", 6, 0))
 
   for ((name, maxExchanges, minBroadcast) <- budgets) {
     test(s"$name plan: Expand-free, cartesian-free, ≤$maxExchanges exchanges" +
