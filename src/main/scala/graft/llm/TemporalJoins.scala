@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.Tables
 
@@ -74,17 +75,20 @@ object TemporalJoins {
     // left row BEFORE equal-ts right rows (side 0 < 1) so they are not in
     // its frame; inclusive puts it after (side 2 > 1).
     val leftSide = if (strict) 0 else 2
+    // The payload travels as ONE struct so the window fill takes every
+    // field from the SAME matched right row: per-column last(ignoreNulls)
+    // would back-fill a NULL field from an older right row, mixing rows.
+    val pType = StructType(rightPayload.map(p =>
+      StructField(p, right.schema(p).dataType, nullable = true)))
     val l2 = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(leftSide))
-      .select(col("*") +: rightPayload.map(p =>
-        lit(null).cast(right.schema(p).dataType).as(prefix + p)): _*)
-    val rightTagged = right
+      .withColumn("__p", lit(null).cast(pType))
+    val r2 = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(1))
-    val r2 = rightTagged.select(
-      (keys.map(col) :+ col("__ts") :+ col("__side")) ++
-        rightPayload.map(p => col(p).as(prefix + p)): _*)
+      .withColumn("__p", struct(rightPayload.map(col): _*))
+      .select(keys.map(col) ++ Seq(col("__ts"), col("__side"), col("__p")): _*)
     val leftOnly = left.columns.filterNot(keys.contains)
     val r3 = leftOnly
       .foldLeft(r2)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
@@ -97,9 +101,11 @@ object TemporalJoins {
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(l2.unionByName(r3))((df, p) =>
-      df.withColumn(prefix + p, last(col(prefix + p), ignoreNulls = true).over(w)))
-    filled.filter(col("__side") === leftSide).drop("__ts", "__side")
+    val filled = l2.unionByName(r3)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === leftSide)
+      .select(left.columns.map(col) ++
+        rightPayload.map(p => col("__p").getField(p).as(prefix + p)): _*)
   }
 
   /** Bounded-lag range join: every (`left`, `right`) pair with equal

@@ -538,11 +538,14 @@ object Relational {
         |   EXCEPT SELECT user_id FROM events)""".stripMargin,
 
     "j5_semi_anti" ->
+      // NOT EXISTS, not NOT IN: a NULL o_custkey would make NOT IN return
+      // zero rows while Spark's left_anti keeps unmatched customers —
+      // NOT EXISTS matches left_anti null semantics exactly.
       """SELECT c_custkey, 'semi' AS op FROM customer
-        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |UNION ALL
         |SELECT c_custkey, 'anti' AS op FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
 
     "f12_json_extract" ->
       """SELECT event_id, event_type,

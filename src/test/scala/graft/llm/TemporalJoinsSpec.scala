@@ -50,6 +50,40 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(incl.find(_._1 == 5L).get._2.isEmpty) // later right still invisible
   }
 
+  test("asofJoin: NULL payload field in the matched row stays NULL (no cross-row mixing)") {
+    import spark.implicits._
+    // The matched (latest preceding) right row has value = NULL; an older
+    // right row has value = 1.0. Per-column last(ignoreNulls) would leak
+    // the stale 1.0 into the output — the struct-packed fill must not.
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("p_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, ts("2024-01-01 09:00:00"), Some(1.0)),
+      (102L, 10L, ts("2024-01-01 09:30:00"), None: Option[Double])
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = TemporalJoins.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+        rightPayload = Seq("event_id", "value"))
+      .select($"asof_event_id", $"asof_value")
+      .as[(Option[Long], Option[Double])].collect().toSeq
+    assert(out == Seq((Some(102L), None)))
+  }
+
+  test("testdata precondition: no (user_id, ts) ties among view events at any sf") {
+    // The ev_asof_join oracle's determinism relies on no µs-precision ts
+    // ties between views of the same user (both engines resolve ties
+    // arbitrarily). Enforce it loudly so a testdata regen that introduces
+    // ties fails here, not as a confusing oracle hash mismatch.
+    import spark.implicits._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+         if new java.io.File(dir).isDirectory) {
+      val dupes = graft.Tables.load(spark, dir, "events")
+        .filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts").count()
+        .filter($"count" > 1)
+        .count()
+      assert(dupes == 0L, s"view-event (user_id, ts) ties in $dir")
+    }
+  }
+
   test("asofJoin matches the naive pair-max spelling on testdata events") {
     import spark.implicits._
     val ev = graft.Tables.load(spark, sf, "events")
