@@ -21,6 +21,7 @@ object SparkEntry {
       graft.queries.Churn.queries ++
       graft.ml.ChurnML.queries ++
       graft.llm.TextOps.queries ++
+      graft.llm.Retrieval.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.EventWindows.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
       graft.queries.Churn.oracles ++
       graft.ml.ChurnML.oracles ++
       graft.llm.TextOps.oracles ++
+      graft.llm.Retrieval.oracles ++
       graft.llm.Dedup.oracles ++
       graft.llm.Similarity.oracles ++
       graft.llm.EventWindows.oracles ++

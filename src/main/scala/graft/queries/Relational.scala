@@ -378,6 +378,58 @@ object Relational {
         bround(stddev_samp($"x"), 6).as("sd_qty"))
   }
 
+  // ---- O4 (extension): deterministic stratified sampling. Production
+  // sampling at 100 TB must be REPRODUCIBLE: df.stat.sampleBy draws from
+  // a per-partition seeded RNG, so the sample changes whenever the
+  // partition layout does (repartition, AQE re-plan, file-split sizing).
+  // Hashing the row key instead makes the keep/drop decision a pure
+  // function of the data — a map-side filter with zero shuffle, the same
+  // rows on any cluster shape, and an independent engine can draw the
+  // IDENTICAL sample (which is exactly what the oracle does). Rates:
+  // keep 50% of status 'O', 20% of 'F', 10% of 'P' — the class-rebalance
+  // shape a training-set builder uses.
+  private val o4: Q = (spark, dir) => {
+    import spark.implicits._
+    val pct = graft.llm.TextOps.hash48($"o_orderkey".cast("string")) % 100
+    val keep = when($"o_orderstatus" === "O", pct < 50)
+      .when($"o_orderstatus" === "F", pct < 20)
+      .otherwise(pct < 10)
+    Tables.load(spark, dir, "orders")
+      .filter(keep)
+      .select($"o_orderkey", $"o_orderstatus")
+  }
+
+  // ---- A12 (extension): one-pass column profiling — the data-quality
+  // summary every ingest pipeline runs before training. ONE aggregate
+  // over ONE scan (no per-column passes): row count, null count, exact
+  // NDV, min/max per profiled column. The single distinct agg plans as a
+  // two-phase aggregate without Expand; at 100 TB the exact NDV would be
+  // swapped for approx_count_distinct (the a2_approx_distinct twin) —
+  // kept exact here for the oracle.
+  private val a12: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders").agg(
+      count(lit(1)).as("n_rows"),
+      count($"o_custkey").as("nn_custkey"),
+      countDistinct($"o_custkey").as("ndv_custkey"),
+      min($"o_orderdate").as("min_date"),
+      max($"o_orderdate").as("max_date"),
+      dsum($"o_totalprice").as("sum_price"),
+      min(dec2($"o_totalprice")).cast("double").as("min_price"),
+      max(dec2($"o_totalprice")).cast("double").as("max_price"))
+  }
+
+  // ---- A13 (extension): CUBE — all 2^k grouping-set combinations (the
+  // rollup twin, §2.5). Inherent ×2^k Expand in any engine; fine for
+  // low-cardinality dimension pairs, and the pivot/conditional-agg
+  // spelling (a9) is the documented alternative when it isn't.
+  private val a13: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_scan_dates"      -> s1,
     "p_column_ops"       -> pOps,
@@ -396,6 +448,9 @@ object Relational {
     "a9_pivot"           -> a9,
     "a10_rollup"         -> a10,
     "a11_stats_agg"      -> a11,
+    "o4_stratified_sample" -> o4,
+    "a12_profile"        -> a12,
+    "a13_cube"           -> a13,
     "w15_topk_group"     -> w15,
     "f12_json_extract"   -> f12,
     "p2_set_ops"         -> p2,
@@ -527,6 +582,31 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    // Same md5-prefix hash as graft_hash48: both engines draw the
+    // IDENTICAL sample — the reproducibility property the query exists
+    // to demonstrate.
+    "o4_stratified_sample" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) % 100) <
+        |  CASE o_orderstatus WHEN 'O' THEN 50 WHEN 'F' THEN 20 ELSE 10 END""".stripMargin,
+
+    "a12_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(o_custkey) AS nn_custkey,
+        |  COUNT(DISTINCT o_custkey) AS ndv_custkey,
+        |  MIN(o_orderdate) AS min_date,
+        |  MAX(o_orderdate) AS max_date,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+        |FROM orders""".stripMargin,
+
+    "a13_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
 
     "p2_set_ops" ->
       """SELECT id, 'intersect' AS op FROM

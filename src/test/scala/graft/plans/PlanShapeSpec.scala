@@ -87,6 +87,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("d_bm25_topk: distributed top-k via TakeOrderedAndProject, bounded exchanges") {
+    // global top-k must stay a per-task k-heap + driver merge — if this
+    // node disappears the query funnels every scored doc through one
+    // task (single-partition global sort/window). The two 1-row stats
+    // cross joins are broadcast by construction; cartesians stay banned.
+    val p = planOf("d_bm25_topk")
+    assert(count(p, "TakeOrderedAndProject") >= 1,
+      s"d_bm25_topk lost its TakeOrderedAndProject (top-k became a global sort):\n$p")
+    assert(count(p, "CartesianProduct") == 0, s"cartesian product:\n$p")
+    assert(count(p, "Expand") == 0, s"Expand crept in:\n$p")
+    val exchanges = count(p, "Exchange")
+    assert(exchanges <= 13, s"exchange count $exchanges over budget 13:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      s"d_bm25_topk lost its broadcast df join:\n$p")
+  }
+
   test("w15_topk_group plans a WindowGroupLimit: map-side top-k before the shuffle") {
     // the rank-pushdown win: each map task keeps its local top-k per
     // group pre-shuffle, so the exchange carries O(groups × k) rows —

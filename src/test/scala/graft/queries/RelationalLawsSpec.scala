@@ -7,6 +7,40 @@ import graft.SparkSpec
 /** Null-handling laws of the join/fill idioms (SURVEY §5: J2/J3 + P9). */
 class RelationalLawsSpec extends SparkSpec {
 
+  test("O4 law: hash-stratified sample hits target rates and survives repartitioning") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.Tables.load(spark, dir, "orders")
+    val sampled = Relational.queries("o4_stratified_sample")(spark, dir)
+
+    // Observed per-stratum rate within a binomial-noise tolerance of the
+    // target (50/20/10%); sf0.001 strata hold hundreds of rows each.
+    val tot = orders.groupBy($"o_orderstatus").count()
+      .as[(String, Long)].collect().toMap
+    val got = sampled.groupBy($"o_orderstatus").count()
+      .as[(String, Long)].collect().toMap
+    val target = Map("O" -> 0.5, "F" -> 0.2, "P" -> 0.1)
+    for ((st, p) <- target if tot.contains(st)) {
+      val n = tot(st).toDouble
+      val rate = got.getOrElse(st, 0L) / n
+      val tol = 4 * math.sqrt(p * (1 - p) / n) // ±4σ
+      assert(math.abs(rate - p) <= tol, s"stratum $st: rate $rate vs $p ± $tol")
+    }
+
+    // Reproducibility: the keep decision is a pure function of the data,
+    // so sampling a RESHUFFLED input yields the IDENTICAL row set — the
+    // property seeded per-partition RNG sampling (sampleBy) lacks.
+    import org.apache.spark.sql.functions._
+    val pct = graft.llm.TextOps.hash48($"o_orderkey".cast("string")) % 100
+    val keep = when($"o_orderstatus" === "O", pct < 50)
+      .when($"o_orderstatus" === "F", pct < 20)
+      .otherwise(pct < 10)
+    val keys = sampled.select($"o_orderkey").as[Long].collect().sorted.toSeq
+    val keys2 = orders.repartition(7).filter(keep).select($"o_orderkey")
+      .as[Long].collect().sorted.toSeq
+    assert(keys.nonEmpty && keys == keys2)
+  }
+
   test("J3 law: left join + na.fill(1) equals union of matched(0) and left_anti(1)") {
     import spark.implicits._
     val universe = Seq(1, 2, 3, 4, 5).toDF("k")
