@@ -199,10 +199,34 @@ object Similarity {
         $"rank".cast("long").as("rank"))
   }
 
+  /** f13: per-vector array analytics via higher-order functions — norm,
+    * sparsity, max, clipped mean, all computed INSIDE the array column
+    * (no explode → no row blowup, no shuffle; a pure map-side op like
+    * the d_* text family). aggregate/transform/filter fold left over
+    * the array in both engines, and every element is cast float→double
+    * (exact) before arithmetic, so the fold result is bit-identical to
+    * the DuckDB list_reduce spelling; round(,6) guards the boundary. */
+  private val hof: Q = (spark, dir) => {
+    import spark.implicits._
+    val v = transform($"embedding", x => x.cast("double"))
+    val dim = size($"embedding")
+    val clip = (x: org.apache.spark.sql.Column) =>
+      when(x > 0.5, 0.5).when(x < -0.5, -0.5).otherwise(x)
+    Tables.load(spark, dir, "embeddings").select(
+      $"vec_id",
+      dim.cast("long").as("dim"),
+      round(sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x)), 6).as("norm"),
+      size(filter(v, x => abs(x) > 0.1)).cast("long").as("nnz"),
+      round(array_max(v), 6).as("vmax"),
+      round(aggregate(v, lit(0.0), (acc, x) => acc + clip(x)) / dim, 6)
+        .as("mean_clip"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk_brute" -> ((s, d) => topkBrute(s, d)),
     "sim_topk_lsh"   -> ((s, d) => topkLsh(s, d)),
-    "sim_topk_ivf"   -> ((s, d) => topkIvf(s, d)))
+    "sim_topk_ivf"   -> ((s, d) => topkIvf(s, d)),
+    "f13_higher_order" -> hof)
 
   // ---- DuckDB oracles ----------------------------------------------
 
@@ -236,6 +260,20 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "f13_higher_order" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |                  len(embedding) AS dim FROM embeddings)
+        |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        |  round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(v, x -> x * x)), (a, b) -> a + b)), 6) AS norm,
+        |  CAST(len(list_filter(v, x -> abs(x) > 0.1)) AS BIGINT) AS nnz,
+        |  round(list_max(v), 6) AS vmax,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(v, x -> CASE WHEN x > 0.5 THEN 0.5
+        |      WHEN x < -0.5 THEN -0.5 ELSE x END)), (a, b) -> a + b)
+        |    / dim, 6) AS mean_clip
+        |FROM e""".stripMargin,
+
     "sim_topk_brute" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueryVecs),

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.types._
 
 import graft.util.Cols._
@@ -115,6 +116,74 @@ object StreamingWindows {
           rows.foreach { r => n += 1; last = math.max(last, r._2.getTime) }
           state.update(UserState(n, last))
           UserCount(user, n, new java.sql.Timestamp(last))
+      }.toDF()
+  }
+
+  /** Custom sessionizer via flatMapGroupsWithState — the full custom-state
+    * pattern (Append output + event-time timeout) for session semantics
+    * Spark's built-in `session_window` can't carry (e.g. per-session
+    * derived payloads, early emission rules). Semantics match the batch
+    * `ev_session` spelling: a session is a maximal run of a user's events
+    * with gaps < `gap`; emitted end = last event + gap (half-open).
+    *
+    * Protocol per micro-batch and user: sort the batch's events by ts
+    * (micro-batches are small; state stays O(1) per user), merge into the
+    * open session, CLOSE-AND-EMIT whenever an in-batch gap ≥ `gap` shows,
+    * and park the still-open session in state with an event-time timeout
+    * at last + gap — when the watermark passes it, the timeout branch
+    * emits the finished session and clears state.
+    *
+    * Correctness invariant (why eager closure is safe): with watermark
+    * delay == gap, any event that could still merge into a session whose
+    * last event is ≥ gap behind the max seen ts is necessarily later than
+    * the watermark allows and gets dropped — so a closed session can
+    * never need reopening. Run it with delay == gap (the default), not a
+    * larger delay. */
+  case class SessState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, s_start: java.sql.Timestamp,
+                        s_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    def out(u: Long, s: SessState): SessionOut =
+      SessionOut(u, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.last + gapMs), s.n, s.sum)
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long,
+         rows: Iterator[(Long, java.sql.Timestamp, Long, String, Double, String)],
+         state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(out(user, s))
+          } else {
+            val closed = ArrayBuffer.empty[SessState]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_._2.getTime).foreach { r =>
+              val t = r._2.getTime
+              cur = cur match {
+                // strict <: session_window is half-open [start, last+gap)
+                case Some(s) if t - s.last < gapMs =>
+                  Some(SessState(s.start, math.max(s.last, t), s.n + 1, s.sum + r._5))
+                case Some(s) =>
+                  closed += s
+                  Some(SessState(t, t, 1L, r._5))
+                case None => Some(SessState(t, t, 1L, r._5))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.iterator.map(out(user, _))
+          }
       }.toDF()
   }
 

@@ -122,6 +122,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 7L))
   }
 
+  test("flatMapGroupsWithState sessionizer equals the batch session windows") {
+    import spark.implicits._
+    // One file → one data micro-batch (in-batch sort handles disorder),
+    // plus a far-future sentinel for user 1 only: it closes user 1's real
+    // sessions by gap evidence IN the batch, and pushes the watermark far
+    // enough that user 2's open session emits via the EVENT-TIME TIMEOUT
+    // branch in the follow-up batch — both emission paths exercised.
+    val d = Files.createTempDirectory("stream-fmgws").toString
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.5, "{}"),
+      (2L, ts("2024-01-01 10:20:00"), 1L, "click", 2.25, "{}"), // merges (gap 20m)
+      (3L, ts("2024-01-01 11:30:00"), 1L, "view", 3.0, "{}"),   // new session
+      (4L, ts("2024-01-01 09:59:00"), 2L, "view", 5.5, "{}"),
+      (5L, ts("2024-01-01 12:10:00"), 2L, "purchase", 6.0, "{}"),
+      (9L, ts("2024-01-02 00:00:00"), 1L, "click", 0.5, "{}")   // sentinel
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+
+    val stream = StreamingWindows.readEventStream(spark, s"$d/events.parquet")
+    val got = StreamingWindows.runToCompletion(spark,
+        StreamingWindows.sessionize(spark, stream), "t_fmgws", OutputMode.Append())
+      .orderBy($"user_id", $"s_start")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+    // batch twin, minus the sentinel's still-open session
+    val want = EventWindows.queries("ev_session")(spark, d)
+      .filter($"s_start" < lit(ts("2024-01-02 00:00:00")))
+      .orderBy($"user_id", $"s_start")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+    assert(got == want && got.size == 4,
+      s"stream sessions $got vs batch $want")
+  }
+
   test("stream-static enrichment join equals the batch join, unknown keys kept") {
     import spark.implicits._
     // user 2 has no dim row → must pass through with null segment
