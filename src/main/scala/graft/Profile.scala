@@ -47,6 +47,49 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "bm25") {
+      // BM25 scale probe: the inverted-index claim under test is that
+      // scoring cost is driven by the QUERY-RESTRICTED postings (docs
+      // containing a query term × query terms), not the full token
+      // stream — so a factor× corpus (shard-salted, same df distribution
+      // per copy as the cc probe) should grow both linearly, with the
+      // restricted postings staying a small constant fraction.
+      import graft.llm.Retrieval
+      val factor = if (args.length > 2) args(2).toInt else 10
+      val base = Tables.load(spark, dir, "documents")
+      // Copies keep the ORIGINAL text: query-term postings (and df)
+      // scale exactly ×factor — homogeneous growth, the realistic regime
+      // for retrieval over a grown corpus.
+      val big = (0 until factor).map { i =>
+        if (i == 0) base
+        else base.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+          $"text", $"lang", $"source", $"n_chars")
+      }.reduce(_ unionAll _)
+      val bigDir = "target/bm25probe"
+      big.write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+      def timed[A](body: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val a = body
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      for ((label, d) <- Seq(("1x", dir), (s"${factor}x", bigDir))) {
+        val docs = Tables.load(spark, d, "documents")
+        val toks = docs.select($"doc_id",
+          explode(TextOps.toks($"text")).as("term"))
+          .filter(length($"term") > 0)
+        val nTok = toks.count()
+        val nPost = toks.filter($"term".isin(Retrieval.QueryTerms: _*)).count()
+        // min-of-2 (bench methodology): first pass absorbs JIT warmup
+        val runs = (1 to 2).map(_ =>
+          timed(Retrieval.bm25TopK(docs, Retrieval.QueryTerms, 10).collect()))
+        val (top, t) = runs.minBy(_._2)
+        println(f"[bm25-probe] $label tokens=$nTok queryPostings=$nPost " +
+          f"(${100.0 * nPost / nTok}%.2f%%) top1=${top.head.getLong(0)} " +
+          f"time=$t%.2f s")
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "lsh") {
       // LSH sizing probe (VERDICT r3 #9): pinned r=4 vs autoBitsPerBand(n)
       // — candidate volume, bucket skew, and surviving pair count, the

@@ -200,6 +200,40 @@ object Relational {
       .distinct()
   }
 
+  // ---- W16 (extension): ordered-window functions — lag/lead/ntile/
+  // percent_rank over (customer, order-date) — the sequential-analytics
+  // window family (previous order, next order, quartile, rank position).
+  // ONE shuffle on the partition key, one in-partition sort, all four
+  // functions share the same Window frame (single Window node). Ordering
+  // is made total with an orderkey tiebreak so both engines agree.
+  private val w16: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"od".asc, $"o_orderkey".asc)
+    Tables.load(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", to_date($"o_orderdate").as("od"))
+      .withColumn("prev_date", lag($"od", 1).over(w))
+      .withColumn("next_date", lead($"od", 1).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+  }
+
+  // ---- EV-FUNNEL (extension): event-transition counts — for each user,
+  // order events by time and count (previous type → type) transitions;
+  // aggregate corpus-wide. The funnel/attribution primitive ("how many
+  // view→purchase steps happen?"). lag over (user, ts) is one shuffle +
+  // sort; the transition count is a plain partial-agg groupBy.
+  private val evFunnel: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
   // ---- A8 (extension): exact interpolated percentiles per group — the
   // order-statistic aggregate a warehouse engine needs next to sum/avg.
   // Spark `percentile` and DuckDB `quantile_cont` share the definition
@@ -451,6 +485,8 @@ object Relational {
     "o4_stratified_sample" -> o4,
     "a12_profile"        -> a12,
     "a13_cube"           -> a13,
+    "w16_lag_lead"       -> w16,
+    "ev_funnel"          -> evFunnel,
     "w15_topk_group"     -> w15,
     "f12_json_extract"   -> f12,
     "p2_set_ops"         -> p2,
@@ -607,6 +643,26 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "w16_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        |  lag(CAST(o_orderdate AS DATE), 1) OVER w AS prev_date,
+        |  lead(CAST(o_orderdate AS DATE), 1) OVER w AS next_date,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY CAST(o_orderdate AS DATE), o_orderkey)""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, COUNT(*) AS n
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     "p2_set_ops" ->
       """SELECT id, 'intersect' AS op FROM
