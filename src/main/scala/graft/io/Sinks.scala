@@ -39,6 +39,26 @@ object Sinks {
         to_date($"order_date").as("order_date"), $"o_orderpriority")
   }
 
+  /** S10 (extension): JSON-lines sink + source round-trip — the ingest
+    * format half the world's event feeds arrive in. The read passes an
+    * EXPLICIT schema: schema inference on JSON is a full extra pass over
+    * the data (fatal at 100 TB) and silently widens types on dirty rows;
+    * a declared schema makes the scan single-pass and deterministic.
+    * Timestamps round-trip as ISO-8601 strings (written then re-cast) so
+    * the comparison is timezone-stable. */
+  private val s10: Q = (spark, dir) => {
+    import spark.implicits._
+    val src = Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_iso"))
+    val tmp = Files.createTempDirectory("graft-json").toString
+    src.write.mode("overwrite").json(s"$tmp/events_json")
+    spark.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, ts_iso STRING")
+      .json(s"$tmp/events_json")
+  }
+
   /** K1: saveAsTable in ORC — the reference's exact spelling (RF:225
     * writes its feature table as an ORC hive table) — + read back via
     * the catalog. */
@@ -172,6 +192,7 @@ object Sinks {
 
   val queries: Map[String, Q] = Map(
     "s2_csv_scan"      -> s2,
+    "s10_json_roundtrip" -> s10,
     "k1_save_as_table" -> k1,
     "k2_model_persist" -> k2,
     "k3_jdbc_roundtrip"-> k3,
@@ -186,6 +207,11 @@ object Sinks {
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |       CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
         |FROM orders""".stripMargin,
+    "s10_json_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')
+        |         AS ts_iso
+        |FROM events""".stripMargin,
     "k1_save_as_table" ->
       "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
     "k2_model_persist" ->

@@ -330,7 +330,25 @@ object TextOps {
         bround($"tf" * log(lit(nDocs) / $"df"), 4).as("tfidf"), $"rk")
   }
 
+  /** Corpus vocabulary top-k: most frequent non-stopword terms — the
+    * tokenizer-vocabulary / corpus-drift primitive. One shuffle (term
+    * counts, map-side partial agg) + distributed top-k via
+    * TakeOrderedAndProject; ranking is integer-only (n desc, term asc)
+    * so the engines can never disagree. */
+  private val vocab: Q = (spark, dir) => {
+    import spark.implicits._
+    val counts = Tables.load(spark, dir, "documents")
+      .select(explode(toks($"text")).as("term"))
+      .filter(length($"term") > 0 && !$"term".isin(Stopwords: _*))
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+    counts.orderBy($"n".desc, $"term".asc).limit(20)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"n".desc, $"term".asc)).cast("long"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d_vocab_topk"     -> vocab,
     "d_tfidf_topterms" -> tfidf,
     "d_text_stats"     -> stats,
     "d_lang_id"        -> langId,
@@ -375,6 +393,17 @@ object TextOps {
     (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    "d_vocab_topk" -> {
+      val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (SELECT unnest($ToksSql) AS term FROM documents),
+         |c AS (SELECT term, COUNT(*) AS n FROM t
+         |      WHERE length(term) > 0 AND term NOT IN ($stops)
+         |      GROUP BY 1),
+         |top AS (SELECT term, n FROM c ORDER BY n DESC, term LIMIT 20)
+         |SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rk
+         |FROM top""".stripMargin
+    },
+
     "d_tfidf_topterms" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |tok AS (SELECT doc_id, unnest(w) AS term FROM t),

@@ -1,0 +1,76 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Ingest robustness — the two properties a 100 TB feed pipeline needs
+  * from its scan layer beyond happy-path parsing:
+  *
+  *  - corrupt-record tolerance: one bad line in a billion must neither
+  *    kill the job (FAILFAST default) nor vanish silently; PERMISSIVE +
+  *    columnNameOfCorruptRecord quarantines it as data, auditable and
+  *    re-processable downstream.
+  *  - row provenance: `_metadata.file_path` attaches lineage to every
+  *    row at scan time (no join, no extra pass) — which shard produced
+  *    a bad training example is a question you must be able to answer.
+  */
+class IngestSpec extends SparkSpec {
+
+  test("PERMISSIVE JSON scan quarantines corrupt lines; DROPMALFORMED drops them") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("ingest-corrupt").toString
+    Files.write(Paths.get(s"$d/part-0.json"), java.util.Arrays.asList(
+      """{"id": 1, "v": 10.5}""",
+      """{"id": 2, "v": "NOT A NUMBER"}""",
+      """{"id": 3 BROKEN JSON""",
+      """{"id": 4, "v": 2.25}"""))
+
+    val schema = "id BIGINT, v DOUBLE, _bad STRING"
+    val got = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(s"$d/part-0.json")
+      .select($"id", $"v", $"_bad".isNotNull.as("quarantined"))
+      .as[(Option[Long], Option[Double], Boolean)].collect().toSeq
+      .sortBy(_._1.getOrElse(Long.MaxValue))
+    // good rows parse clean; type-mismatch and broken-syntax rows are
+    // quarantined with their raw text (fields null, _bad populated)
+    assert(got.count(!_._3) == 2)
+    assert(got.filter(!_._3).flatMap(_._2) == Seq(10.5, 2.25))
+    assert(got.count(_._3) == 2)
+
+    // DROPMALFORMED gotcha, pinned because it WILL bite a pipeline:
+    // whether a row is "malformed" is decided against the columns the
+    // query actually requires. A bare count() parses no fields → only
+    // the syntax-broken line drops (3 survive); projecting `v` makes
+    // the type-mismatch row malformed too (2 survive). Row counts under
+    // DROPMALFORMED are projection-dependent — audit-grade pipelines
+    // must use PERMISSIVE + quarantine column instead (above).
+    def malformedRead = spark.read
+      .schema("id BIGINT, v DOUBLE")
+      .option("mode", "DROPMALFORMED")
+      .json(s"$d/part-0.json")
+    assert(malformedRead.count() == 3L)
+    val kept = malformedRead
+      .select($"id", $"v").as[(Option[Long], Option[Double])]
+      .collect().toSeq.sortBy(_._1)
+    assert(kept == Seq((Some(1L), Some(10.5)), (Some(4L), Some(2.25))))
+  }
+
+  test("_metadata.file_path attaches per-row provenance at scan time") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("ingest-prov").toString
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$d/f1.parquet")
+    Seq((2L, "b")).toDF("id", "s").write.parquet(s"$d/f2.parquet")
+
+    val rows = spark.read.parquet(s"$d/f1.parquet", s"$d/f2.parquet")
+      .select($"id", col("_metadata.file_path").as("src"))
+      .as[(Long, String)].collect().toMap
+    assert(rows(1L).contains("f1.parquet"))
+    assert(rows(2L).contains("f2.parquet"))
+  }
+}
