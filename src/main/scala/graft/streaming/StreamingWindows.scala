@@ -119,6 +119,34 @@ object StreamingWindows {
       }.toDF()
   }
 
+  /** Stream-stream interval join: purchases stream ⋈ views stream on
+    * user_id with the view in the `lagHours` before the purchase — the
+    * streaming twin of the batch binned range join (`ev_range_join`).
+    * Both sides carry watermarks and the join condition bounds event
+    * time in BOTH directions, so Spark can size the join state: a
+    * buffered view is dropped once the watermark says no future purchase
+    * can reach back to it (state ≈ events per lag window per side, not
+    * the stream's history). An unbounded or one-sided time condition
+    * would grow state forever — the scan-layer equivalent of the
+    * dropDuplicates-without-watermark trap. */
+  def streamStreamRangeJoin(purchases: DataFrame, views: DataFrame,
+                            lagHours: Int = 12,
+                            delay: String = "1 hour"): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", delay)
+    val v = views.select(col("event_id").as("v_id"),
+        col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("value").as("v_value"))
+      .withWatermark("v_ts", delay)
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lagHours hours") &&
+        col("v_ts") < col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("p_ts"),
+        col("v_id"), col("v_ts"), col("v_value"))
+  }
+
   /** Custom sessionizer via flatMapGroupsWithState — the full custom-state
     * pattern (Append output + event-time timeout) for session semantics
     * Spark's built-in `session_window` can't carry (e.g. per-session

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
@@ -122,6 +122,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 7L))
   }
 
+  test("stream-stream interval join equals the batch binned range join") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // stage into a directory: FileStreamSource requires a dir basePath
+    val staged = Files.createTempDirectory("stream-ss").toString
+    graft.Tables.load(spark, sf, "events")
+      .repartition(3).write.mode("overwrite").parquet(s"$staged/events.parquet")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$staged/events.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/events.parquet")
+    val joined = StreamingWindows.streamStreamRangeJoin(
+      stream.filter($"event_type" === "purchase"),
+      stream.filter($"event_type" === "view"),
+      lagHours = 12, delay = "31 days") // finite replay: cover full disorder
+    val got = StreamingWindows.runToCompletion(spark, joined, "t_ssjoin",
+        OutputMode.Append())
+      .select($"p_id", $"v_id").as[(Long, Long)].collect().sorted.toSeq
+
+    val ev = graft.Tables.load(spark, sf, "events")
+    val want = graft.llm.TemporalJoins.boundedRangeJoin(
+        ev.filter($"event_type" === "purchase")
+          .select($"event_id".as("p_id"), $"user_id", $"ts"),
+        ev.filter($"event_type" === "view")
+          .select($"event_id", $"user_id", $"ts", $"value"),
+        Seq("user_id"), "ts", "ts", lagSeconds = 12L * 3600)
+      .select($"p_id", $"r_event_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionizer equals the batch session windows") {
     import spark.implicits._
     // One file → one data micro-batch (in-batch sort handles disorder),
@@ -152,6 +182,44 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
     assert(got == want && got.size == 4,
       s"stream sessions $got vs batch $want")
+  }
+
+  test("restart from checkpoint processes only new files, file sink stays exactly-once") {
+    import spark.implicits._
+    // The recovery contract a production ingest relies on: the source
+    // offset log (processed files) and the sink commit log both live in
+    // the checkpoint, so a stop/restart neither reprocesses old input
+    // nor duplicates old output.
+    val root = Files.createTempDirectory("stream-ckpt")
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    Files.createDirectories(Paths.get(in))
+
+    def addFile(name: String, ids: Seq[Long]): Unit = {
+      val stage = Files.createTempDirectory("stage").toString
+      ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$in/$name"))
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("id BIGINT").parquet(in)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sinkIds(): Seq[Long] =
+      spark.read.parquet(out).select($"id").as[Long].collect().sorted.toSeq
+
+    addFile("f1.parquet", Seq(1L, 2L))
+    runOnce()
+    assert(sinkIds() == Seq(1L, 2L))
+
+    addFile("f2.parquet", Seq(3L))
+    runOnce() // restart: f1 must not reprocess, 1/2 must not duplicate
+    assert(sinkIds() == Seq(1L, 2L, 3L))
   }
 
   test("stream-static enrichment join equals the batch join, unknown keys kept") {
