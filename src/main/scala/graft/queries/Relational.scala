@@ -464,6 +464,82 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
   }
 
+  // ---- A8-approx (extension): percentile_approx twin of a8 — the
+  // 100 TB path. Exact percentiles need a full sort per group;
+  // approx_percentile keeps a bounded KLL/GK-style sketch per (group,
+  // partition) that merges associatively, so partial aggregation applies
+  // and memory is O(accuracy), not O(rows). No oracle (sketch internals
+  // are engine-specific, like the HLL twin a2_approx_distinct); the
+  // accuracy contract vs hash-green a8 is asserted in
+  // RelationalLawsSpec (rank error ≤ n/accuracy by the GK guarantee).
+  private val a8approx: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice".cast("double").as("x"))
+      .groupBy($"l_returnflag")
+      .agg(expr("approx_percentile(x, array(0.25D, 0.5D, 0.75D, 0.95D), 1000)")
+        .as("ps"))
+      .select($"l_returnflag",
+        element_at($"ps", 1).as("p25"), element_at($"ps", 2).as("p50"),
+        element_at($"ps", 3).as("p75"), element_at($"ps", 4).as("p95"))
+  }
+
+  // ---- A14 (extension): explicit GROUPING SETS + grouping() markers —
+  // the general grouping-set surface (rollup/cube are its two fixed
+  // shapes). SQL spelling: the DataFrame API deliberately exposes only
+  // rollup/cube, and a declared query should use the surface a user
+  // would. grouping() disambiguates "subtotal row" from "NULL-valued
+  // group", which any consumer of subtotal output needs.
+  private val a14: Q = (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |       COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  // ---- T5 (extension): calendar gap-fill — densify per-user daily
+  // activity onto a fixed date spine so downstream sequence models see
+  // explicit zeros, not missing rows. Spine = distinct users × 30-day
+  // sequence (explode of a literal range: ~users × 30 rows, trivially
+  // broadcastable); activity attaches via a left join keyed (user, day);
+  // missing days coalesce to 0. The spine window is a PARAMETER (a
+  // reporting period), not derived from the data — deriving min/max
+  // would add a pre-pass over the fact table.
+  private val t5: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val daily = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n0"))
+    val spine = ev.select($"user_id").distinct()
+      .withColumn("d", explode(sequence(
+        lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"),
+        expr("INTERVAL 1 DAY"))))
+    spine.join(daily, Seq("user_id", "d"), "left_outer")
+      .select($"user_id", $"d", coalesce($"n0", lit(0L)).as("n"))
+  }
+
+  // ---- W17 (extension): trailing 7-day rolling spend per customer — a
+  // RANGE window frame over the date VALUE (peers at the same date enter
+  // the frame together), the rolling-feature primitive. One shuffle on
+  // the partition key; money math stays decimal-exact inside the frame
+  // and converts to double once (Cols.dsum treatment).
+  private val w17: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(datediff($"od", lit("1970-01-01").cast("date")))
+      .rangeBetween(-6, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", to_date($"o_orderdate").as("od"),
+        dec2($"o_totalprice").as("price"))
+      .withColumn("spend_7d", sum($"price").over(w).cast("double"))
+      .select($"o_custkey", $"o_orderkey", $"od", $"spend_7d")
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_scan_dates"      -> s1,
     "p_column_ops"       -> pOps,
@@ -487,6 +563,10 @@ object Relational {
     "a13_cube"           -> a13,
     "w16_lag_lead"       -> w16,
     "ev_funnel"          -> evFunnel,
+    "a14_grouping_sets"  -> a14,
+    "t5_gapfill"         -> t5,
+    "w17_rolling_7d"     -> w17,
+    "a8_approx_percentiles" -> a8approx,
     "w15_topk_group"     -> w15,
     "f12_json_extract"   -> f12,
     "p2_set_ops"         -> p2,
@@ -663,6 +743,35 @@ object Relational {
         |SELECT prev_type, event_type, COUNT(*) AS n
         |FROM t WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+
+    "a14_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        |       COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "t5_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n0
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT u.user_id, CAST(g.d AS DATE) AS d
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS d) g)
+        |SELECT s.user_id, s.d, COALESCE(daily.n0, 0) AS n
+        |FROM spine s LEFT JOIN daily
+        |  ON daily.user_id = s.user_id AND daily.d = s.d""".stripMargin,
+
+    "w17_rolling_7d" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+        |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS spend_7d
+        |FROM orders""".stripMargin,
 
     "p2_set_ops" ->
       """SELECT id, 'intersect' AS op FROM

@@ -41,6 +41,33 @@ class RelationalLawsSpec extends SparkSpec {
     assert(keys.nonEmpty && keys == keys2)
   }
 
+  test("A8 law: approx percentiles land within the GK rank-error bound of exact") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // rank error ≤ n/accuracy (accuracy=1000). Convert to a value check:
+    // the approx p-quantile must lie between the exact (p ± n/acc / n)
+    // quantiles of the same group.
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice".cast("double").as("x"))
+    val approx = Relational.queries("a8_approx_percentiles")(spark, dir)
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    // rank tolerance: the GK guarantee is 1/accuracy = 0.1%, but approx
+    // returns a real element while exact interpolates between elements —
+    // allow 1% of rank (10× the sketch bound) to absorb the
+    // interpolation offset at small group sizes; still tight enough to
+    // catch a broken sketch by an order of magnitude.
+    val eps = 0.01
+    for ((flag, vals) <- approx; (p, v) <- Seq(0.25, 0.5, 0.75, 0.95).zip(vals)) {
+      val lohi = li.filter($"l_returnflag" === flag)
+        .agg(org.apache.spark.sql.functions.expr(
+          s"percentile(x, array(${math.max(0, p - eps)}D, ${math.min(1, p + eps)}D))"))
+        .head.getSeq[Double](0)
+      assert(v >= lohi(0) && v <= lohi(1),
+        s"$flag p$p approx $v outside exact band $lohi")
+    }
+  }
+
   test("J3 law: left join + na.fill(1) equals union of matched(0) and left_anti(1)") {
     import spark.implicits._
     val universe = Seq(1, 2, 3, 4, 5).toDF("k")
