@@ -61,6 +61,40 @@ class IngestSpec extends SparkSpec {
     assert(kept == Seq((Some(1L), Some(10.5)), (Some(4L), Some(2.25))))
   }
 
+  test("small-files compaction: range layout yields fewer, key-disjoint files") {
+    import spark.implicits._
+    // Ingest maintenance at 100 TB: streaming sinks leave thousands of
+    // tiny files (listing + task overhead dominate); compaction rewrites
+    // them into few target-size files. repartitionByRange gives each
+    // output file a DISJOINT key range, so parquet min/max footer stats
+    // prune files on key predicates — a free coarse index.
+    val d = Files.createTempDirectory("compact").toString
+    (0L until 1000L).toDF("id").repartition(20)
+      .write.parquet(s"$d/small")
+    assert(new java.io.File(s"$d/small").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 20)
+
+    spark.read.parquet(s"$d/small")
+      .repartitionByRange(2, $"id")
+      .sortWithinPartitions($"id")
+      .write.parquet(s"$d/compact")
+
+    val files = new java.io.File(s"$d/compact").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 2)
+    // identical data, and per-file key ranges must not overlap
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min($"id"), max($"id")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => hi1 < lo2
+      case _ => true
+    })
+    val total = spark.read.parquet(s"$d/compact").count()
+    assert(total == 1000L)
+  }
+
   test("_metadata.file_path attaches per-row provenance at scan time") {
     import spark.implicits._
     val d = Files.createTempDirectory("ingest-prov").toString

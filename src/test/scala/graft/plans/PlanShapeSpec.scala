@@ -64,7 +64,22 @@ class PlanShapeSpec extends SparkSpec {
     // native semi/anti: key-only shuffles, no row duplication
     ("j5_semi_anti", 6, 0),
     // tf by (doc,term) + df by term + per-doc top-k window
-    ("d_tfidf_topterms", 6, 0))
+    ("d_tfidf_topterms", 6, 0),
+    // rolling RANGE window: ONE shuffle on the partition key + sort
+    ("w17_rolling_7d", 2, 0),
+    // spine × daily gap-fill: distinct users + daily agg + one join
+    ("t5_gapfill", 6, 0),
+    // hash-stratified sample: pure map-side filter, ZERO exchanges
+    ("o4_stratified_sample", 0, 0),
+    // one-pass profile: single two-phase aggregate (1 distinct col,
+    // no Expand — the generic Expand ban is the real assertion)
+    ("a12_profile", 3, 0),
+    // lag/lead/ntile/percent_rank: ONE shared Window frame
+    ("w16_lag_lead", 2, 0),
+    // funnel: lag window shuffle + transition-count agg
+    ("ev_funnel", 3, 0),
+    // per-vector HOF analytics: map-side only, ZERO exchanges
+    ("f13_higher_order", 0, 0))
 
   for ((name, maxExchanges, minBroadcast) <- budgets) {
     test(s"$name plan: Expand-free, cartesian-free, ≤$maxExchanges exchanges" +
@@ -101,6 +116,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 13, s"exchange count $exchanges over budget 13:\n$p")
     assert(count(p, "BroadcastHashJoin") >= 1,
       s"d_bm25_topk lost its broadcast df join:\n$p")
+  }
+
+  test("d_vocab_topk plans a distributed top-k (TakeOrderedAndProject)") {
+    val p = planOf("d_vocab_topk")
+    assert(count(p, "TakeOrderedAndProject") >= 1,
+      s"d_vocab_topk lost its TakeOrderedAndProject:\n$p")
+    assert(count(p, "Exchange") <= 3, s"exchange budget exceeded:\n$p")
+  }
+
+  test("a14_grouping_sets: the x3 Expand is inherent; exchanges stay bounded") {
+    // grouping sets NEED Expand (one replica per set) — this pin
+    // documents the expected factor instead of banning it, and holds
+    // the rest of the plan to one aggregate exchange.
+    val p = planOf("a14_grouping_sets")
+    assert(count(p, "Expand") == 1, s"expected exactly one Expand node:\n$p")
+    assert(count(p, "Exchange") <= 2, s"exchange budget exceeded:\n$p")
   }
 
   test("w15_topk_group plans a WindowGroupLimit: map-side top-k before the shuffle") {

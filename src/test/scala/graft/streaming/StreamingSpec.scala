@@ -222,6 +222,53 @@ class StreamingSpec extends SparkSpec {
     assert(sinkIds() == Seq(1L, 2L, 3L))
   }
 
+  test("foreachBatch JDBC sink stays idempotent under batch replay") {
+    import spark.implicits._
+    // The production streaming→warehouse pattern: foreachBatch gives
+    // at-least-once batch delivery, so the write must be keyed on
+    // batchId and replay-safe — delete-then-insert per batchId makes a
+    // redelivered micro-batch a no-op instead of a duplicate.
+    val url = s"jdbc:derby:${Files.createTempDirectory("fb-derby")}/db;create=true"
+    val props = new java.util.Properties()
+    Seq((0L, 0.0)).toDF("event_id", "value").limit(0)
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").jdbc(url, "fb_sink", props)
+
+    def upsertBatch(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      // idempotence guard: wipe any prior attempt of THIS batch first
+      val con = java.sql.DriverManager.getConnection(url)
+      // Spark's JDBC writer passes the table name through unquoted but
+      // quotes COLUMN names — Derby stores them case-sensitive, so the
+      // delete must quote the column the same way
+      try con.createStatement().executeUpdate(
+        s"""DELETE FROM fb_sink WHERE "batch_id" = $batchId""")
+      finally con.close()
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("append").jdbc(url, "fb_sink", props)
+    }
+
+    val d = Files.createTempDirectory("stream-fb").toString
+    Seq((1L, 1.5), (2L, 2.25), (3L, 9.0)).toDF("event_id", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/ev.parquet")
+    val q = spark.readStream
+      .schema("event_id BIGINT, value DOUBLE")
+      .parquet(s"$d/ev.parquet")
+      .writeStream
+      .foreachBatch(upsertBatch _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    def sinkRows() = spark.read.jdbc(url, "fb_sink", props)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(sinkRows() == Seq(1L, 2L, 3L))
+
+    // simulate the at-least-once redelivery of batch 0: same data, same
+    // batchId — the sink must be unchanged, not doubled
+    upsertBatch(spark.read.parquet(s"$d/ev.parquet"), 0L)
+    assert(sinkRows() == Seq(1L, 2L, 3L))
+  }
+
   test("stream-static enrichment join equals the batch join, unknown keys kept") {
     import spark.implicits._
     // user 2 has no dim row → must pass through with null segment
