@@ -347,7 +347,32 @@ object TextOps {
           .orderBy($"n".desc, $"term".asc)).cast("long"))
   }
 
+  /** Context-window chunking: split each document into overlapping
+    * token windows (size 32, stride 16) — the standard prep step for
+    * embedding models and LM training windows. Pure map-side: the only
+    * row growth is the ~len/stride chunk fanout per doc (bounded, known
+    * in advance), no shuffle at all. Every chunk start ≤ len, so every
+    * token lands in ≥ 1 chunk; tail chunks are shorter rather than
+    * padded (padding is a model concern, not a data concern). */
+  private val chunk: Q = (spark, dir) => {
+    import spark.implicits._
+    val ChunkLen = 32
+    val Stride = 16
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        filter(toks($"text"), x => length(x) > 0).as("w"))
+      .select($"doc_id", $"w", explode(sequence(
+        lit(1), greatest(size($"w"), lit(1)), lit(Stride))).as("start"))
+      .select($"doc_id",
+        (($"start" - 1) / Stride).cast("long").as("chunk_id"),
+        slice($"w", $"start", lit(ChunkLen)).as("c"))
+      .select($"doc_id", $"chunk_id",
+        size($"c").cast("long").as("n_toks"),
+        array_join($"c", " ").as("chunk_text"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d_chunk"          -> chunk,
     "d_vocab_topk"     -> vocab,
     "d_tfidf_topterms" -> tfidf,
     "d_text_stats"     -> stats,
@@ -393,6 +418,20 @@ object TextOps {
     (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    "d_chunk" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter($ToksSql, x -> length(x) > 0) AS w FROM documents),
+         |s AS (SELECT doc_id, w,
+         |  unnest(generate_series(1, greatest(len(w), 1), 16)) AS start
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST((start - 1) // 16 AS BIGINT) AS chunk_id,
+         |  CAST(len(list_slice(w, start, least(start + 31, len(w))))
+         |    AS BIGINT) AS n_toks,
+         |  array_to_string(list_slice(w, start, least(start + 31, len(w))),
+         |    ' ') AS chunk_text
+         |FROM s""".stripMargin,
+
     "d_vocab_topk" -> {
       val stops = Stopwords.map(s => s"'$s'").mkString(", ")
       s"""WITH t AS (SELECT unnest($ToksSql) AS term FROM documents),
