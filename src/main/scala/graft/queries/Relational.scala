@@ -433,6 +433,21 @@ object Relational {
       .select($"o_orderkey", $"o_orderstatus")
   }
 
+  // ---- O5 (extension): leakage-safe grouped train/val/test split —
+  // the split key is the GROUP (user), not the row: all of a user's
+  // events land in the same split, so correlated rows can never leak
+  // across the train/test boundary (row-level randomSplit on event data
+  // does exactly that). Hash-deterministic like o4: stable across
+  // reruns, re-ingests, and partition layouts — the training set is an
+  // auditable function of the data. 80/10/10 by user.
+  private val o5: Q = (spark, dir) => {
+    import spark.implicits._
+    val pct = graft.llm.TextOps.hash48($"user_id".cast("string")) % 100
+    val split = when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
+    Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", split.as("split"))
+  }
+
   // ---- A12 (extension): one-pass column profiling — the data-quality
   // summary every ingest pipeline runs before training. ONE aggregate
   // over ONE scan (no per-column passes): row count, null count, exact
@@ -567,6 +582,7 @@ object Relational {
     "t5_gapfill"         -> t5,
     "w17_rolling_7d"     -> w17,
     "a8_approx_percentiles" -> a8approx,
+    "o5_group_hash_split" -> o5,
     "w15_topk_group"     -> w15,
     "f12_json_extract"   -> f12,
     "p2_set_ops"         -> p2,
@@ -764,6 +780,15 @@ object Relational {
         |SELECT s.user_id, s.d, COALESCE(daily.n0, 0) AS n
         |FROM spine s LEFT JOIN daily
         |  ON daily.user_id = s.user_id AND daily.d = s.d""".stripMargin,
+
+    "o5_group_hash_split" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |               AS BIGINT) % 100) < 80 THEN 'train'
+        |       WHEN (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |               AS BIGINT) % 100) < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM events""".stripMargin,
 
     "w17_rolling_7d" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,

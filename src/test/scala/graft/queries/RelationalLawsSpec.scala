@@ -41,6 +41,26 @@ class RelationalLawsSpec extends SparkSpec {
     assert(keys.nonEmpty && keys == keys2)
   }
 
+  test("O5 law: grouped split is leakage-free and hits 80/10/10 by group") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val s = Relational.queries("o5_group_hash_split")(spark, dir)
+    // leakage-free: every user's events land in exactly ONE split
+    val mixed = s.groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.countDistinct($"split").as("k"))
+      .filter($"k" > 1).count()
+    assert(mixed == 0L)
+    // split rates by USER (the unit of assignment), ±4σ binomial
+    val byUser = s.select($"user_id", $"split").distinct()
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    val n = byUser.values.sum.toDouble
+    for ((split, p) <- Map("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) {
+      val rate = byUser.getOrElse(split, 0L) / n
+      val tol = 4 * math.sqrt(p * (1 - p) / n)
+      assert(math.abs(rate - p) <= tol, s"$split rate $rate vs $p ± $tol")
+    }
+  }
+
   test("A8 law: approx percentiles land within the GK rank-error bound of exact") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
