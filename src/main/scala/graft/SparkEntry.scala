@@ -22,6 +22,7 @@ object SparkEntry {
       graft.ml.ChurnML.queries ++
       graft.llm.TextOps.queries ++
       graft.llm.Retrieval.queries ++
+      graft.llm.CorpusPipeline.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.EventWindows.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
       graft.ml.ChurnML.oracles ++
       graft.llm.TextOps.oracles ++
       graft.llm.Retrieval.oracles ++
+      graft.llm.CorpusPipeline.oracles ++
       graft.llm.Dedup.oracles ++
       graft.llm.Similarity.oracles ++
       graft.llm.EventWindows.oracles ++

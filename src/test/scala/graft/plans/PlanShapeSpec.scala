@@ -79,7 +79,11 @@ class PlanShapeSpec extends SparkSpec {
     // funnel: lag window shuffle + transition-count agg
     ("ev_funnel", 3, 0),
     // per-vector HOF analytics: map-side only, ZERO exchanges
-    ("f13_higher_order", 0, 0))
+    ("f13_higher_order", 0, 0),
+    // composed corpus-prep: quality (map-side) + content-hash dedup
+    // (one agg shuffle) + two doc_id joins + map-side chunk/split;
+    // observed 5 exchanges, 2 broadcast joins
+    ("pipe_corpus_prep", 7, 1))
 
   for ((name, maxExchanges, minBroadcast) <- budgets) {
     test(s"$name plan: Expand-free, cartesian-free, ≤$maxExchanges exchanges" +
