@@ -111,6 +111,59 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("property: asofJoin and boundedRangeJoin equal naive spellings on random events") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val userGen = Gen.chooseNum(1L, 5L)
+    val tsGen = Gen.chooseNum(0L, 5000L)
+    for (_ <- 1 to 3) {
+      val left = Gen.listOfN(40, Gen.zip(userGen, tsGen)).sample.get
+        .zipWithIndex
+        .map { case ((u, t), i) => (i.toLong, u, new Timestamp(t * 1000L)) }
+        .toDF("p_id", "user_id", "ts")
+      // unique (user, ts) on the right: at equal-ts ties BOTH spellings
+      // pick arbitrarily, so ties would make the comparison ill-defined
+      val right = Gen.listOfN(80, Gen.zip(userGen, tsGen)).sample.get
+        .distinctBy(identity).zipWithIndex
+        .map { case ((u, t), i) =>
+          (1000L + i, u, new Timestamp(t * 1000L), i * 0.5) }
+        .toDF("event_id", "user_id", "ts", "value")
+
+      for (strict <- Seq(true, false)) {
+        val fast = TemporalJoins.asofJoin(left, right, Seq("user_id"),
+            "ts", "ts", rightPayload = Seq("event_id", "value"),
+            strict = strict)
+          .select($"p_id", $"asof_event_id", $"asof_value")
+          .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+        val cond = $"user_id" === $"r_user" &&
+          (if (strict) $"r_ts" < $"l_ts" else $"r_ts" <= $"l_ts")
+        val naive = left.withColumnRenamed("ts", "l_ts")
+          .join(right.toDF("event_id", "r_user", "r_ts", "value"), cond, "left")
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"p_id").orderBy($"r_ts".desc_nulls_last)))
+          .filter($"rk" === 1)
+          .select($"p_id", $"event_id", $"value")
+          .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+        assert(fast == naive, s"asof strict=$strict diverged")
+      }
+
+      for (lag <- Seq(60L, 600L, 3600L)) {
+        val fast = TemporalJoins.boundedRangeJoin(left, right,
+            Seq("user_id"), "ts", "ts", lagSeconds = lag)
+          .select($"p_id", $"r_event_id")
+          .as[(Long, Long)].collect().sorted.toSeq
+        val naive = left.as("p").join(right.as("v"),
+            $"p.user_id" === $"v.user_id" &&
+              $"v.ts" >= $"p.ts" - expr(s"INTERVAL $lag seconds") &&
+              $"v.ts" < $"p.ts")
+          .select($"p_id", $"v.event_id")
+          .as[(Long, Long)].collect().sorted.toSeq
+        assert(fast == naive, s"range lag=$lag diverged")
+      }
+    }
+  }
+
   test("boundedRangeJoin: boundary inclusivity and cross-bucket matches") {
     import spark.implicits._
     // lag 60 s; rights planted exactly at the boundaries and across the
