@@ -55,6 +55,30 @@ object Dedup {
       .select($"doc_id", shingles(toks($"text")).as("sh"))
   }
 
+  /** Eval-set decontamination: corpus docs sharing ≥ `minShared`
+    * distinct shingles with any eval-set doc — the standard benchmark-
+    * contamination sweep run before training (a training doc that
+    * contains an eval item's n-grams inflates the benchmark). The eval
+    * set is small by nature, so its postings BROADCAST: the corpus-side
+    * token stream never shuffles, and candidate volume is bounded by
+    * (eval postings × matching corpus postings), never corpus×corpus.
+    * Demo eval set: doc_id % 50 == 0 (2% of the corpus). */
+  def contamination(spark: SparkSession, dir: String,
+                    minShared: Long = 2L): DataFrame = {
+    import spark.implicits._
+    val posts = docShingles(spark, dir)
+      .select($"doc_id", explode($"sh").as("s0"))
+      .select($"doc_id", TextOps.hash48($"s0").as("tok"))
+      .distinct() // guard 48-bit collisions, same as the ngram path
+    val evalPosts = posts.filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("eval_id"), $"tok")
+    posts.filter($"doc_id" % 50 =!= 0)
+      .join(broadcast(evalPosts), "tok")
+      .groupBy($"doc_id", $"eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+  }
+
   /** Exact Jaccard on candidate pairs given per-doc shingle arrays. */
   private def jaccardOnPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
@@ -527,7 +551,8 @@ object Dedup {
     "dedup_minhash_ml"    -> ((s, d) => minhashMl(s, d)),
     "dedup_embedding"     -> ((s, d) => embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => embeddingNearDupLsh(s, d)),
-    "dedup_clusters_embedding" -> ((s, d) => embeddingClusters(s, d)))
+    "dedup_clusters_embedding" -> ((s, d) => embeddingClusters(s, d)),
+    "d_contamination"     -> ((s, d) => contamination(s, d)))
 
   // ---- DuckDB oracles ----------------------------------------------
 
@@ -581,6 +606,16 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    "d_contamination" ->
+      s"""$shCte,
+         |inv AS (SELECT DISTINCT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(list_transform(sh, s -> ${hash48Sql("s")})) AS tok FROM s)),
+         |e AS (SELECT doc_id AS eval_id, tok FROM inv WHERE doc_id % 50 = 0),
+         |c AS (SELECT doc_id, tok FROM inv WHERE doc_id % 50 <> 0)
+         |SELECT c.doc_id, e.eval_id, COUNT(*) AS n_shared
+         |FROM c JOIN e USING (tok)
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -83,7 +83,11 @@ class PlanShapeSpec extends SparkSpec {
     // composed corpus-prep: quality (map-side) + content-hash dedup
     // (one agg shuffle) + two doc_id joins + map-side chunk/split;
     // observed 5 exchanges, 2 broadcast joins
-    ("pipe_corpus_prep", 7, 1))
+    ("pipe_corpus_prep", 7, 1),
+    // decontamination: eval postings BROADCAST onto the corpus token
+    // stream (the corpus side never shuffles for the join), then one
+    // pair-count agg
+    ("d_contamination", 5, 1))
 
   for ((name, maxExchanges, minBroadcast) <- budgets) {
     test(s"$name plan: Expand-free, cartesian-free, ≤$maxExchanges exchanges" +
