@@ -222,11 +222,38 @@ object Similarity {
         .as("mean_clip"))
   }
 
+  /** f14: per-vector int8 scalar quantization — the storage op that
+    * makes a 100 TB embedding corpus a 25 TB one. Each vector maps its
+    * [min, max] range onto 0..255 codes; map-side only, zero shuffles.
+    * The declared output is scalar audit columns (range, code checksum,
+    * max reconstruction error) rather than the code arrays themselves so
+    * the oracle hash stays scalar; the reconstruction-error bound
+    * (≤ scale/2 by construction) is asserted in SimilaritySpec. */
+  private val quant: Q = (spark, dir) => {
+    import spark.implicits._
+    val v = transform($"embedding", x => x.cast("double"))
+    val lo = array_min(v)
+    val hi = array_max(v)
+    val scale = (hi - lo) / lit(255.0)
+    val codes = transform(v, x => round((x - lo) / scale).cast("int"))
+    val recon = transform(codes, c => lo + c * scale)
+    val maxErr = aggregate(
+      zip_with(v, recon, (a, b) => abs(a - b)), lit(0.0),
+      (acc, e) => greatest(acc, e))
+    Tables.load(spark, dir, "embeddings").select(
+      $"vec_id",
+      round(lo, 6).as("qlo"),
+      round(hi, 6).as("qhi"),
+      aggregate(codes, lit(0L), (acc, c) => acc + c).as("code_sum"),
+      round(maxErr, 6).as("max_abs_err"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk_brute" -> ((s, d) => topkBrute(s, d)),
     "sim_topk_lsh"   -> ((s, d) => topkLsh(s, d)),
     "sim_topk_ivf"   -> ((s, d) => topkIvf(s, d)),
-    "f13_higher_order" -> hof)
+    "f13_higher_order" -> hof,
+    "f14_quantize"   -> quant)
 
   // ---- DuckDB oracles ----------------------------------------------
 
@@ -260,6 +287,22 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "f14_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi,
+        |        (list_max(v) - list_min(v)) / 255.0 AS scale FROM e),
+        |c AS (SELECT vec_id, v, lo, hi, scale,
+        |        list_transform(v, x -> CAST(round((x - lo) / scale) AS INT))
+        |          AS codes FROM q)
+        |SELECT vec_id, round(lo, 6) AS qlo, round(hi, 6) AS qhi,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(list_zip(v,
+        |      list_transform(codes, cc -> lo + cc * scale)),
+        |      p -> abs(p[1] - p[2]))),
+        |    (a, b) -> CASE WHEN b > a THEN b ELSE a END), 6) AS max_abs_err
+        |FROM c""".stripMargin,
+
     "f13_higher_order" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |                  len(embedding) AS dim FROM embeddings)

@@ -26,6 +26,22 @@ class SimilaritySpec extends SparkSpec {
     df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
   }
 
+  test("int8 quantization reconstruction error stays within scale/2") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // by construction: |x - dequant(quant(x))| ≤ (hi-lo)/255/2 per
+    // vector (round to nearest code). The declared query emits the
+    // audit scalars; this asserts the bound they're meant to audit.
+    val rows = Similarity.queries("f14_quantize")(spark, dir)
+      .select($"vec_id", $"qlo", $"qhi", $"max_abs_err")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (id, lo, hi, err) =>
+      val bound = (hi - lo) / 255.0 / 2.0 + 1e-6 // rounding slack on err
+      assert(err <= bound, s"vec $id err $err > half-step $bound")
+    }
+  }
+
   test("banded embedding LSH recovers most exact probe-subset near-dup pairs") {
     val exact = pairSet(Dedup.embeddingNearDup(spark, dir))
     val lsh   = pairSet(Dedup.embeddingNearDupLsh(spark, dir))

@@ -80,6 +80,8 @@ class PlanShapeSpec extends SparkSpec {
     ("ev_funnel", 3, 0),
     // per-vector HOF analytics: map-side only, ZERO exchanges
     ("f13_higher_order", 0, 0),
+    // per-vector int8 quantization audit: map-side only, ZERO exchanges
+    ("f14_quantize", 0, 0),
     // composed corpus-prep: quality (map-side) + content-hash dedup
     // (one agg shuffle) + two doc_id joins + map-side chunk/split;
     // observed 5 exchanges, 2 broadcast joins
