@@ -371,7 +371,29 @@ object TextOps {
         array_join($"c", " ").as("chunk_text"))
   }
 
+  /** Token-distribution entropy per document — the information-density
+    * quality signal (near-zero entropy = degenerate repetition, the
+    * failure mode uniq_ratio catches only crudely). Two shuffles: term
+    * frequencies by (doc, term), then the entropy fold by doc; both are
+    * plain partial-agg groupBys. Value rounded to 6 dp (double-sum
+    * order differs per engine — the a11 treatment). */
+  private val entropy: Q = (spark, dir) => {
+    import spark.implicits._
+    val tf = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(toks($"text")).as("term"))
+      .filter(length($"term") > 0)
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    tf.groupBy($"doc_id")
+      .agg(sum($"tf").as("n"),
+        sum($"tf".cast("double") * log($"tf".cast("double"))).as("slog"))
+      // H = ln n − (Σ tf·ln tf)/n  (algebraic form of −Σ p·ln p; one
+      // pass, no second join against the total)
+      .select($"doc_id", $"n",
+        round(log($"n") - $"slog" / $"n", 6).as("entropy"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d_entropy"        -> entropy,
     "d_chunk"          -> chunk,
     "d_vocab_topk"     -> vocab,
     "d_tfidf_topterms" -> tfidf,
@@ -418,6 +440,17 @@ object TextOps {
     (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    "d_entropy" ->
+      s"""WITH t AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+         |       WHERE length(term) > 0 GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n,
+         |          SUM(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))) AS slog
+         |        FROM tf GROUP BY 1)
+         |SELECT doc_id, n,
+         |       round(ln(CAST(n AS DOUBLE)) - slog / n, 6) AS entropy
+         |FROM agg""".stripMargin,
+
     "d_chunk" ->
       s"""WITH t AS (SELECT doc_id,
          |  list_filter($ToksSql, x -> length(x) > 0) AS w FROM documents),
