@@ -58,4 +58,25 @@ object Metrics {
       "recall"    -> recall,
       "f1"        -> f1)
   }
+
+  /** Extension: calibration table — equal-width probability bins with
+    * (count, mean predicted prob, observed positive rate) per bin. A
+    * model is calibrated when mean_prob ≈ frac_pos bin-by-bin; AUC
+    * alone cannot see miscalibration (it is rank-only). ONE aggregate
+    * pass over the scored output — the bin column is a plain floor
+    * expression, so partial aggregation applies at any scale. */
+  def calibration(predictions: DataFrame,
+                  bins: Int = 10,
+                  labelCol: String = "label",
+                  probCol: String = "prob1"): DataFrame = {
+    val p = col(probCol).cast("double")
+    predictions
+      .withColumn("bin",
+        least(floor(p * bins), lit(bins - 1)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        avg(p).as("mean_prob"),
+        avg(col(labelCol).cast("double")).as("frac_pos"))
+      .orderBy(col("bin"))
+  }
 }

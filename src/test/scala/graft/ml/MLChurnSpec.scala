@@ -95,6 +95,26 @@ class MLChurnSpec extends SparkSpec {
     assert(skipModel.transform(wide).count() == train.count())
   }
 
+  test("rf feature importances attribute the planted signal to its driver") {
+    import org.apache.spark.ml.attribute.AttributeGroup
+    import org.apache.spark.ml.classification.RandomForestClassificationModel
+    // the planted label IS monetary > median, so a correct fit must put
+    // `monetary` at (or within correlated-proxy distance of) the top of
+    // featureImportances — importances that ignore the label's driver
+    // mean the feature plumbing is scrambled, which AUC alone can hide.
+    val model = ChurnML.pipeline("rf").fit(planted)
+    val out = model.transform(planted)
+    val names = AttributeGroup.fromStructField(out.schema("features"))
+      .attributes.get.flatMap(_.name).toSeq
+    val rf = model.stages.last.asInstanceOf[RandomForestClassificationModel]
+    val ranked = names.zip(rf.featureImportances.toArray).sortBy(-_._2)
+    val top3 = ranked.take(3)
+    assert(top3.exists(_._1 == "monetary"),
+      s"monetary not in importance top-3: ${ranked.take(5)}")
+    assert(ranked.head._2 > 0.1,
+      s"no feature carries weight, importances degenerate: ${ranked.take(5)}")
+  }
+
   test("xgb front-end assembles exactly the 35-column selection") {
     import org.apache.spark.ml.Pipeline
     import org.apache.spark.ml.attribute.AttributeGroup
