@@ -84,7 +84,7 @@ object Profile {
           timed(Retrieval.bm25TopK(docs, Retrieval.QueryTerms, 10).collect()))
         val (top, t) = runs.minBy(_._2)
         println(f"[bm25-probe] $label tokens=$nTok queryPostings=$nPost " +
-          f"(${100.0 * nPost / nTok}%.2f%%) top1=${top.head.getLong(0)} " +
+          f"(${100.0 * nPost / nTok}%.2f%%) top1=${top.head().getLong(0)} " +
           f"time=$t%.2f s")
       }
       spark.stop(); return
@@ -135,7 +135,7 @@ object Profile {
           val s = posts.agg(
             count(lit(1)).as("buckets"),
             max($"count").as("max_bucket"),
-            sum($"count" * ($"count" - 1) / 2).as("gen_pairs")).head
+            sum($"count" * ($"count" - 1) / 2).as("gen_pairs")).head()
           val t0 = System.nanoTime()
           val survivors = Dedup.embeddingNearDupLsh(spark, d,
             bands = Similarity.LshBands, bitsPerBand = bits).count()
@@ -188,7 +188,7 @@ object Profile {
         // candidate volume each spelling materializes before its filter
         val perUser = p.groupBy($"user_id").agg(count(lit(1)).as("np"))
           .join(v.groupBy($"user_id").agg(count(lit(1)).as("nv")), Seq("user_id"))
-        val naiveCand = perUser.agg(sum($"np" * $"nv")).head.getLong(0)
+        val naiveCand = perUser.agg(sum($"np" * $"nv")).head().getLong(0)
         val lagUs = lagSec * 1000000L
         val binnedCand = p.withColumn("b", floor(unix_micros($"ts") / lagUs))
           .groupBy($"user_id", $"b").agg(count(lit(1)).as("np"))
@@ -196,7 +196,7 @@ object Profile {
               .withColumn("b", explode(array($"b0", $"b0" + 1)))
               .groupBy($"user_id", $"b").agg(count(lit(1)).as("nv")),
             Seq("user_id", "b"))
-          .agg(sum($"np" * $"nv")).head.getLong(0)
+          .agg(sum($"np" * $"nv")).head().getLong(0)
         println(s"[temporal-probe] $lbl candidates: naiveRange=$naiveCand " +
           s"binnedRange=$binnedCand (x${naiveCand / math.max(binnedCand, 1)} reduction)")
 
@@ -273,7 +273,7 @@ object Profile {
           .groupBy($"tok").agg(count(lit(1)).as("d"))
           .filter($"d".between(2, cap))
           .agg(count(lit(1)).as("lists"), max($"d").as("max_df"),
-            sum($"d" * ($"d" - 1) / 2).as("gen_pairs")).head
+            sum($"d" * ($"d" - 1) / 2).as("gen_pairs")).head()
         s"postingLists=${st.get(0)} maxDf=${st.get(1)} genPairs=${st.get(2)}"
       }
       def timed[A](body: => A): (A, Double) = {
@@ -293,7 +293,7 @@ object Profile {
             sum(($"doc_id" % 10 === 0).cast("long")).as("nn"))
           .filter($"d".between(2, cap) && $"nn" >= 1)
           .agg(sum(($"d" - $"nn") * $"nn" + $"nn" * ($"nn" - 1) / 2)
-            .as("gen_pairs")).head
+            .as("gen_pairs")).head()
         s"incGenPairs=${st.get(0)}"
       }
       for ((label, d) <- dirs) {
