@@ -84,7 +84,7 @@ object Profile {
           timed(Retrieval.bm25TopK(docs, Retrieval.QueryTerms, 10).collect()))
         val (top, t) = runs.minBy(_._2)
         println(f"[bm25-probe] $label tokens=$nTok queryPostings=$nPost " +
-          f"(${100.0 * nPost / nTok}%.2f%%) top1=${top.head().getLong(0)} " +
+          f"(${100.0 * nPost / nTok}%.2f%%) top1=${top.head.getLong(0)} " +
           f"time=$t%.2f s")
       }
       spark.stop(); return

@@ -433,6 +433,39 @@ object Relational {
       .select($"o_orderkey", $"o_orderstatus")
   }
 
+  // ---- J6 (extension): market-basket co-occurrence — part pairs bought
+  // in the same order, the item-item similarity primitive behind
+  // "customers also bought". Self-join ON THE ORDER KEY: per-key fanout
+  // is C(basket, 2) with basket ≤ ~a dozen items, so candidate volume is
+  // rows × avg basket — linear in the fact table — where a naive
+  // part×part co-occurrence would be quadratic in the catalog. Ordered
+  // pairs (a < b) halve the output; support ≥ 2 prunes noise pairs.
+  private val j6: Q = (spark, dir) => {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    li.as("a").join(li.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("part_a"), $"b.pk".as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= 2)
+  }
+
+  // ---- A15 (extension): fixed-width histogram — the distribution
+  // report every profiling pass wants next to min/max. The bucket is a
+  // plain floor expression over a LITERAL range (a data-derived range
+  // would cost a pre-pass; report ranges are parameters), so partial
+  // aggregation applies and the output is ≤ nbuckets rows.
+  private val a15: Q = (spark, dir) => {
+    import spark.implicits._
+    val (lo, hi, buckets) = (0.0, 500000.0, 10)
+    val w = (hi - lo) / buckets
+    Tables.load(spark, dir, "orders")
+      .select(least(floor(($"o_totalprice" - lo) / w), lit(buckets - 1))
+        .cast("long").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+  }
+
   // ---- O5 (extension): leakage-safe grouped train/val/test split —
   // the split key is the GROUP (user), not the row: all of a user's
   // events land in the same split, so correlated rows can never leak
@@ -583,6 +616,8 @@ object Relational {
     "w17_rolling_7d"     -> w17,
     "a8_approx_percentiles" -> a8approx,
     "o5_group_hash_split" -> o5,
+    "j6_cooccurrence"    -> j6,
+    "a15_histogram"      -> a15,
     "w15_topk_group"     -> w15,
     "f12_json_extract"   -> f12,
     "p2_set_ops"         -> p2,
@@ -780,6 +815,19 @@ object Relational {
         |SELECT s.user_id, s.d, COALESCE(daily.n0, 0) AS n
         |FROM spine s LEFT JOIN daily
         |  ON daily.user_id = s.user_id AND daily.d = s.d""".stripMargin,
+
+    "j6_cooccurrence" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem)
+        |SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS support
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+
+    "a15_histogram" ->
+      """SELECT CAST(least(floor((o_totalprice - 0.0) / 50000.0), 9)
+        |         AS BIGINT) AS bucket,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "o5_group_hash_split" ->
       """SELECT event_id, user_id,

@@ -89,7 +89,12 @@ class PlanShapeSpec extends SparkSpec {
     // decontamination: eval postings BROADCAST onto the corpus token
     // stream (the corpus side never shuffles for the join), then one
     // pair-count agg
-    ("d_contamination", 5, 1))
+    ("d_contamination", 5, 1),
+    // basket co-occurrence: distinct + order-key self-join + pair agg
+    // (per-key fanout = C(basket,2), bounded); observed 4 exchanges
+    ("j6_cooccurrence", 6, 0),
+    // fixed-range histogram: ONE partial+final aggregate
+    ("a15_histogram", 2, 0))
 
   for ((name, maxExchanges, minBroadcast) <- budgets) {
     test(s"$name plan: Expand-free, cartesian-free, ≤$maxExchanges exchanges" +
