@@ -451,6 +451,26 @@ object Relational {
       .filter($"support" >= 2)
   }
 
+  // ---- J7 (extension): blocked fuzzy match — entity resolution's
+  // standard two-phase shape: a cheap BLOCKING key (brand) bounds the
+  // candidate pairs to within-block C(n,2), then the expensive verify
+  // (edit distance ≤ 2) runs on candidates only. An unblocked fuzzy
+  // join is catalog×catalog — the classic accidental cross join; the
+  // equi-join on the block key keeps Catalyst on a hash join. Output
+  // keeps the names so a reviewer can audit the matches.
+  private val j7: Q = (spark, dir) => {
+    import spark.implicits._
+    val p = Tables.load(spark, dir, "part")
+      .select($"p_partkey", $"p_name", $"p_brand")
+    p.as("a").join(p.as("b"),
+        $"a.p_brand" === $"b.p_brand" && $"a.p_partkey" < $"b.p_partkey")
+      .withColumn("dist", levenshtein($"a.p_name", $"b.p_name"))
+      .filter($"dist" <= 2)
+      .select($"a.p_partkey".as("key_a"), $"b.p_partkey".as("key_b"),
+        $"a.p_name".as("name_a"), $"b.p_name".as("name_b"),
+        $"dist".cast("long").as("dist"))
+  }
+
   // ---- A15 (extension): fixed-width histogram — the distribution
   // report every profiling pass wants next to min/max. The bucket is a
   // plain floor expression over a LITERAL range (a data-derived range
@@ -618,6 +638,7 @@ object Relational {
     "o5_group_hash_split" -> o5,
     "j6_cooccurrence"    -> j6,
     "a15_histogram"      -> a15,
+    "j7_fuzzy_block"     -> j7,
     "w15_topk_group"     -> w15,
     "f12_json_extract"   -> f12,
     "p2_set_ops"         -> p2,
@@ -828,6 +849,14 @@ object Relational {
         |         AS BIGINT) AS bucket,
         |       COUNT(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "j7_fuzzy_block" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |       a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
 
     "o5_group_hash_split" ->
       """SELECT event_id, user_id,

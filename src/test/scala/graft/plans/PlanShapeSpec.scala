@@ -94,7 +94,11 @@ class PlanShapeSpec extends SparkSpec {
     // (per-key fanout = C(basket,2), bounded); observed 4 exchanges
     ("j6_cooccurrence", 6, 0),
     // fixed-range histogram: ONE partial+final aggregate
-    ("a15_histogram", 2, 0))
+    ("a15_histogram", 2, 0),
+    // blocked fuzzy match: the block key keeps this an equi-join (the
+    // cartesian/BNLJ zero-checks are the real guard — an unblocked
+    // fuzzy join would plan a cross product)
+    ("j7_fuzzy_block", 4, 0))
 
   for ((name, maxExchanges, minBroadcast) <- budgets) {
     test(s"$name plan: Expand-free, cartesian-free, ≤$maxExchanges exchanges" +
