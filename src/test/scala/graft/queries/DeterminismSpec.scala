@@ -21,7 +21,8 @@ class DeterminismSpec extends SparkSpec {
 
   private val queries = Seq(
     "dedup_ngram_jaccard", "dedup_clusters", "w15_topk_group",
-    "ev_asof_join", "d_bm25_topk", "pipe_corpus_prep", "d_entropy")
+    "ev_asof_join", "d_bm25_topk", "pipe_corpus_prep", "d_entropy",
+    "j6_cooccurrence", "j7_fuzzy_block", "d_contamination")
 
   private def runSorted(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
