@@ -57,12 +57,16 @@ object Profile {
       import graft.llm.Retrieval
       val factor = if (args.length > 2) args(2).toInt else 10
       val base = Tables.load(spark, dir, "documents")
+      // Copy offset from the DATA, not a constant: a fixed 1e6 stride
+      // silently collides doc_ids (and corrupts df counts) on any base
+      // corpus with doc_id ≥ 1e6 (ADVICE r7).
+      val docStride = base.agg(max($"doc_id")).head().getLong(0) + 1L
       // Copies keep the ORIGINAL text: query-term postings (and df)
       // scale exactly ×factor — homogeneous growth, the realistic regime
       // for retrieval over a grown corpus.
       val big = (0 until factor).map { i =>
         if (i == 0) base
-        else base.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+        else base.select(($"doc_id" + lit(i * docStride)).as("doc_id"),
           $"text", $"lang", $"source", $"n_chars")
       }.reduce(_ unionAll _)
       val bigDir = "target/bm25probe"
@@ -223,6 +227,95 @@ object Profile {
         println(f"[temporal-probe] $lbl asof: unionWindow=$tAsof%.2f s " +
           f"naivePairMax=$tAsofN%.2f s (rows=$nAsof%d/$nAsofN%d)")
       }
+      spark.stop(); return
+    }
+
+    if (args.length > 1 && args(1) == "fuzzy") {
+      // j7 blocking scale probe (VERDICT r7 #1): brand-only blocking has
+      // within-block C(n,2) candidates — quadratic in the catalog. The
+      // r8 composite key (brand × token-pos × SymSpell del-1 variant)
+      // should track the name VOCABULARY instead. The salted ×factor
+      // catalog models real catalog growth (a 10× catalog carries ~10×
+      // distinct product words): copy k suffixes every name token with
+      // "~kkk" — the k digit TRIPLED, so any two copies' suffixes are
+      // ≥ 3 substitutions apart and cross-copy pairs can never land
+      // within ed 2 (a single-digit suffix measured cross-copy matches:
+      // "~1" vs "~2" is ONE edit). Copies are thus vocabulary-disjoint,
+      // within-copy edit distances are preserved, and TRUE matches grow
+      // ×factor (linear).
+      // Claims under test: brand-only candidates grow ~factor²; SymSpell
+      // candidates (and runtime) grow ~factor.
+      val factor = if (args.length > 2) args(2).toInt else 10
+      val base = Tables.load(spark, dir, "part")
+        .select($"p_partkey", $"p_name", $"p_brand")
+      val keyStride = base.agg(max($"p_partkey")).head().getLong(0) + 1L
+      val dirs = ("1x", dir) +: (if (factor <= 1) Seq() else {
+        val d = "target/fuzzyprobe"
+        (0 until factor).map { i =>
+          if (i == 0) base
+          else base.select(($"p_partkey" + lit(i * keyStride)).as("p_partkey"),
+            regexp_replace($"p_name", "(\\S+)", s"$$1~$i$i$i").as("p_name"),
+            $"p_brand")
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$d/part.parquet")
+        Seq((s"${factor}x", d))
+      })
+      def timed[A](body: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val a = body
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      for ((lbl, d) <- dirs) {
+        val p = Tables.load(spark, d, "part")
+          .select($"p_partkey", $"p_name", $"p_brand")
+        // candidate volume: brand-only (r7 spelling) vs composite (r8)
+        val brandCand = p.groupBy($"p_brand", length($"p_name").as("l"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("l2", explode(sequence($"l", $"l" + 2)))
+          .as("a").join(p.groupBy($"p_brand", length($"p_name").as("l"))
+            .agg(count(lit(1)).as("n")).as("b"),
+            $"a.p_brand" === $"b.p_brand" && $"a.l2" === $"b.l")
+          .agg(sum(when($"a.l" === $"b.l", ($"a.n" * ($"a.n" - 1)).cast("long") / 2)
+            .otherwise($"a.n" * $"b.n")).cast("long")).head().getLong(0)
+        val symCand = graft.queries.Relational.j7Candidates(spark, d).count()
+        println(s"[fuzzy-probe] $lbl catalog=${p.count()} " +
+          s"brandOnlyCandidates=$brandCand symspellCandidates=$symCand")
+        // end-to-end: r7 brand-only spelling vs the declared r8 query
+        val (nOld, tOld) = timed(p.as("a").join(p.as("b"),
+            $"a.p_brand" === $"b.p_brand" && $"a.p_partkey" < $"b.p_partkey" &&
+              abs(length($"a.p_name") - length($"b.p_name")) <= 2)
+          .withColumn("dist", levenshtein($"a.p_name", $"b.p_name", 2))
+          .filter($"dist".between(0, 2)).count())
+        val (nNew, tNew) = timed(
+          graft.queries.Relational.queries("j7_fuzzy_block")(spark, d).count())
+        println(f"[fuzzy-probe] $lbl brandOnly=$tOld%.2f s symspell=$tNew%.2f s " +
+          f"(matches=$nNew%d, equal=${nOld == nNew})")
+      }
+      spark.stop(); return
+    }
+
+    if (args.length > 1 && args(1) == "fuzzyrecall") {
+      // Recall audit (VERDICT r7 #1 "done" criterion): what does each
+      // blocking stage give up vs UNBLOCKED ground truth (all ed≤2 pairs
+      // across the whole catalog, any brand)? Run at sf0.01 — the
+      // unblocked pass is inherently O(n²) (that's the point).
+      val p = Tables.load(spark, dir, "part")
+        .select($"p_partkey", $"p_name", $"p_brand")
+      val truth = p.as("a").crossJoin(p.as("b"))
+        .filter($"a.p_partkey" < $"b.p_partkey" &&
+          abs(length($"a.p_name") - length($"b.p_name")) <= 2 &&
+          levenshtein($"a.p_name", $"b.p_name", 2).between(0, 2))
+        .select($"a.p_partkey".as("key_a"), $"b.p_partkey".as("key_b"),
+          ($"a.p_brand" === $"b.p_brand").as("same_brand"))
+      truth.cache()
+      val nTruth = truth.count()
+      val nSameBrand = truth.filter($"same_brand").count()
+      val nBlocked =
+        graft.queries.Relational.queries("j7_fuzzy_block")(spark, dir).count()
+      println(f"[fuzzy-recall] unblockedTruth=$nTruth withinBrand=$nSameBrand " +
+        f"brandBlockRecall=${nSameBrand.toDouble / nTruth}%.4f " +
+        f"symspellOutput=$nBlocked " +
+        f"symspellRecallVsBrand=${nBlocked.toDouble / nSameBrand}%.4f")
       spark.stop(); return
     }
 

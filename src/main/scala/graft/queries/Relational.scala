@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -452,34 +452,117 @@ object Relational {
   }
 
   // ---- J7 (extension): blocked fuzzy match — entity resolution's
-  // standard two-phase shape: a cheap BLOCKING key (brand) bounds the
-  // candidate pairs to within-block C(n,2), then the expensive verify
-  // (edit distance ≤ 2) runs on candidates only. An unblocked fuzzy
-  // join is catalog×catalog — the classic accidental cross join; the
-  // equi-join on the block key keeps Catalyst on a hash join. Output
-  // keeps the names so a reviewer can audit the matches.
-  private val j7: Q = (spark, dir) => {
+  // standard two-phase shape: a cheap BLOCKING key bounds the candidate
+  // pairs, then the expensive verify (edit distance ≤ 2) runs on
+  // candidates only. An unblocked fuzzy join is catalog×catalog — the
+  // classic accidental cross join; equi-join blocking keeps Catalyst on
+  // a hash join. Output keeps the names so a reviewer can audit.
+  //
+  // Blocking key (r8, the r7 scale-killer fix): brand alone gives
+  // within-block C(n,2) — with ~25 brands, candidates grow QUADRATICALLY
+  // in the catalog (6.9M pairs at sf0.1, 100× at 10×). The composite key
+  // here is brand × token-position × SymSpell deletion-variant, with a
+  // recall GUARANTEE, not a heuristic trade:
+  //   (1) pigeonhole: names are "<modifier> <noun>"; ≤ 2 edits split
+  //       across the two token regions, so at least one token carries
+  //       ≤ 1 edit (a moved/deleted space costs an edit in each region
+  //       it touches, preserving the bound);
+  //   (2) SymSpell: ed(x, y) ≤ 1  ⟹  {x}∪del1(x) ∩ {y}∪del1(y) ≠ ∅
+  //       (equal / insert / delete share trivially; a substitution at
+  //       position i shares the delete-at-i variant).
+  // So every ed≤2 pair collides on ≥ 1 (brand, pos, variant) key —
+  // verified: 220,542/220,542 ground-truth pairs at sf0.1 (recall 1.0,
+  // SURVEY §9 audit) — while candidates drop 6.9M → 2.0M at sf0.1, and,
+  // unlike brand-only, block sizes track the NAME VOCABULARY: on a
+  // salted 10× catalog (vocabulary grows with the catalog, as real ones
+  // do) candidates grow ~linearly where brand-only grows ~100×
+  // (Profile `fuzzy` probe). ~12 keys/row (2 tokens × (len+1) variants)
+  // is the indexing cost — linear, map-side; see [[j7Candidates]] for
+  // why the candidate join is split into exact/near paths. The DISTINCT
+  // collapses multi-key collisions before the O(len²) DP; the
+  // length-delta prefilter and the levenshtein THRESHOLD overload
+  // (early-exits the DP past 2) carry over from r7.
+  //
+  // PRECONDITION (asserted in RelationalLawsSpec): names tokenize to
+  // exactly two space-separated tokens on both sides — the pigeonhole
+  // splits the edit budget over two token regions. (A 5-token TPC-H
+  // name would need the same scheme with ≤ 2 destroyed tokens of 5 —
+  // exact token share — i.e. a weaker key and FEWER candidates.)
+  /** The blocking stage of j7, exposed for the Profile `fuzzy` probe:
+    * distinct candidate pairs that collide on ≥ 1 (brand, token-pos,
+    * SymSpell del-1 variant) key and pass the length-delta prefilter.
+    *
+    * Two disjoint join paths keep the pre-distinct volume at ~1× the
+    * candidate count (a single all-variants self-join measured 10.4M
+    * raw rows for 2.0M candidates at sf0.1 — two tokens that are EQUAL
+    * collide on every one of their len+1 shared variants):
+    *   exact — key (brand, pos, tok): equal-token pairs, ≤ 1 row per
+    *           (pair, pos), the bulk of the volume;
+    *   near  — key (brand, pos, variant) with tok_a ≠ tok_b and the
+    *           SymSpell role guard (pdel_a = 0 ∨ pdel_b = 0 ∨
+    *           pdel_a = pdel_b): tokens at edit distance exactly 1
+    *           (insert/delete: one side is the other's del-variant;
+    *           substitution at i: both del-at-i variants equal). The
+    *           tok guard runs inside the join probe, so equal-token
+    *           collisions are dropped before any shuffle.
+    * Both key tables are ~12 narrow rows per part — linear, map-side,
+    * and small enough to BROADCAST; the only shuffle is the final
+    * pair distinct. */
+  def j7Candidates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = Tables.load(spark, dir, "part")
       .select($"p_partkey", $"p_name", $"p_brand")
-    // Semantics-free candidate cuts before the O(len²) DP runs: a
-    // length delta > 2 can't be within distance 2, and the levenshtein
-    // THRESHOLD overload early-exits the DP once a row of the table
-    // exceeds 2 (returns -1 beyond it) — measured 12.9 → 6.4 s at
-    // sf0.1. The residual cost IS the bounded DP over within-block
-    // pairs: q-gram count filtering (the textbook next cut) is
-    // toothless on ~10-char names (2 edits can destroy 6 of ~8 grams),
-    // and a length-binned equi-join (the ev_range_join trick) measured
-    // NO better because name lengths cluster into adjacent buckets —
-    // the honest lever at scale is a finer blocking key, a recall
-    // trade the caller owns.
-    p.as("a").join(p.as("b"),
-        $"a.p_brand" === $"b.p_brand" && $"a.p_partkey" < $"b.p_partkey" &&
-          abs(length($"a.p_name") - length($"b.p_name")) <= 2)
-      .withColumn("dist", levenshtein($"a.p_name", $"b.p_name", 2))
+    val firstTok = element_at(split($"p_name", " "), 1)
+    val lastTok  = element_at(split($"p_name", " "), -1)
+    val toks = p
+      .select($"p_partkey", $"p_name", $"p_brand",
+        posexplode(array(firstTok, lastTok)).as(Seq("pos", "tok")))
+    // (pdel, variant) pairs: pdel = 0 → the token itself, pdel = i > 0
+    // → tok with char i deleted. Repeated characters can yield the same
+    // variant at two pdel values; the final distinct absorbs those.
+    val keys = toks.select($"p_partkey", $"p_name", $"p_brand", $"pos", $"tok",
+      explode(concat(
+        array(struct(lit(0).as("pdel"), $"tok".as("variant"))),
+        transform(sequence(lit(1), greatest(length($"tok"), lit(1))),
+          i => struct(i.as("pdel"),
+            concat($"tok".substr(lit(1), i - lit(1)),
+                   $"tok".substr(i + lit(1), length($"tok"))).as("variant")))))
+        .as("kv"))
+      .select($"p_partkey", $"p_name", $"p_brand", $"pos",
+        $"tok", $"kv.variant".as("variant"), $"kv.pdel".as("pdel"))
+    def pairCols(side: String => Column) = Seq(
+      side("a.p_partkey").as("key_a"), side("b.p_partkey").as("key_b"),
+      side("a.p_name").as("name_a"), side("b.p_name").as("name_b"))
+    val lenOk = abs(length($"a.p_name") - length($"b.p_name")) <= 2
+    val exact = toks.as("a").join(toks.as("b"),
+        $"a.p_brand" === $"b.p_brand" && $"a.pos" === $"b.pos" &&
+          $"a.tok" === $"b.tok" && $"a.p_partkey" < $"b.p_partkey" && lenOk)
+      .select(pairCols(col): _*)
+    val near = keys.as("a").join(keys.as("b"),
+        $"a.p_brand" === $"b.p_brand" && $"a.pos" === $"b.pos" &&
+          $"a.variant" === $"b.variant" && $"a.tok" =!= $"b.tok" &&
+          ($"a.pdel" === 0 || $"b.pdel" === 0 || $"a.pdel" === $"b.pdel") &&
+          $"a.p_partkey" < $"b.p_partkey" && lenOk)
+      .select(pairCols(col): _*)
+    // Pair dedup as groupBy-on-longs + first(name), NOT .distinct():
+    // name is a function of key, so first() is deterministic — and the
+    // names becoming AGGREGATE outputs stops Catalyst from pushing the
+    // downstream levenshtein filter below the dedup into the join
+    // condition, where it would run (twice) on every raw hash-match
+    // instead of once per distinct candidate (measured 19 s vs ~2 s at
+    // sf0.1 — the pushdown is a pessimization exactly when the filter
+    // is the expensive verify stage of a blocked join).
+    exact.unionAll(near)
+      .groupBy($"key_a", $"key_b")
+      .agg(first($"name_a").as("name_a"), first($"name_b").as("name_b"))
+  }
+
+  private val j7: Q = (spark, dir) => {
+    import spark.implicits._
+    j7Candidates(spark, dir)
+      .withColumn("dist", levenshtein($"name_a", $"name_b", 2))
       .filter($"dist".between(0, 2))
-      .select($"a.p_partkey".as("key_a"), $"b.p_partkey".as("key_b"),
-        $"a.p_name".as("name_a"), $"b.p_name".as("name_b"),
+      .select($"key_a", $"key_b", $"name_a", $"name_b",
         $"dist".cast("long").as("dist"))
   }
 

@@ -95,10 +95,14 @@ class PlanShapeSpec extends SparkSpec {
     ("j6_cooccurrence", 6, 0),
     // fixed-range histogram: ONE partial+final aggregate
     ("a15_histogram", 2, 0),
-    // blocked fuzzy match: the block key keeps this an equi-join (the
-    // cartesian/BNLJ zero-checks are the real guard — an unblocked
-    // fuzzy join would plan a cross product)
-    ("j7_fuzzy_block", 4, 0))
+    // blocked fuzzy match (r8 SymSpell blocking): TWO broadcast key
+    // joins (exact-token + del-variant paths — losing one to a shuffle
+    // join means the ~12-keys/part tables stopped broadcasting) + ONE
+    // shuffle for the pair-dedup aggregate; the cartesian/BNLJ
+    // zero-checks remain the unblocked-fuzzy-join guard, and the
+    // levenshtein verify must stay ABOVE the dedup (RelationalLawsSpec
+    // pins the no-pushdown barrier)
+    ("j7_fuzzy_block", 3, 2))
 
   for ((name, maxExchanges, minBroadcast) <- budgets) {
     test(s"$name plan: Expand-free, cartesian-free, ≤$maxExchanges exchanges" +

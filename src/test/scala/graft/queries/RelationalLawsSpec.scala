@@ -149,6 +149,53 @@ class RelationalLawsSpec extends SparkSpec {
     }
   }
 
+  test("J7 precondition: part names tokenize to exactly two tokens") {
+    // The SymSpell blocking guarantee pigeonholes the ≤2 edit budget
+    // over TWO token regions (Relational.scala j7 scaladoc). If the
+    // generator ever emits 1- or 3-token names this fails loudly and
+    // the key scheme needs the k-token generalization, not a silent
+    // recall hole.
+    import spark.implicits._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val bad = graft.Tables.load(spark, dir, "part")
+        .filter(size(split($"p_name", " ")) =!= 2).count()
+      assert(bad == 0L, s"$dir: $bad part names without exactly 2 tokens")
+    }
+  }
+
+  test("J7 law: SymSpell-blocked output equals the unblocked within-brand ground truth") {
+    // Recall 1.0 is a THEOREM for this blocking (pigeonhole + del-1
+    // neighborhoods); this asserts it empirically against the spelling
+    // that enumerates every within-brand pair.
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val p = graft.Tables.load(spark, dir, "part")
+      .select($"p_partkey", $"p_name", $"p_brand")
+    val truth = p.as("a").join(p.as("b"),
+        $"a.p_brand" === $"b.p_brand" && $"a.p_partkey" < $"b.p_partkey" &&
+          abs(length($"a.p_name") - length($"b.p_name")) <= 2)
+      .filter(levenshtein($"a.p_name", $"b.p_name", 2).between(0, 2))
+      .select($"a.p_partkey", $"b.p_partkey")
+      .as[(Long, Long)].collect().toSet
+    val got = Relational.queries("j7_fuzzy_block")(spark, dir)
+      .select($"key_a", $"key_b").as[(Long, Long)].collect().toSet
+    assert(got == truth, s"blocked ${got.size} vs truth ${truth.size}")
+  }
+
+  test("J7 plan: the levenshtein verify stays above the pair-dedup (no pushdown into the join)") {
+    // Catalyst pushing the DP filter through the dedup into the join
+    // condition re-runs it on every raw hash-match — measured 19 s vs
+    // 4 s at sf0.1. first()-aggregated names are the barrier; this
+    // pins it.
+    val plan = Relational.queries("j7_fuzzy_block")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val joinConds = "Join Inner, .*".r.findAllIn(plan).toList ++
+      "BroadcastHashJoin.*".r.findAllIn(plan).toList
+    assert(joinConds.nonEmpty)
+    assert(!joinConds.exists(_.contains("levenshtein")),
+      s"levenshtein leaked into a join condition:\n$plan")
+  }
+
   test("U1 shopchannel udf reproduces the reference's quirky 4-way mapping") {
     import spark.implicits._
     val cases = Seq(
