@@ -234,7 +234,10 @@ object Similarity {
     val v = transform($"embedding", x => x.cast("double"))
     val lo = array_min(v)
     val hi = array_max(v)
-    val scale = (hi - lo) / lit(255.0)
+    // Degenerate-range guard (ADVICE r7): a constant vector has hi == lo
+    // and 0/0 is NaN in Spark but engine-dependent in DuckDB — the tiny
+    // floor makes every code 0 and the error exactly 0 on BOTH sides.
+    val scale = greatest((hi - lo) / lit(255.0), lit(1e-12))
     // ONE fold computes code checksum and max error together, with
     // lo/scale riding in the accumulator: interpreted HOF lambdas
     // re-evaluate every subexpression they reference PER ELEMENT, so a
@@ -300,7 +303,7 @@ object Similarity {
     "f14_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi,
-        |        (list_max(v) - list_min(v)) / 255.0 AS scale FROM e),
+        |        greatest((list_max(v) - list_min(v)) / 255.0, 1e-12) AS scale FROM e),
         |c AS (SELECT vec_id, v, lo, hi, scale,
         |        list_transform(v, x -> CAST(round((x - lo) / scale) AS INT))
         |          AS codes FROM q)

@@ -103,17 +103,29 @@ object StreamingWindows {
   case class UserState(n: Long, lastTs: Long)
   case class UserCount(user_id: Long, n: Long, last_ts: java.sql.Timestamp)
 
+  /** BY-NAME typed projection for the stateful operators (ADVICE r7): a
+    * positional `.as[(Long, Timestamp, ...)]` silently keys on whatever
+    * column happens to sit third — any upstream reordering would
+    * sessionize on the wrong column or fail at runtime. Selecting the
+    * three needed columns by name makes the dependency explicit and
+    * drops the unused payload before the state shuffle. */
+  case class EvRow(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  private def typedRows(spark: SparkSession, events: DataFrame) = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value")).as[EvRow]
+  }
+
   def runningCounts(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    events.as[(Long, java.sql.Timestamp, Long, String, Double, String)]
-      .groupByKey(_._3)
+    typedRows(spark, events)
+      .groupByKey(_.user_id)
       .mapGroupsWithState[UserState, UserCount](GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String, Double, String)],
-         state: GroupState[UserState]) =>
+        (user: Long, rows: Iterator[EvRow], state: GroupState[UserState]) =>
           val prev = state.getOption.getOrElse(UserState(0L, 0L))
           var n = prev.n
           var last = prev.lastTs
-          rows.foreach { r => n += 1; last = math.max(last, r._2.getTime) }
+          rows.foreach { r => n += 1; last = math.max(last, r.ts.getTime) }
           state.update(UserState(n, last))
           UserCount(user, n, new java.sql.Timestamp(last))
       }.toDF()
@@ -178,15 +190,11 @@ object StreamingWindows {
     def out(u: Long, s: SessState): SessionOut =
       SessionOut(u, new java.sql.Timestamp(s.start),
         new java.sql.Timestamp(s.last + gapMs), s.n, s.sum)
-    events
-      .withWatermark("ts", s"$gapMinutes minutes")
-      .as[(Long, java.sql.Timestamp, Long, String, Double, String)]
-      .groupByKey(_._3)
+    typedRows(spark, events.withWatermark("ts", s"$gapMinutes minutes"))
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long,
-         rows: Iterator[(Long, java.sql.Timestamp, Long, String, Double, String)],
-         state: GroupState[SessState]) =>
+        (user: Long, rows: Iterator[EvRow], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
@@ -194,16 +202,34 @@ object StreamingWindows {
           } else {
             val closed = ArrayBuffer.empty[SessState]
             var cur = state.getOption
-            rows.toSeq.sortBy(_._2.getTime).foreach { r =>
-              val t = r._2.getTime
+            rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
+              val t = r.ts.getTime
               cur = cur match {
-                // strict <: session_window is half-open [start, last+gap)
-                case Some(s) if t - s.last < gapMs =>
-                  Some(SessState(s.start, math.max(s.last, t), s.n + 1, s.sum + r._5))
-                case Some(s) =>
+                // Within gap of the OPEN INTERVAL on either side (strict
+                // <: session_window is half-open [start, last+gap)). The
+                // min/max merge matters for an out-of-order event from a
+                // LATER micro-batch that precedes the open session's
+                // start (t < s.start but t ≥ watermark — reachable
+                // because the watermark tracks the global max while this
+                // user's state lags, ADVICE r7): s.start must move back
+                // to t or the emitted s_start diverges from the batch
+                // semantics.
+                case Some(s) if t - s.last < gapMs && s.start - t < gapMs =>
+                  Some(SessState(math.min(s.start, t), math.max(s.last, t),
+                    s.n + 1, s.sum + r.value))
+                case Some(s) if t - s.last >= gapMs =>
                   closed += s
-                  Some(SessState(t, t, 1L, r._5))
-                case None => Some(SessState(t, t, 1L, r._5))
+                  Some(SessState(t, t, 1L, r.value))
+                case Some(s) =>
+                  // t precedes the open session by ≥ gap: an earlier,
+                  // already-complete session. Only reachable when t sits
+                  // exactly ON the watermark (t ≥ wm = prevMax − gap and
+                  // s.start ≥ t + gap ≥ prevMax forces equality
+                  // throughout), so no still-admissible event can extend
+                  // it — emit the singleton, keep the open session.
+                  closed += SessState(t, t, 1L, r.value)
+                  cur
+                case None => Some(SessState(t, t, 1L, r.value))
               }
             }
             cur.foreach { s =>

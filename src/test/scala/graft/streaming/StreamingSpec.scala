@@ -184,6 +184,53 @@ class StreamingSpec extends SparkSpec {
       s"stream sessions $got vs batch $want")
   }
 
+  test("sessionizer merges an out-of-order event from a LATER micro-batch (s_start moves back)") {
+    import spark.implicits._
+    // ADVICE r7: an event in micro-batch 2 that PRECEDES the open
+    // session's start (t < s.start but t ≥ watermark — reachable because
+    // the watermark tracks the global max while this user's state lags)
+    // must pull s_start back to t, or the stream diverges from the batch
+    // ev_session semantics. Two files → two micro-batches
+    // (maxFilesPerTrigger=1, mtime order):
+    //   file A: user 1 @ 10:30, 10:40          (session opens at 10:30;
+    //                                           wm after A = 10:10)
+    //   file B: user 1 @ 10:15 (late, ≥ wm) + user 2 sentinel @ 12:00
+    // The no-data finalization batch then times out user 1's session:
+    // expected s_start 10:15 (merged), NOT 10:30.
+    val d = Files.createTempDirectory("stream-ooo").toString
+    Files.createDirectories(Paths.get(s"$d/events.parquet"))
+    def addFile(name: String, rows: Seq[(Long, Timestamp, Long, String, Double, String)],
+                mtime: Long): Unit = {
+      val stage = Files.createTempDirectory("stage").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = Paths.get(s"$d/events.parquet/$name")
+      Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    addFile("a.parquet", Seq(
+      (1L, ts("2024-01-01 10:30:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:40:00"), 1L, "click", 2.0, "{}")), 1000000L)
+    addFile("b.parquet", Seq(
+      (3L, ts("2024-01-01 10:15:00"), 1L, "view", 4.0, "{}"),
+      (4L, ts("2024-01-01 12:00:00"), 2L, "view", 8.0, "{}")), 2000000L)
+
+    val stream = StreamingWindows.readEventStream(spark, s"$d/events.parquet")
+    val got = StreamingWindows.runToCompletion(spark,
+        StreamingWindows.sessionize(spark, stream), "t_fmgws_ooo", OutputMode.Append())
+      .orderBy($"user_id", $"s_start")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+    // batch twin on the merged data, minus the sentinel's open session
+    val want = EventWindows.queries("ev_session")(spark, d)
+      .filter($"user_id" === 1L)
+      .orderBy($"user_id", $"s_start")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+    assert(want.head._2 == ts("2024-01-01 10:15:00")) // scenario sanity
+    assert(got == want, s"stream sessions $got vs batch $want")
+  }
+
   test("restart from checkpoint processes only new files, file sink stays exactly-once") {
     import spark.implicits._
     // The recovery contract a production ingest relies on: the source
