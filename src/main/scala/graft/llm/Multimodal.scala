@@ -1,5 +1,7 @@
 package graft.llm
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,109 +11,234 @@ import graft.Tables
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
   * with decode / feature-extract / resize / frame-sample stages.
   *
-  * No image/audio codecs exist in this container, so the DECODE KERNEL is
-  * a deterministic stand-in (clearly marked below) — but everything
-  * around it is the real production shape:
+  * The codec is REAL as of r8: payloads are genuine PNG byte streams
+  * encoded with `javax.imageio` (pure JDK, no JNI) from a deterministic
+  * per-id pixel pattern, and the decode/resize kernels run
+  * `ImageIO.read` on those bytes. The production shape is unchanged:
   *  - media rows are (id, payload: binary, meta: struct<mime,width,
   *    height,n_frames>) — the schema a lakehouse media table has;
-  *  - the batch path is Dataset.mapPartitions over an iterator of rows
+  *  - pixel paths are Dataset.mapPartitions over an iterator of rows
   *    (the JVM twin of mapInPandas: per-partition batch processing, one
-  *    codec init per partition, streaming iterator in/out — this is the
-  *    ONE legitimate mapPartitions in the codebase: imperative per-batch
-  *    logic a Column expression can't express);
-  *  - resize / frame-sample are metadata+payload transforms emitting the
-  *    same typed shape downstream consumers join on.
+  *    codec init per partition, streaming iterator in/out — the ONE
+  *    legitimate mapPartitions shape in the codebase: imperative
+  *    per-batch logic a Column expression can't express);
+  *  - resize / frame-sample emit the same typed shape downstream
+  *    consumers join on.
   *
-  * Because the stub kernel is md5/length-based, the whole pipeline stays
-  * DuckDB-oracle-checkable — swap [[decodeKernel]] for a real codec and
-  * only the oracle (not the plumbing) stops applying.
+  * Oracle strategy: PNG (TYPE_INT_RGB) round-trips pixels LOSSLESSLY, so
+  * every declared output column is a pure function of the deterministic
+  * pixel pattern and the DuckDB oracle recomputes it from the formula —
+  * while the Spark side really encodes and really decodes. The one
+  * engine-specific artifact (the PNG byte stream itself — encoder
+  * implementations differ across JDKs) is deliberately never surfaced
+  * in a declared output.
+  *
+  * Scale notes: encode/decode are map-side (zero exchanges; pinned in
+  * PlanShapeSpec), CPU cost is per-row and embarrassingly parallel — at
+  * 100 TB the same kernels run per-partition with the codec context
+  * initialized once per task, and the payload column is prunable for
+  * metadata-only queries (frame-sample never touches it).
   */
 object Multimodal {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Media table synthesized deterministically from `documents`: payload
-    * = utf-8 bytes of the text (stand-in for image bytes), metadata
-    * derived from doc fields. */
+  /** Deterministic pixel pattern — the contract shared by the encode
+    * kernel and the DuckDB oracles. Intrinsic dims are small (4..19 ×
+    * 4..15) to keep per-row codec cost bench-friendly; the channel
+    * formulas are cheap affine-mod patterns with full 0..255 range. */
+  private[llm] def pngWidth(id: Long): Int = ((id % 16) + 4).toInt
+  private[llm] def pngHeight(id: Long): Int = ((id % 12) + 4).toInt
+  private[llm] def chanR(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+  private[llm] def chanG(id: Long, x: Int, y: Int): Int = ((id * 17 + x * 11 + y * 3) % 256).toInt
+  private[llm] def chanB(id: Long, x: Int, y: Int): Int = ((id * 29 + x * 5 + y * 19) % 256).toInt
+
+  /** Encode kernel: deterministic pixels → REAL PNG bytes via ImageIO. */
+  private[llm] def encodeKernel(id: Long): Array[Byte] = {
+    val (w, h) = (pngWidth(id), pngHeight(id))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y,
+        (chanR(id, x, y) << 16) | (chanG(id, x, y) << 8) | chanB(id, x, y))
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode kernel: REAL `ImageIO.read` of the PNG payload → decoded
+    * dims + row-major pixel matrix (r, g, b per pixel). */
+  private[llm] def decodeKernel(payload: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = Array.ofDim[Array[Int]](w * h)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        px(i) = Array((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** Features of a pixel matrix: 48-bit fingerprint = first 12 hex chars
+    * of md5 over the row-major "%02x%02x%02x"-per-pixel hex string
+    * (byte-identical to the oracle's printf/array_to_string spelling),
+    * plus the integer-weighted luminance sum 299r+587g+114b (kept as an
+    * exact Long so the one engine-crossing division happens once,
+    * identically, downstream). */
+  private[llm] def pixelFeatures(px: Array[Array[Int]]): (Long, Long) = {
+    val sb = new StringBuilder(px.length * 6)
+    var lumSum = 0L
+    px.foreach { p =>
+      sb.append(f"${p(0)}%02x${p(1)}%02x${p(2)}%02x")
+      lumSum += 299L * p(0) + 587L * p(1) + 114L * p(2)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(sb.toString.getBytes("US-ASCII"))
+      .take(6).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16), lumSum)
+  }
+
+  /** Media table: (id, payload, meta) with REAL PNG payloads. meta
+    * carries the intrinsic image dims; n_frames is the video-twin
+    * planning field (frame-sample picks indices from it). Built in the
+    * batch-kernel shape; metadata-only consumers use [[metaTable]]
+    * instead so column pruning keeps the codec out of their plans. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("mime", StringType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("n_frames", IntegerType))))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    ids.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, encodeKernel(id),
+          Row("image/png", pngWidth(id), pngHeight(id),
+            ((id % 24) + 1).toInt))
+      }
+    }(enc)
+  }
+
+  /** Metadata-only twin of [[mediaTable]] (pure columns, no codec). */
+  def metaTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents").select(
       $"doc_id".as("media_id"),
-      to_binary($"text", lit("utf-8")).as("payload"),
       struct(
-        lit("image/fake").as("mime"),
-        (($"doc_id" % 640) + 64).cast("int").as("width"),
-        (($"doc_id" % 480) + 48).cast("int").as("height"),
+        lit("image/png").as("mime"),
+        (($"doc_id" % 16) + 4).cast("int").as("width"),
+        (($"doc_id" % 12) + 4).cast("int").as("height"),
         (($"doc_id" % 24) + 1).cast("int").as("n_frames")).as("meta"))
   }
 
-  /** The stand-in decode kernel: >>> STUB — replace with a real codec
-    * (e.g. libjpeg/ffmpeg via JNI) in production. <<< Computes
-    * deterministic "features" from raw bytes: byte length, a 48-bit
-    * content hash, and a fake luminance = mean byte value. */
-  private[llm] def decodeKernel(payload: Array[Byte]): (Long, Long, Double) = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(payload).take(6).map("%02x".format(_)).mkString
-    val fp = java.lang.Long.parseLong(hex, 16)
-    val lum =
-      if (payload.isEmpty) 0.0
-      else payload.map(b => (b & 0xff).toLong).sum.toDouble / payload.length
-    (payload.length.toLong, fp, lum)
-  }
-
-  private val outSchema = StructType(Seq(
+  private val decodeSchema = StructType(Seq(
     StructField("media_id", LongType),
-    StructField("n_bytes", LongType),
-    StructField("fp48", LongType),
-    StructField("luminance", DoubleType),
     StructField("width", IntegerType),
-    StructField("height", IntegerType)))
+    StructField("height", IntegerType),
+    StructField("fp48", LongType),
+    StructField("lum_sum", LongType)))
 
-  /** Decode + feature-extract via mapPartitions — the batch-UDF shape:
-    * iterator in, one kernel "init" per partition, iterator out. */
+  /** Decode + feature-extract: encode → REAL decode → pixel features.
+    * Dims come from the DECODED image (not metadata) — the round-trip is
+    * part of what's verified. */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = mediaTable(spark, dir)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(outSchema)
-    media.select("media_id", "payload", "meta.width", "meta.height")
+      .encoderFor(decodeSchema)
+    media.select("media_id", "payload")
       .mapPartitions { rows =>
-        // per-partition init would live here (codec contexts, buffers)
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
         rows.map { r =>
-          val (n, fp, lum) = decodeKernel(r.getAs[Array[Byte]]("payload"))
-          Row(r.getAs[Long]("media_id"), n, fp, lum,
-            r.getAs[Int]("width"), r.getAs[Int]("height"))
+          val (w, h, px) = decodeKernel(r.getAs[Array[Byte]]("payload"))
+          val (fp, lum) = pixelFeatures(px)
+          Row(r.getAs[Long]("media_id"), w, h, fp, lum)
         }
       }(enc)
   }
 
-  /** Resize: pure metadata/shape transform (native columns — no kernel
-    * needed for the bookkeeping half of a real resize). */
-  def resize(media: DataFrame, maxSide: Int): DataFrame =
-    media.withColumn("scale",
-        least(lit(1.0),
-          lit(maxSide) / greatest(col("meta.width"), col("meta.height"))))
-      .withColumn("out_width", floor(col("meta.width") * col("scale")).cast("int"))
-      .withColumn("out_height", floor(col("meta.height") * col("scale")).cast("int"))
+  private val resizeSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("out_width", IntegerType),
+    StructField("out_height", IntegerType),
+    StructField("fp48_out", LongType),
+    StructField("lum_sum_out", LongType)))
+
+  /** REAL resize: decode the PNG, nearest-neighbor sample down to
+    * `maxSide` (source index = (out·in)/outDim in INTEGER arithmetic, so
+    * the oracle replicates it exactly), fingerprint the resized pixels.
+    * NN rather than bilinear is deliberate: interpolation arithmetic is
+    * engine-float-soup, index sampling is exact — and at 100 TB the
+    * kernel cost profile (decode + per-output-pixel gather) is the
+    * same. */
+  def resizeFeatures(spark: SparkSession, dir: String, maxSide: Int): DataFrame = {
+    val media = mediaTable(spark, dir)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(resizeSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        rows.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val (w, h, px) = decodeKernel(r.getAs[Array[Byte]]("payload"))
+          val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+          val (ow, oh) = (math.floor(w * scale).toInt, math.floor(h * scale).toInt)
+          val out = Array.ofDim[Array[Int]](ow * oh)
+          var i = 0
+          var yo = 0
+          while (yo < oh) {
+            var xo = 0
+            while (xo < ow) {
+              out(i) = px((yo * h / oh) * w + (xo * w / ow))
+              i += 1; xo += 1
+            }
+            yo += 1
+          }
+          val (fp, lum) = pixelFeatures(out)
+          Row(id, w, h, ow, oh, fp, lum)
+        }
+      }(enc)
+  }
 
   /** Frame sampling: k evenly spaced frame indices from n_frames —
-    * the video-side planning step (which frames to decode). */
+    * the video-side planning step (which frames to decode). Metadata
+    * only: the plan must never pay for payloads it doesn't read. */
   def sampleFrames(media: DataFrame, k: Int): DataFrame =
     media.withColumn("frame_ids",
       transform(sequence(lit(0), lit(k - 1)),
         i => floor(i * col("meta.n_frames") / k).cast("int")))
 
-  private val decodeQ: Q = (spark, dir) => decodeFeatures(spark, dir)
+  private def withLuminance(df: DataFrame, lumSum: String, w: String, h: String,
+                            out: String): DataFrame =
+    df.withColumn(out,
+        round(col(lumSum) / (lit(1000.0) * col(w) * col(h)), 6))
+      .drop(lumSum)
 
-  private val resizeQ: Q = (spark, dir) => {
-    import spark.implicits._
-    resize(mediaTable(spark, dir), 256)
-      .select($"media_id", $"meta.width".as("width"), $"meta.height".as("height"),
-        $"out_width", $"out_height")
-  }
+  private val decodeQ: Q = (spark, dir) =>
+    withLuminance(decodeFeatures(spark, dir), "lum_sum", "width", "height",
+      "luminance")
+
+  private val resizeQ: Q = (spark, dir) =>
+    withLuminance(resizeFeatures(spark, dir, maxSide = 8),
+      "lum_sum_out", "out_width", "out_height", "lum_out")
 
   private val framesQ: Q = (spark, dir) => {
     import spark.implicits._
-    sampleFrames(mediaTable(spark, dir), 4)
+    sampleFrames(metaTable(spark, dir), 4)
       .select($"media_id", $"meta.n_frames".as("n_frames"),
         concat_ws(",", transform($"frame_ids", i => i.cast("string")))
           .as("frame_ids"))
@@ -122,30 +249,58 @@ object Multimodal {
     "mm_resize"        -> resizeQ,
     "mm_frame_sample"  -> framesQ)
 
+  /** Shared oracle fragment: the pixel-pattern CTE (id, w, h). */
+  private val dimsCte =
+    """WITH d AS (SELECT doc_id AS id, (doc_id % 16) + 4 AS w,
+      |                  (doc_id % 12) + 4 AS h FROM documents)""".stripMargin
+
+  private def chanSql(xi: String, yi: String): (String, String, String) = (
+    s"(id*31 + ($xi)*7 + ($yi)*13) % 256",
+    s"(id*17 + ($xi)*11 + ($yi)*3) % 256",
+    s"(id*29 + ($xi)*5 + ($yi)*19) % 256")
+
+  /** hex-string + luminance-sum oracle expressions over an out-grid of
+    * ow×oh pixels sampling source indices (xiOf(xo), yiOf(yo)). */
+  private def featureSql(ow: String, oh: String,
+                         xiOf: String => String, yiOf: String => String): (String, String) = {
+    val (r, g, b) = chanSql(xiOf("x"), yiOf("y"))
+    val hexes =
+      s"""array_to_string(flatten(list_transform(range(0, $oh), y ->
+         |    list_transform(range(0, $ow), x ->
+         |      printf('%02x%02x%02x', $r, $g, $b)))), '')""".stripMargin
+    val lum =
+      s"""list_sum(list_transform(range(0, $oh), y ->
+         |    list_sum(list_transform(range(0, $ow), x ->
+         |      299*($r) + 587*($g) + 114*($b)))))""".stripMargin
+    (s"CAST(('0x' || substr(md5($hexes), 1, 12)) AS BIGINT)", lum)
+  }
+
   val oracles: Map[String, String] = Map(
-    // documents text is pure ASCII (checked) → bytes == chars, so the
-    // byte-mean is expressible with ord(substr()).
-    "mm_decode" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) AS fp48,
-        |  CAST(list_sum(list_transform(range(1, length(text) + 1),
-        |       i -> ord(substr(text, CAST(i AS INT), 1)))) AS DOUBLE)
-        |    / length(text) AS luminance,
-        |  CAST((doc_id % 640) + 64 AS INT) AS width,
-        |  CAST((doc_id % 480) + 48 AS INT) AS height
-        |FROM documents""".stripMargin,
-    "mm_resize" ->
-      """SELECT doc_id AS media_id,
-        |  CAST((doc_id % 640) + 64 AS INT) AS width,
-        |  CAST((doc_id % 480) + 48 AS INT) AS height,
-        |  CAST(floor(((doc_id % 640) + 64) *
-        |    least(1.0, 256.0 / greatest((doc_id % 640) + 64, (doc_id % 480) + 48))) AS INT)
-        |    AS out_width,
-        |  CAST(floor(((doc_id % 480) + 48) *
-        |    least(1.0, 256.0 / greatest((doc_id % 640) + 64, (doc_id % 480) + 48))) AS INT)
-        |    AS out_height
-        |FROM documents""".stripMargin,
+    // PNG is lossless, so decoded pixels == the generator formula; the
+    // oracle recomputes fingerprint + luminance straight from it.
+    "mm_decode" -> {
+      val (fp, lum) = featureSql("w", "h", identity, identity)
+      s"""$dimsCte
+         |SELECT id AS media_id, CAST(w AS INT) AS width,
+         |  CAST(h AS INT) AS height,
+         |  $fp AS fp48,
+         |  round(($lum) / (1000.0 * w * h), 6) AS luminance
+         |FROM d""".stripMargin
+    },
+    "mm_resize" -> {
+      val (fp, lum) = featureSql("ow", "oh",
+        xo => s"(($xo) * w) // ow", yo => s"(($yo) * h) // oh")
+      s"""$dimsCte,
+         |o AS (SELECT id, w, h,
+         |  CAST(floor(w * least(1.0, 8.0 / greatest(w, h))) AS INT) AS ow,
+         |  CAST(floor(h * least(1.0, 8.0 / greatest(w, h))) AS INT) AS oh
+         |  FROM d)
+         |SELECT id AS media_id, CAST(w AS INT) AS width,
+         |  CAST(h AS INT) AS height, ow AS out_width, oh AS out_height,
+         |  $fp AS fp48_out,
+         |  round(($lum) / (1000.0 * ow * oh), 6) AS lum_out
+         |FROM o""".stripMargin
+    },
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id,
         |  CAST((doc_id % 24) + 1 AS INT) AS n_frames,
