@@ -11,6 +11,17 @@ import graft.SparkSpec
   * warehouse scale. */
 class BucketingSpec extends SparkSpec {
 
+  test("catalog is the Hive external catalog backed by the embedded Derby metastore") {
+    // r8: K1/J4 persist through a REAL metastore (reference RF:225
+    // writes to a Hive warehouse). If this flips back to in-memory,
+    // saveAsTable silently loses its cross-session-persistence claim.
+    assert(spark.conf.get("spark.sql.catalogImplementation") == "hive")
+    spark.range(1).write.mode("overwrite").saveAsTable("catalog_probe")
+    val t = spark.sessionState.catalog.externalCatalog
+      .getTable("default", "catalog_probe")
+    assert(t.provider.contains("parquet"))
+  }
+
   test("co-bucketed tables join with zero shuffle exchanges") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
