@@ -144,6 +144,20 @@ class MLChurnSpec extends SparkSpec {
     assert(row.getAs[Long]("n_train") > 0L && row.getAs[Long]("n_test") > 0L)
   }
 
+  /** r8 twin of the gbt-200 check: the declared bench queries run
+    * budget-scaled lr/fm iteration counts (config column says so), so
+    * the reference's FULL configs must stay proven-to-run here. */
+  test("the reference LR (maxIter=100) and FM (maxIter=50) configs run end-to-end at sf0.001") {
+    val lrRow = ChurnML.trainEval(spark, "/root/testdata/sf0.001", "lr",
+      lrIter = 100).collect().head
+    assert(lrRow.getAs[String]("config").contains("maxIter=100"))
+    assert(lrRow.getAs[Long]("n_train") > 0L && lrRow.getAs[Long]("n_test") > 0L)
+    val fmRow = ChurnML.trainEval(spark, "/root/testdata/sf0.001", "fm",
+      fmIter = 50).collect().head
+    assert(fmRow.getAs[String]("config").contains("maxIter=50"))
+    assert(fmRow.getAs[Long]("n_train") > 0L && fmRow.getAs[Long]("n_test") > 0L)
+  }
+
   test("trainEval emits a finite, seed-deterministic metrics row (rf)") {
     val r1 = ChurnML.trainEval(spark, dir, "rf").collect().head
     val r2 = ChurnML.trainEval(spark, dir, "rf").collect().head
