@@ -11,18 +11,18 @@ import graft.{SparkEntry, SparkSpec}
   * representative families: shuffle-heavy dedup, iterative CC, window
   * ranking, as-of join, retrieval top-k, and the composed pipeline.
   *
-  * (ML fits and rand()-based queries are excluded by design: their
-  * determinism contract is seed-at-fixed-partitioning, covered in
-  * MLChurnSpec / the o1/o3 row-set oracles.)
+  * r8 (VERDICT r7 Next #6): the law runs over EVERY oracle-bearing
+  * query — the full declared surface whose result is contractually a
+  * pure function of the data. (ML fits and the other no-oracle entries
+  * are excluded by design: their determinism contract is
+  * seed-at-fixed-partitioning, covered in MLChurnSpec / the o3 row-set
+  * checks.)
   */
 class DeterminismSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private val queries = Seq(
-    "dedup_ngram_jaccard", "dedup_clusters", "w15_topk_group",
-    "ev_asof_join", "d_bm25_topk", "pipe_corpus_prep", "d_entropy",
-    "j6_cooccurrence", "j7_fuzzy_block", "d_contamination")
+  private val queries = SparkEntry.oracleSql.keySet.toSeq.sorted
 
   private def runSorted(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
