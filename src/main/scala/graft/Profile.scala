@@ -114,11 +114,15 @@ object Profile {
       val dirs = ("1x", dir) +: (if (factor <= 1) Seq() else {
         val d = "target/lshprobe-docs"
         val base = Tables.load(spark, dir, "embeddings")
+        // Copy offset from the data, not a constant (same ADVICE-r7
+        // collision hazard as the bm25 probe): a fixed stride silently
+        // collides vec_ids on any base table with vec_id ≥ stride.
+        val vecStride = base.agg(max($"vec_id")).head().getLong(0) + 1L
         (0 until factor).map { i =>
           if (i == 0) base
           else {
             val s = (i * 7) % dims
-            base.select(($"vec_id" + lit(i * 1000000L)).as("vec_id"),
+            base.select(($"vec_id" + lit(i * vecStride)).as("vec_id"),
               concat(slice($"embedding", s + 1, dims - s),
                      slice($"embedding", 1, s)).as("embedding"),
               $"label")
@@ -167,11 +171,14 @@ object Profile {
       val factor = if (args.length > 2) args(2).toInt else 10
       val lagSec = 12L * 3600
       val base = Tables.load(spark, dir, "events")
+      // Copy offset from the data, not a constant (ADVICE-r7 collision
+      // hazard): a fixed stride collides event_ids on a large base table.
+      val evStride = base.agg(max($"event_id")).head().getLong(0) + 1L
       val dirs = ("1x", dir) +: (if (factor <= 1) Seq() else {
         val d = "target/temporalprobe"
         (0 until factor).map { i =>
           if (i == 0) base
-          else base.select(($"event_id" + lit(i * 10000000L)).as("event_id"),
+          else base.select(($"event_id" + lit(i * evStride)).as("event_id"),
             ($"ts" + expr(s"INTERVAL ${i * 1327} milliseconds")).as("ts"),
             $"user_id", $"event_type", $"value", $"props")
         }.reduce(_ unionAll _)
@@ -226,6 +233,70 @@ object Profile {
         }
         println(f"[temporal-probe] $lbl asof: unionWindow=$tAsof%.2f s " +
           f"naivePairMax=$tAsofN%.2f s (rows=$nAsof%d/$nAsofN%d)")
+      }
+      spark.stop(); return
+    }
+
+    if (args.length > 1 && args(1) == "contamination") {
+      // d_contamination scale probe (VERDICT r7 Next #8): the design
+      // claim is that the EVAL side broadcasts (eval sets are fixed-size
+      // benchmarks) and the corpus side never shuffles for the join —
+      // so a factor× corpus should cost ~factor× scan, with candidate
+      // volume bounded by eval postings × matching corpus postings.
+      // Probe regime: eval postings FIXED (copy-0 docs only, the
+      // benchmark doesn't grow with the corpus), corpus ×factor via the
+      // shard salt (cc-probe regime — cross-copy shingles disjoint).
+      import graft.llm.TextOps
+      val factor = if (args.length > 2) args(2).toInt else 10
+      val base = Tables.load(spark, dir, "documents")
+      val docStride = base.agg(max($"doc_id")).head().getLong(0) + 1L
+      val dirs = ("1x", dir) +: (if (factor <= 1) Seq() else {
+        val d = "target/contamprobe"
+        (0 until factor).map { i =>
+          if (i == 0) base
+          else base.select(($"doc_id" + lit(i * docStride)).as("doc_id"),
+            regexp_replace($"text", "(\\S+)", s"$$1z$i").as("text"),
+            $"lang", $"source", $"n_chars")
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$d/documents.parquet")
+        Seq((s"${factor}x", d))
+      })
+      def timed[A](body: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val a = body
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      for ((lbl, d) <- dirs) {
+        def posts(df: org.apache.spark.sql.DataFrame) = df
+          .select($"doc_id", explode(TextOps.shingles(TextOps.toks($"text"))).as("s0"))
+          .select($"doc_id", TextOps.hash48($"s0").as("tok"))
+          .distinct()
+        val all = posts(Tables.load(spark, d, "documents"))
+        // FIXED eval set: copy-0 ids only — the benchmark stays the same
+        // size while the corpus grows
+        val evalPosts = all
+          .filter($"doc_id" % 50 === 0 && $"doc_id" < docStride)
+          .select($"doc_id".as("eval_id"), $"tok")
+        val nEval = evalPosts.count()
+        val nCorpus = all.count()
+        val ((pairs, t)) = timed(
+          all.filter(!($"doc_id" % 50 === 0 && $"doc_id" < docStride))
+            .join(broadcast(evalPosts), "tok")
+            .groupBy($"doc_id", $"eval_id")
+            .agg(count(lit(1)).as("n_shared"))
+            .filter($"n_shared" >= 2).count())
+        // broadcast feasibility: an eval posting row is ~16 B of data
+        // (two longs) — report the measured row count against the 10 MB
+        // default autoBroadcastJoinThreshold and the implied doc bound
+        val postsPerDoc = nEval.toDouble / math.max(1L,
+          evalPosts.select($"eval_id").distinct().count())
+        val maxEvalDocs = (10L << 20) / 16 / math.max(1.0, postsPerDoc)
+        println(f"[contam-probe] $lbl corpusPostings=$nCorpus " +
+          f"evalPostings=$nEval (~${nEval * 16 / 1024}%d KiB broadcast) " +
+          f"contaminatedPairs=$pairs time=$t%.2f s " +
+          f"(~${postsPerDoc}%.0f postings/evalDoc -> 10 MiB threshold " +
+          f"fits ~${maxEvalDocs}%.0f eval docs; beyond that flip to a " +
+          f"shuffle join on tok)")
       }
       spark.stop(); return
     }
@@ -344,10 +415,13 @@ object Profile {
       import graft.llm.Dedup
       val factor = if (args.length > 2) args(2).toInt else 10
       val base = Tables.load(spark, dir, "documents")
+      // Copy offset from the data, not a constant (ADVICE-r7 collision
+      // hazard): a fixed stride collides doc_ids on a large base corpus.
+      val ccStride = base.agg(max($"doc_id")).head().getLong(0) + 1L
       def scaled(salt: Int => Column): DataFrame =
         (0 until factor).map { i =>
           if (i == 0) base
-          else base.select(($"doc_id" + lit(i * 1000000L)).as("doc_id"),
+          else base.select(($"doc_id" + lit(i * ccStride)).as("doc_id"),
             salt(i).as("text"), $"lang", $"source", $"n_chars")
         }.reduce(_ unionAll _)
       val corpora = Seq(

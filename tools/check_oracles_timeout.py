@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""10x-gate variant of check_oracles.py: same frame-compare, but each
+oracle runs in a subprocess with a wall-clock budget. The ORACLE SQL is
+deliberately naive (that's what makes it an oracle); at 10x a few naive
+spellings are themselves super-linear (e.g. an unblocked fuzzy join) and
+must be reported as infeasible-oracle rather than hanging the gate.
+
+Usage: python3 tools/check_oracles_timeout.py <sfDir> <verifyOutDir> [timeout_sec]
+"""
+import sys, json, multiprocessing as mp
+
+
+def one(sf, out, q, sql, conn):
+    import duckdb
+    TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    try:
+        import os
+        con = duckdb.connect()
+        for t in TABLES:
+            p = f"{sf}/{t}.parquet"
+            if os.path.isdir(p):  # Spark-written table = directory of parts
+                p = f"{p}/*.parquet"
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        s = con.execute(
+            f"SELECT * FROM read_parquet('{out}/{q}/*.parquet')").df()
+        o = con.execute(sql).df()
+        cols = sorted(s.columns)
+        if sorted(o.columns) != cols:
+            conn.send(("schema", f"{cols} vs {sorted(o.columns)}")); return
+        s = s[cols].sort_values(cols).reset_index(drop=True)
+        o = o[cols].sort_values(cols).reset_index(drop=True)
+        o = o.astype(s.dtypes.to_dict())
+        if s.equals(o):
+            conn.send(("ok", f"{len(s)} rows"))
+        else:
+            conn.send(("mismatch", f"{len(s)}/{len(o)} rows"))
+    except Exception as e:
+        conn.send(("error", str(e)[:200]))
+
+
+def main(sf, out, budget):
+    sqls = json.load(open(f"{out}/oracle_sql.json"))
+    counts = {"ok": 0, "timeout": 0, "other": 0}
+    for q, sql in sorted(sqls.items()):
+        rx, tx = mp.Pipe(False)
+        p = mp.Process(target=one, args=(sf, out, q, sql, tx))
+        p.start(); p.join(budget)
+        if p.is_alive():
+            p.terminate(); p.join()
+            print(f"TIMEOUT {q} (> {budget}s oracle)")
+            counts["timeout"] += 1
+        else:
+            kind, msg = rx.recv() if rx.poll() else ("error", "no result")
+            print(f"{'ok  ' if kind == 'ok' else 'FAIL'} {q}: {kind} {msg}")
+            counts["ok" if kind == "ok" else "other"] += 1
+    print(f"\n{counts['ok']} ok, {counts['timeout']} oracle-timeout, "
+          f"{counts['other']} failed, {len(sqls)} with oracles")
+    return 0 if counts["other"] == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  int(sys.argv[3]) if len(sys.argv) > 3 else 300))
