@@ -394,6 +394,16 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "explain") {
+      // `Profile <sfDir> explain <query>`: the declared query's
+      // formatted physical plan against that sf — the dev loop for
+      // "is this the plan I'd want at this scale".
+      println(SparkEntry.queries(args(2))(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "simhash") {
       // SimHash banding probe (r8): single-block 4 × 12-bit bands vs
       // multi-index C(5,2) block-pair bands (18-20-bit keys). Both have

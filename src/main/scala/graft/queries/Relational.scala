@@ -505,9 +505,18 @@ object Relational {
     *           substitution at i: both del-at-i variants equal). The
     *           tok guard runs inside the join probe, so equal-token
     *           collisions are dropped before any shuffle.
-    * Both key tables are ~12 narrow rows per part — linear, map-side,
-    * and small enough to BROADCAST; the only shuffle is the final
-    * pair distinct. */
+    * Both key tables are ~12 narrow rows per part — linear and
+    * map-side — but they GROW WITH THE CATALOG, so the self-joins are
+    * pinned to SORT-MERGE (r8, found by the 100× probe): Catalyst's
+    * size estimate does not grow through Generate, so at a 2M-part
+    * catalog it still chose broadcast and died building a multi-GB
+    * hash relation; a shuffle-hash hint then OOM'd the per-partition
+    * build map (data/partitions outgrew the heap at 32 static
+    * partitions). SMJ is the only large-large join that spills
+    * gracefully at any data:memory ratio — and it is FASTER here even
+    * at small scale (4.3 → 3.4 s at sf0.1: sorting narrow key rows
+    * beats building two 240k-row hash relations), 13.0 s at 10×,
+    * 147.6 s at 100× where both hash variants died. */
   def j7Candidates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = Tables.load(spark, dir, "part")
@@ -534,11 +543,11 @@ object Relational {
       side("a.p_partkey").as("key_a"), side("b.p_partkey").as("key_b"),
       side("a.p_name").as("name_a"), side("b.p_name").as("name_b"))
     val lenOk = abs(length($"a.p_name") - length($"b.p_name")) <= 2
-    val exact = toks.as("a").join(toks.as("b"),
+    val exact = toks.as("a").hint("merge").join(toks.as("b"),
         $"a.p_brand" === $"b.p_brand" && $"a.pos" === $"b.pos" &&
           $"a.tok" === $"b.tok" && $"a.p_partkey" < $"b.p_partkey" && lenOk)
       .select(pairCols(col): _*)
-    val near = keys.as("a").join(keys.as("b"),
+    val near = keys.as("a").hint("merge").join(keys.as("b"),
         $"a.p_brand" === $"b.p_brand" && $"a.pos" === $"b.pos" &&
           $"a.variant" === $"b.variant" && $"a.tok" =!= $"b.tok" &&
           ($"a.pdel" === 0 || $"b.pdel" === 0 || $"a.pdel" === $"b.pdel") &&

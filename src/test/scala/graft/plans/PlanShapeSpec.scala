@@ -95,14 +95,15 @@ class PlanShapeSpec extends SparkSpec {
     ("j6_cooccurrence", 6, 0),
     // fixed-range histogram: ONE partial+final aggregate
     ("a15_histogram", 2, 0),
-    // blocked fuzzy match (r8 SymSpell blocking): TWO broadcast key
-    // joins (exact-token + del-variant paths — losing one to a shuffle
-    // join means the ~12-keys/part tables stopped broadcasting) + ONE
-    // shuffle for the pair-dedup aggregate; the cartesian/BNLJ
-    // zero-checks remain the unblocked-fuzzy-join guard, and the
-    // levenshtein verify must stay ABOVE the dedup (RelationalLawsSpec
-    // pins the no-pushdown barrier)
-    ("j7_fuzzy_block", 3, 2))
+    // blocked fuzzy match (r8 SymSpell blocking): TWO SHUFFLE-HASH key
+    // self-joins (exact-token + del-variant paths; pinned via hint —
+    // the key tables grow with the catalog, and the broadcast Catalyst
+    // mis-estimates through Generate OOM'd at the 100× probe) + ONE
+    // shuffle for the pair-dedup aggregate: 2×2 join exchanges + 1
+    // dedup exchange. The cartesian/BNLJ zero-checks remain the
+    // unblocked-fuzzy-join guard, and the levenshtein verify must stay
+    // ABOVE the dedup (RelationalLawsSpec pins the no-pushdown barrier)
+    ("j7_fuzzy_block", 7, 0))
 
   for ((name, maxExchanges, minBroadcast) <- budgets) {
     test(s"$name plan: Expand-free, cartesian-free, ≤$maxExchanges exchanges" +
@@ -123,6 +124,23 @@ class PlanShapeSpec extends SparkSpec {
         s"$name lost its broadcast join ($bhj < $minBroadcast) — " +
           s"a dim/probe side fell back to shuffle:\n$p")
     }
+  }
+
+  test("j7_fuzzy_block: catalog-scaling key joins stay SORT-MERGE, never broadcast") {
+    // The blocking-key tables are ~12 rows PER PART — they grow with
+    // the catalog, so broadcasting them can never be scale-safe (the
+    // 100× probe OOM'd the broadcast build; Catalyst's size estimate
+    // does not grow through Generate, so the planner cannot save us —
+    // the hint is the pin). Sort-merge, not shuffle-hash: SHJ's
+    // per-partition build map is sized by data/partitions and the same
+    // 100× probe OOM'd it at 32 static partitions × 8 GB heap; SMJ
+    // spills gracefully at any ratio of data to memory — the only
+    // large-large join that degrades instead of dying.
+    val p = planOf("j7_fuzzy_block")
+    assert(count(p, "SortMergeJoin") == 2,
+      s"j7 expected exactly 2 sort-merge key joins:\n$p")
+    assert(count(p, "BroadcastHashJoin") == 0,
+      s"j7 re-broadcast a catalog-scaling key table:\n$p")
   }
 
   test("d_bm25_topk: distributed top-k via TakeOrderedAndProject, bounded exchanges") {

@@ -190,7 +190,9 @@ class RelationalLawsSpec extends SparkSpec {
     val plan = Relational.queries("j7_fuzzy_block")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
     val joinConds = "Join Inner, .*".r.findAllIn(plan).toList ++
-      "BroadcastHashJoin.*".r.findAllIn(plan).toList
+      "BroadcastHashJoin.*".r.findAllIn(plan).toList ++
+      "SortMergeJoin.*".r.findAllIn(plan).toList ++
+      "ShuffledHashJoin.*".r.findAllIn(plan).toList
     assert(joinConds.nonEmpty)
     assert(!joinConds.exists(_.contains("levenshtein")),
       s"levenshtein leaked into a join condition:\n$plan")
