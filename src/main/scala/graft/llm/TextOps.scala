@@ -392,7 +392,84 @@ object TextOps {
         round(log($"n") - $"slog" / $"n", 6).as("entropy"))
   }
 
+  /** Gopher/RefinedWeb-style REPETITION signals — the quality family's
+    * missing member (uniq_ratio and entropy both miss structured
+    * repetition: a doc alternating two sentences has high token
+    * diversity but is still boilerplate):
+    *  - dup_trigram_frac: 1 − distinct/total token 3-grams — in-row
+    *    HOF over the token array, zero shuffle;
+    *  - top_bigram_share: the most frequent bigram's share of all
+    *    bigram occurrences — needs a per-(doc, bigram) count, so one
+    *    explode + two doc-keyed aggregations (both partial-agg'd;
+    *    share only, not the argmax bigram itself, so ties can never
+    *    make the result engine-dependent).
+    * At 100 TB both stay keyed by doc_id — embarrassingly parallel,
+    * fanout bounded by tokens-per-doc. Ratios rounded to 6 dp (the
+    * a11 double-division treatment). */
+  private val repetition: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val w = toks($"text")
+    val bi = filter(zip_with(w, slice(w, lit(2), size(w)),
+      (a, b) => concat(a, lit(" "), b)), x => x.isNotNull)
+    val triPair = zip_with(w, slice(w, lit(2), size(w)),
+      (a, b) => concat(a, lit(" "), b))
+    val tri = filter(zip_with(triPair, slice(w, lit(3), size(w)),
+      (ab, c) => concat(ab, lit(" "), c)), x => x.isNotNull)
+    val inRow = docs.select($"doc_id", bi.as("bi"), tri.as("tri"))
+      .select($"doc_id", $"bi",
+        size($"tri").cast("long").as("n_trigrams"),
+        when(size($"tri") > 0,
+          round(lit(1.0) - size(array_distinct($"tri")).cast("double") /
+            size($"tri"), 6)).otherwise(lit(0.0)).as("dup_trigram_frac"))
+    val biCounts = inRow
+      .select($"doc_id", explode($"bi").as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").as("maxc"), sum($"c").as("totc"))
+      .select($"doc_id",
+        round($"maxc".cast("double") / $"totc", 6).as("top_bigram_share"))
+    inRow.select($"doc_id", $"n_trigrams", $"dup_trigram_frac")
+      .join(biCounts, Seq("doc_id"), "left_outer")
+      .na.fill(0.0, Seq("top_bigram_share"))
+  }
+
+  /** Offset-based SEQUENCE PACKING manifest — the training-data step
+    * after chunk/filter: concatenate documents (in deterministic
+    * doc_id order, per source shard) into fixed-capacity token
+    * sequences of 2048, assigning each doc to the sequence its START
+    * offset falls in: seq_id = floor((cumsum(n_tok) − n_tok) / 2048).
+    * Docs may straddle a boundary (offset packing, the streaming-
+    * friendly spelling used by most LM data loaders); the manifest
+    * (docs, tokens per sequence) is what a loader needs to materialize
+    * examples. ONE window + ONE aggregation, both keyed by source — at
+    * 100 TB the pack key becomes (source, shard) so window partitions
+    * stay bounded; the cumsum itself is the standard monotonic-window
+    * pattern (w16/w17). */
+  private val packSeq: Q = (spark, dir) => {
+    import spark.implicits._
+    val SeqLen = 2048
+    val nTok = size(filter(toks($"text"), x => length(x) > 0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", nTok.cast("long").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .select($"source",
+        floor(($"cum" - $"n_tok").cast("double") / SeqLen).cast("long")
+          .as("seq_id"),
+        $"doc_id", $"n_tok")
+      .groupBy($"source", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d_repetition"     -> repetition,
+    "d_pack_sequences" -> packSeq,
     "d_entropy"        -> entropy,
     "d_chunk"          -> chunk,
     "d_vocab_topk"     -> vocab,
@@ -440,6 +517,46 @@ object TextOps {
     (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    "d_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(w) >= 2 THEN list_transform(
+         |    generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+         |    ELSE [] END AS bi,
+         |  CASE WHEN len(w) >= 3 THEN list_transform(
+         |    generate_series(1, len(w)-2),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    ELSE [] END AS tri
+         |  FROM t),
+         |inrow AS (SELECT doc_id,
+         |  CAST(len(tri) AS BIGINT) AS n_trigrams,
+         |  CASE WHEN len(tri) > 0 THEN
+         |    round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 6)
+         |    ELSE 0.0 END AS dup_trigram_frac,
+         |  bi FROM g),
+         |bg AS (SELECT doc_id, unnest(bi) AS b FROM inrow),
+         |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |sh AS (SELECT doc_id,
+         |  round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_share
+         |  FROM bc GROUP BY 1)
+         |SELECT i.doc_id, i.n_trigrams, i.dup_trigram_frac,
+         |  COALESCE(sh.top_bigram_share, 0.0) AS top_bigram_share
+         |FROM inrow i LEFT JOIN sh ON sh.doc_id = i.doc_id""".stripMargin,
+
+    "d_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(len(list_filter($ToksSql, x -> length(x) > 0)) AS BIGINT)
+         |    AS n_tok FROM documents),
+         |c AS (SELECT doc_id, source, n_tok,
+         |  SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT source,
+         |  CAST(floor(CAST(cum - n_tok AS DOUBLE) / 2048) AS BIGINT) AS seq_id,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2""".stripMargin,
+
     "d_entropy" ->
       s"""WITH t AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t

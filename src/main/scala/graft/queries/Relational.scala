@@ -367,6 +367,28 @@ object Relational {
       .filter($"k" === $"k_adhoc" && $"k" >= 50)
   }
 
+  // ---- F15 (extension): PII-style redaction — the corpus-prep scrub
+  // step (emails/phones/IDs → placeholder tags). The testdata carries
+  // no synthetic emails, so the pattern family is digit runs in the
+  // events props JSON — same regex machinery (match-count, first-match
+  // extraction, global replace), same plan shape: pure map-side over
+  // the scan, zero shuffles, codegen'd regexp. Patterns stay in the
+  // RE2 ∩ java.util.regex common dialect (character classes +
+  // quantifiers only) so the DuckDB oracle is the same string. At
+  // 100 TB this is the trivially-parallel pass PII scrubbing must be —
+  // anything keyed (entity linking) is a different operator.
+  private val f15: Q = (spark, dir) => {
+    import spark.implicits._
+    val NumRe = "[0-9]+"
+    Tables.load(spark, dir, "events")
+      .select($"event_id",
+        size(regexp_extract_all($"props", lit(NumRe), lit(0)))
+          .cast("long").as("n_matches"),
+        element_at(regexp_extract_all($"props", lit(NumRe), lit(0)), 1)
+          .cast("long").as("first_num"),
+        regexp_replace($"props", NumRe, "[NUM]").as("props_redacted"))
+  }
+
   // ---- P2 (extension): set operations. INTERSECT/EXCEPT plan as
   // aggregate + semi/anti joins — one shuffle each side, partial agg
   // applies; tagged and unioned so one oracle covers both.
@@ -745,6 +767,7 @@ object Relational {
     "j7_fuzzy_block"     -> j7,
     "w15_topk_group"     -> w15,
     "f12_json_extract"   -> f12,
+    "f15_pii_redact"     -> f15,
     "p2_set_ops"         -> p2,
     "j5_semi_anti"       -> j5,
     "w14_window_rfm"     -> w14,
@@ -997,6 +1020,14 @@ object Relational {
         |UNION ALL
         |SELECT c_custkey, 'anti' AS op FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "f15_pii_redact" ->
+      """SELECT event_id,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+        |    AS n_matches,
+        |  TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS first_num,
+        |  regexp_replace(props, '[0-9]+', '[NUM]', 'g') AS props_redacted
+        |FROM events""".stripMargin,
 
     "f12_json_extract" ->
       """SELECT event_id, event_type,

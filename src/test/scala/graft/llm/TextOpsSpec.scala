@@ -1,0 +1,104 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Planted-truth tests for the round-8 corpus-prep additions:
+  * repetition signals, sequence packing, PII-style redaction. The
+  * driver's DuckDB oracle proves cross-engine parity; these prove the
+  * SEMANTICS on inputs where the right answer is computable by hand. */
+class TextOpsSpec extends SparkSpec {
+
+  /** docs: 0 = pure two-token loop (maximal repetition), 1 = all-distinct
+    * tokens (zero repetition), 2 = one-token doc (degenerate: no bigrams
+    * or trigrams at all). Token counts 10 / 6 / 1 feed the packing test. */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "ab cd ab cd ab cd ab cd ab cd", "en", "s0", 29L),
+      (1L, "one two three four five six", "en", "s0", 27L),
+      (2L, "lonely", "en", "s1", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Files.createTempDirectory("textops-spec").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("repetition: loop doc maxes the signals, distinct doc zeroes them") {
+    import spark.implicits._
+    val out = TextOps.queries("d_repetition")(spark, dir)
+      .select($"doc_id", $"n_trigrams", $"dup_trigram_frac",
+        $"top_bigram_share")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 0: 10 tokens -> 8 trigrams, only 2 distinct ("ab cd ab",
+    // "cd ab cd") -> dup frac 0.75; 9 bigrams, "ab cd" appears 5 of 9
+    assert(out(0L)._2 == 8L)
+    assert(math.abs(out(0L)._3 - 0.75) < 1e-9)
+    assert(math.abs(out(0L)._4 - 5.0 / 9.0) < 1e-6)
+    // doc 1: every trigram/bigram unique
+    assert(out(1L)._3 == 0.0)
+    assert(math.abs(out(1L)._4 - 0.2) < 1e-9) // 5 bigrams, max count 1
+    // doc 2: no n-grams at all -> zeros, not nulls/NaNs
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0.0 && out(2L)._4 == 0.0)
+  }
+
+  test("packing: per-source manifests conserve docs and tokens, ids start at 0") {
+    import spark.implicits._
+    val out = TextOps.queries("d_pack_sequences")(spark, dir)
+      .select($"source", $"seq_id", $"n_docs", $"n_tokens",
+        $"first_doc", $"last_doc")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // 16 tokens in s0 and 1 in s1: everything fits in each source's
+    // sequence 0 at capacity 2048
+    assert(out.toSet == Set(("s0", 0L, 2L, 16L, 0L, 1L),
+                            ("s1", 0L, 1L, 1L, 2L, 2L)))
+  }
+
+  test("packing: offsets split sequences exactly at the capacity boundary") {
+    import spark.implicits._
+    // three 1000-token docs in one source: starts at 0 / 1000 / 2000 ->
+    // seq 0, seq 0, seq 0 is wrong reading; floor(start/2048) = 0,0,0?
+    // 0->0, 1000->0, 2000->0; fourth doc starts 3000 -> seq 1. The doc
+    // STRADDLING 2048 (start 2000) still belongs to seq 0 by the
+    // offset rule — asserted explicitly so the semantics stay pinned.
+    val word = "tok "
+    val docs = (0 until 4).map { i =>
+      (i.toLong, (word * 1000).trim, "en", "s", 4000L)
+    }
+    val d = Files.createTempDirectory("packspec").toString
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.queries("d_pack_sequences")(spark, d)
+      .select($"seq_id", $"n_docs", $"n_tokens", $"first_doc", $"last_doc")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 3L, 3000L, 0L, 2L), (1L, 1L, 1000L, 3L, 3L)))
+  }
+
+  test("pii redact: counts, first-match extraction, and global replace agree") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, """{"k": 69, "u": 1234}"""),
+      (2L, """{"k": 7}"""),
+      (3L, """{"name": "none"}"""))
+      .toDF("event_id", "props")
+    val d = Files.createTempDirectory("piispec").toString
+    // minimal events table: only event_id/props are touched by f15
+    events.withColumn("ts", org.apache.spark.sql.functions.lit(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("user_id", $"event_id")
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("x"))
+      .withColumn("value", org.apache.spark.sql.functions.lit(0.0))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = graft.queries.Relational.queries("f15_pii_redact")(spark, d)
+      .select($"event_id", $"n_matches", $"first_num", $"props_redacted")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)), r.getString(3))).toMap
+    assert(out(1L) == ((2L, Some(69L), """{"k": [NUM], "u": [NUM]}""")))
+    assert(out(2L) == ((1L, Some(7L), """{"k": [NUM]}""")))
+    assert(out(3L) == ((0L, None, """{"name": "none"}""")))
+  }
+}
