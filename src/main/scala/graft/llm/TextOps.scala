@@ -467,9 +467,34 @@ object TextOps {
         max($"doc_id").as("last_doc"))
   }
 
+  /** Per-source document CAP — the corpus-mixing step that stops one
+    * hot domain from dominating the training mixture: keep at most K
+    * docs per source, chosen by a deterministic hash order (md5 of
+    * doc_id — a seeded shuffle, not "first K by id", which would bias
+    * toward whatever the upstream sort was). One window keyed by
+    * source — and Catalyst plans the rk ≤ K filter as TWO-PHASE
+    * WindowGroupLimit (pinned in PlanShapeSpec): each map task keeps
+    * only its local top-K per source BEFORE the exchange, so the
+    * shuffle carries ≤ K·sources·tasks narrow rows, not the corpus —
+    * the property that makes a per-domain cap feasible over 100 TB
+    * (a plain row_number window would shuffle every row to sort whole
+    * sources). Emits kept rows with their sample rank so downstream
+    * mixture audits can re-derive per-source acceptance. */
+  private val sourceCap: Q = (spark, dir) => {
+    import spark.implicits._
+    val CapK = 100
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= CapK)
+  }
+
   val queries: Map[String, Q] = Map(
     "d_repetition"     -> repetition,
     "d_pack_sequences" -> packSeq,
+    "d_source_cap"     -> sourceCap,
     "d_entropy"        -> entropy,
     "d_chunk"          -> chunk,
     "d_vocab_topk"     -> vocab,
@@ -517,6 +542,14 @@ object TextOps {
     (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    "d_source_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 100""".stripMargin,
+
     "d_repetition" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |g AS (SELECT doc_id,

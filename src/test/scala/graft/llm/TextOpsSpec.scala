@@ -77,6 +77,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Set((0L, 3L, 3000L, 0L, 2L), (1L, 1L, 1000L, 3L, 3L)))
   }
 
+  test("source cap keeps exactly K docs per hot source, hash-ordered not id-ordered") {
+    import spark.implicits._
+    // one source with 150 docs (over the K=100 cap), one with 3 (under)
+    val docs = ((0 until 150).map(i => (i.toLong, s"doc number $i", "en", "hot", 10L)) ++
+      (150 until 153).map(i => (i.toLong, s"doc number $i", "en", "cold", 10L)))
+    val d = Files.createTempDirectory("capspec").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.queries("d_source_cap")(spark, d)
+      .select($"source", $"doc_id", $"rk")
+      .as[(String, Long, Long)].collect()
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc("hot").length == 100 && bySrc("cold").length == 3)
+    // rank-1 doc of the hot source is the md5-min id, not doc_id 0 —
+    // the selection is a deterministic hash sample, not "first K"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(i: Long) = md.digest(i.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expectedFirst = (0L until 150L).minBy(h)
+    assert(bySrc("hot").find(_._3 == 1L).get._2 == expectedFirst)
+    assert(expectedFirst != 0L) // the hash order genuinely differs from id order
+  }
+
   test("pii redact: counts, first-match extraction, and global replace agree") {
     import spark.implicits._
     val events = Seq(

@@ -143,6 +143,17 @@ class PlanShapeSpec extends SparkSpec {
       s"j7 re-broadcast a catalog-scaling key table:\n$p")
   }
 
+  test("d_source_cap: rank filter runs as two-phase WindowGroupLimit (partial before the shuffle)") {
+    // The per-domain cap is only 100 TB-feasible because each map task
+    // keeps its local top-K per source BEFORE the exchange — if the
+    // partial WindowGroupLimit disappears, the shuffle carries the
+    // whole corpus to sort entire sources and the cap becomes a
+    // full-sort of every hot domain.
+    val p = planOf("d_source_cap")
+    assert(count(p, "WindowGroupLimit") == 2,
+      s"d_source_cap expected partial+final WindowGroupLimit:\n$p")
+  }
+
   test("d_bm25_topk: distributed top-k via TakeOrderedAndProject, bounded exchanges") {
     // global top-k must stay a per-task k-heap + driver merge — if this
     // node disappears the query funnels every scored doc through one
