@@ -171,5 +171,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => WindowDistinctToAggregate)
     graft.functions.Hash48.register(ext)
     graft.functions.DotF64.register(ext)
+    graft.functions.BloomSketch.register(ext)
   }
 }

@@ -303,4 +303,21 @@ class DedupSpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(out == Set((0L, 1L))) // the dup pair, and ONLY it — no (2,3)
   }
+
+  /** The bloom spelling must be row-identical to the broadcast spelling:
+    * bloom false positives die in the exact verify join, so the sketch is
+    * purely a pre-shuffle volume cut. On the planted corpus doc 0 is the
+    * eval doc (0 % 50 == 0): its exact dup 1 and near-dup 2 share ≥ 2
+    * shingles, unrelated 3 shares none. */
+  test("bloom decontamination equals the broadcast spelling exactly") {
+    import spark.implicits._
+    val broadcastOut = Dedup.contamination(spark, dir)
+      .select($"doc_id", $"eval_id", $"n_shared")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val bloomOut = Dedup.contaminationBloom(spark, dir)
+      .select($"doc_id", $"eval_id", $"n_shared")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(bloomOut == broadcastOut)
+    assert(bloomOut.map { case (d2, e, _) => (d2, e) } == Seq((1L, 0L), (2L, 0L)))
+  }
 }
