@@ -491,10 +491,55 @@ object TextOps {
       .filter($"rk" <= CapK)
   }
 
+  /** Token-budget mixture PLAN + its deterministic execution audit — the
+    * rate-based companion to [[sourceCap]]'s hard doc cap: a training
+    * mixture is usually specified as a TOKEN budget per domain, not a doc
+    * count. Here the global budget is 30% of corpus tokens split evenly
+    * across sources; a source holding T_s tokens gets sampling rate
+    * min(1, budget / nSources / T_s) — under-budget domains keep
+    * everything, over-budget domains are thinned toward equal token
+    * share. Docs are kept by a salted deterministic hash threshold (the
+    * same seeded-shuffle trick as [[sourceCap]] / o4, so the sample is
+    * reproducible and partition-invariant), and the output is the
+    * per-source plan row: planned rate (ppm), corpus tokens, and the
+    * REALIZED kept doc/token counts — what a mixture dashboard audits.
+    *
+    * Scale shape: one agg over the doc stream for per-source totals
+    * (sources ≈ thousands → the plan frame broadcasts), then the keep
+    * filter is MAP-SIDE on the doc stream (hash < rate, no shuffle of
+    * the corpus), and only per-source partial counts shuffle. The rate
+    * arithmetic stays in one left-associated double chain so the DuckDB
+    * oracle replays it bit-for-bit. */
+  private val mixturePlan: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", size(toks($"text")).cast("long").as("n_tok"))
+    val bySrc = docs.groupBy($"source").agg(sum($"n_tok").as("src_tokens"))
+    val stats = bySrc.agg(sum($"src_tokens").cast("double").as("tot"),
+      count(lit(1)).cast("double").as("nsrc"))
+    val planned = bySrc.crossJoin(broadcast(stats))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          floor(lit(0.3) * $"tot" / $"nsrc" * lit(1000000.0) /
+            $"src_tokens".cast("double"))))
+      .select($"source", $"src_tokens", $"rate_ppm")
+    val kept = docs
+      .join(broadcast(planned.select($"source", $"rate_ppm")), "source")
+      .filter(hash48(concat(lit("mix"), $"doc_id".cast("string"))) % 1000000L
+        < $"rate_ppm")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_tok").as("kept_tokens"))
+    planned.join(kept, Seq("source"), "left")
+      .select($"source", $"src_tokens", $"rate_ppm",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"kept_tokens", lit(0L)).as("kept_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d_repetition"     -> repetition,
     "d_pack_sequences" -> packSeq,
     "d_source_cap"     -> sourceCap,
+    "d_mixture_plan"   -> mixturePlan,
     "d_entropy"        -> entropy,
     "d_chunk"          -> chunk,
     "d_vocab_topk"     -> vocab,
@@ -542,6 +587,28 @@ object TextOps {
     (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    "d_mixture_plan" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($ToksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |b AS (SELECT source, SUM(n_tok) AS src_tokens FROM d GROUP BY source),
+         |st AS (SELECT CAST(SUM(src_tokens) AS DOUBLE) AS tot,
+         |              CAST(COUNT(*) AS DOUBLE) AS nsrc FROM b),
+         |p AS (SELECT source, src_tokens,
+         |  LEAST(1000000, CAST(FLOOR(
+         |    CAST(0.3 AS DOUBLE) * tot / nsrc * CAST(1000000.0 AS DOUBLE)
+         |      / CAST(src_tokens AS DOUBLE)) AS BIGINT)) AS rate_ppm
+         |  FROM b, st),
+         |k AS (SELECT d.source, COUNT(*) AS n_kept, SUM(d.n_tok) AS kept_tokens
+         |  FROM d JOIN p USING (source)
+         |  WHERE ${hash48Sql("'mix' || CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm
+         |  GROUP BY d.source)
+         |SELECT p.source, p.src_tokens, p.rate_ppm,
+         |  COALESCE(k.n_kept, 0) AS n_kept,
+         |  COALESCE(k.kept_tokens, 0) AS kept_tokens
+         |FROM p LEFT JOIN k USING (source)""".stripMargin,
+
     "d_source_cap" ->
       """WITH r AS (SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source

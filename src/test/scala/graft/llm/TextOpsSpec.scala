@@ -124,4 +124,31 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == ((1L, Some(7L), """{"k": [NUM]}""")))
     assert(out(3L) == ((0L, None, """{"name": "none"}""")))
   }
+
+  test("mixture plan: under-budget source keeps all, hot source thins to rate") {
+    import spark.implicits._
+    // hot: 400 docs × 10 tokens = 4000 tokens; cold: 10 docs × 10 = 100.
+    // budget = 0.3 × 4100 / 2 = 615 tokens per source →
+    // cold rate = 1e6 (keeps everything), hot rate = 615/4000 ≈ 153750 ppm.
+    def tenTok(i: Int) = s"one two three four five six seven eight nine d$i"
+    val docs = ((0 until 400).map(i => (i.toLong, tenTok(i), "en", "hot", 10L)) ++
+      (400 until 410).map(i => (i.toLong, tenTok(i), "en", "cold", 10L)))
+    val d = Files.createTempDirectory("mixspec").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.queries("d_mixture_plan")(spark, d)
+      .select($"source", $"src_tokens", $"rate_ppm", $"n_kept", $"kept_tokens")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, coldTok, coldRate, coldKept, coldKeptTok) = out("cold")
+    assert(coldTok == 100L && coldRate == 1000000L &&
+      coldKept == 10L && coldKeptTok == 100L) // under budget: keep all
+    val (_, hotTok, hotRate, hotKept, hotKeptTok) = out("hot")
+    assert(hotTok == 4000L)
+    assert(hotRate == math.floor(0.3 * 4100.0 / 2.0 * 1000000.0 / 4000.0).toLong)
+    // realized sample tracks the planned rate (hash threshold is uniform);
+    // with 400 draws at p≈0.154 a ±3σ band is ~±22 docs
+    assert(math.abs(hotKept - 400.0 * hotRate / 1e6) < 25)
+    assert(hotKeptTok == hotKept * 10L) // every doc is exactly 10 tokens
+  }
 }
