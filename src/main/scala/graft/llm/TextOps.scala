@@ -535,11 +535,48 @@ object TextOps {
         coalesce($"kept_tokens", lit(0L)).as("kept_tokens"))
   }
 
+  /** Token-distribution DRIFT between two corpus snapshots — the
+    * monitoring query run between crawls: which terms' frequencies moved
+    * most? Snapshot proxy: doc_id parity (A = even, B = odd). Per term,
+    * additive-smoothed log-frequency ratio
+    * ln((c_a+0.5)/(tot_a+1)) − ln((c_b+0.5)/(tot_b+1)), min support 5,
+    * top 40 by |ratio| with a term tie-break.
+    *
+    * Scale shape: ONE pass over the token stream — both sides' counts
+    * come from conditional aggregation on the same term-keyed shuffle
+    * (not one scan per snapshot); the vocab-sized counts frame is
+    * lazily local-checkpointed so the totals row and the ranking reuse
+    * it instead of re-scanning the corpus; the top-k plans as
+    * TakeOrderedAndProject (no global sort). The ratio is rounded to 6
+    * decimals and RANKED ON THE ROUNDED VALUE, so the top-k boundary
+    * cannot differ across engines on a last-ulp ln() disagreement. */
+  private val drift: Q = (spark, dir) => {
+    import spark.implicits._
+    val counts = Tables.load(spark, dir, "documents")
+      .select(($"doc_id" % 2 === 0).as("is_a"), explode(toks($"text")).as("term"))
+      .filter(length($"term") > 0)
+      .groupBy($"term").agg(
+        sum(when($"is_a", 1L).otherwise(0L)).as("c_a"),
+        sum(when($"is_a", 0L).otherwise(1L)).as("c_b"))
+      .localCheckpoint(false)
+    val tot = counts.agg(sum($"c_a").cast("double").as("tot_a"),
+      sum($"c_b").cast("double").as("tot_b"))
+    counts.filter($"c_a" + $"c_b" >= 5)
+      .crossJoin(broadcast(tot))
+      .withColumn("log_ratio", round(
+        log(($"c_a".cast("double") + 0.5) / ($"tot_a" + 1.0))
+          - log(($"c_b".cast("double") + 0.5) / ($"tot_b" + 1.0)), 6))
+      .select($"term", $"c_a", $"c_b", $"log_ratio")
+      .orderBy(abs($"log_ratio").desc, $"term".asc)
+      .limit(40)
+  }
+
   val queries: Map[String, Q] = Map(
     "d_repetition"     -> repetition,
     "d_pack_sequences" -> packSeq,
     "d_source_cap"     -> sourceCap,
     "d_mixture_plan"   -> mixturePlan,
+    "d_drift"          -> drift,
     "d_entropy"        -> entropy,
     "d_chunk"          -> chunk,
     "d_vocab_topk"     -> vocab,
@@ -587,6 +624,24 @@ object TextOps {
     (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    "d_drift" ->
+      s"""WITH t AS (
+         |  SELECT doc_id % 2 = 0 AS is_a, unnest($ToksSql) AS term
+         |  FROM documents),
+         |c AS (SELECT term,
+         |        SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS c_a,
+         |        SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS c_b
+         |      FROM t WHERE length(term) > 0 GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(c_a) AS DOUBLE) AS tot_a,
+         |              CAST(SUM(c_b) AS DOUBLE) AS tot_b FROM c)
+         |SELECT term, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+         |  ROUND(ln((CAST(c_a AS DOUBLE) + 0.5) / (tot_a + 1.0))
+         |      - ln((CAST(c_b AS DOUBLE) + 0.5) / (tot_b + 1.0)), 6) AS log_ratio
+         |FROM c, tt WHERE c_a + c_b >= 5
+         |ORDER BY abs(ROUND(ln((CAST(c_a AS DOUBLE) + 0.5) / (tot_a + 1.0))
+         |      - ln((CAST(c_b AS DOUBLE) + 0.5) / (tot_b + 1.0)), 6)) DESC, term
+         |LIMIT 40""".stripMargin,
+
     "d_mixture_plan" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,

@@ -151,4 +151,25 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(hotKept - 400.0 * hotRate / 1e6) < 25)
     assert(hotKeptTok == hotKept * 10L) // every doc is exactly 10 tokens
   }
+
+  test("drift: planted snapshot-exclusive terms rank first, stable terms near zero") {
+    import spark.implicits._
+    // "alpha" appears only in even (snapshot A) docs, "beta" only in odd
+    // (snapshot B); "stable" appears equally in both.
+    val docs = (0 until 40).map { i =>
+      val skew = if (i % 2 == 0) "alpha alpha alpha" else "beta beta beta"
+      (i.toLong, s"stable common words here $skew", "en", "s", 40L)
+    }
+    val d = Files.createTempDirectory("driftspec").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.queries("d_drift")(spark, d)
+      .select($"term", $"log_ratio").as[(String, Double)].collect()
+    val byTerm = out.toMap
+    // the exclusive terms are the two extremes, in opposite directions
+    assert(Set(out.head._1, out(1)._1) == Set("alpha", "beta"))
+    assert(byTerm("alpha") > 0 && byTerm("beta") < 0)
+    assert(math.abs(byTerm("alpha") + byTerm("beta")) < 1e-6) // symmetric plant
+    assert(math.abs(byTerm("stable")) < 0.1) // balanced term ≈ no drift
+  }
 }
