@@ -571,12 +571,47 @@ object TextOps {
       .limit(40)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm) — the plagiarism/near-copy fingerprint with a POSITIONAL
+    * guarantee the rolling hash and minhash lack: any shared token run of
+    * at least w+k−1 = 6 tokens is certain to contribute at least one
+    * common fingerprint (every length-w window of k-gram hashes selects
+    * its minimum; two copies of a run contain the same windows, hence
+    * the same minima). Emitting the DISTINCT selected-hash set per doc
+    * (not positions) keeps the guarantee while avoiding the
+    * rightmost-tie position rule that cross-engine SQL can't replay.
+    * Docs shorter than k tokens have no k-grams and emit nothing; docs
+    * with 1..w−1 k-grams emit their single global minimum.
+    *
+    * Scale shape: pure per-row HOF chain (ordered k-gram hashes →
+    * window minima → array_distinct → explode) — zero exchanges before
+    * the sink, embarrassingly parallel at any corpus size; integer
+    * hashes only, so engine parity is exact. */
+  private val winnow: Q = (spark, dir) => {
+    import spark.implicits._
+    val WinnowW = 4
+    val t = toks($"text")
+    val grams = transform(sequence(lit(1), size(t) - 2), i =>
+      hash48(concat_ws(" ",
+        element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+    val g = col("g")
+    val mins = when(size(g) >= WinnowW,
+      transform(sequence(lit(1), size(g) - (WinnowW - 1)), j =>
+        array_min(slice(g, j, lit(WinnowW)))))
+      .otherwise(array(array_min(g)))
+    Tables.load(spark, dir, "documents")
+      .filter(size(t) >= 3) // below k tokens: no k-gram, no fingerprint
+      .select($"doc_id", grams.as("g"))
+      .select($"doc_id", explode(array_distinct(mins)).as("fp"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d_repetition"     -> repetition,
     "d_pack_sequences" -> packSeq,
     "d_source_cap"     -> sourceCap,
     "d_mixture_plan"   -> mixturePlan,
     "d_drift"          -> drift,
+    "d_winnow"         -> winnow,
     "d_entropy"        -> entropy,
     "d_chunk"          -> chunk,
     "d_vocab_topk"     -> vocab,
@@ -624,6 +659,20 @@ object TextOps {
     (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    "d_winnow" ->
+      s"""WITH d AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_transform(generate_series(1, len(w)-2),
+         |    i -> ${hash48Sql("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")}) AS g
+         |  FROM d WHERE len(w) >= 3),
+         |m AS (SELECT doc_id,
+         |  CASE WHEN len(g) >= 4 THEN
+         |    list_transform(generate_series(1, len(g)-3), j -> list_min(g[j:j+3]))
+         |  ELSE [list_min(g)] END AS m
+         |  FROM g)
+         |SELECT DISTINCT doc_id, fp FROM (
+         |  SELECT doc_id, unnest(m) AS fp FROM m)""".stripMargin,
+
     "d_drift" ->
       s"""WITH t AS (
          |  SELECT doc_id % 2 = 0 AS is_a, unnest($ToksSql) AS term

@@ -152,6 +152,37 @@ class TextOpsSpec extends SparkSpec {
     assert(hotKeptTok == hotKept * 10L) // every doc is exactly 10 tokens
   }
 
+  test("winnow: shared >= w+k-1 token run guarantees a common fingerprint") {
+    import spark.implicits._
+    // docs 10/11 share an exact 6-token run (w+k-1 = 4+3-1) embedded in
+    // otherwise-disjoint text; doc 12 shares nothing. The winnowing
+    // guarantee: 10 and 11 MUST have a common fingerprint; 12 must not
+    // collide with the shared-run fingerprints of either.
+    val run = "alpha bravo charlie delta echo foxtrot"
+    val docs = Seq(
+      (10L, s"one two $run nine ten", "en", "s", 1L),
+      (11L, s"xx yy zz $run qq ww ee rr", "en", "s", 1L),
+      (12L, "completely different words with no overlap at all", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Files.createTempDirectory("winnowspec").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val fp = TextOps.queries("d_winnow")(spark, d)
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).toSet }
+    assert((fp(10L) & fp(11L)).nonEmpty, "winnowing guarantee violated")
+    assert((fp(10L) & fp(12L)).isEmpty && (fp(11L) & fp(12L)).isEmpty)
+    // short-doc edges: 2 tokens -> no k-gram -> absent; 3 tokens -> one
+    // k-gram -> exactly one fingerprint
+    val edge = Seq((20L, "just two", "en", "s", 1L),
+                   (21L, "exactly three tokens", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d2 = Files.createTempDirectory("winnowspec2").toString
+    edge.write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val fp2 = TextOps.queries("d_winnow")(spark, d2)
+      .as[(Long, Long)].collect().groupBy(_._1)
+    assert(!fp2.contains(20L) && fp2(21L).length == 1)
+  }
+
   test("drift: planted snapshot-exclusive terms rank first, stable terms near zero") {
     import spark.implicits._
     // "alpha" appears only in even (snapshot A) docs, "beta" only in odd

@@ -209,7 +209,7 @@ class PlanShapeSpec extends SparkSpec {
 
   for (name <- Seq("d_text_stats", "d_lang_id", "d_fingerprint",
                    "d_token_counts", "d_quality_filter",
-                   "f12_json_extract", "d_chunk")) {
+                   "f12_json_extract", "d_chunk", "d_winnow")) {
     test(s"$name stays a pure map-side op: ZERO exchanges") {
       // TextOps' design contract: per-doc text analysis never shuffles.
       val p = planOf(name)
