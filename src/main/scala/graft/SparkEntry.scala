@@ -17,6 +17,7 @@ object SparkEntry {
     queries("churn_wide_table")(spark, "/root/testdata/sf0.001")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Analytics.queries ++
     graft.queries.Relational.queries ++
       graft.queries.Churn.queries ++
       graft.ml.ChurnML.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
       graft.llm.Multimodal.queries
 
   val oracleSql: Map[String, String] =
+    graft.queries.Analytics.oracles ++
     graft.queries.Relational.oracles ++
       graft.queries.Churn.oracles ++
       graft.ml.ChurnML.oracles ++

@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.Cols._
+import graft.llm.TextOps.{hash48, hash48Sql}
+
+/** Product/marketing analytics over the `events` and order tables — the
+  * reporting layer a churn platform (the reference domain,
+  * README.md:1-20) runs NEXT TO the model: cohort retention, decile
+  * lift on a risk score, conversion attribution, and graph centrality
+  * over the co-purchase graph. Everything here is a batch DataFrame
+  * query with a DuckDB oracle; the scale notes per query say why each
+  * plan survives a 1000-executor corpus.
+  */
+object Analytics {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- ev_cohort_retention: the classic signup-cohort × week-offset
+  // retention triangle. Cohort = ISO week of a user's FIRST event
+  // (2024-01-01 is a Monday, so weeks align with the testdata epoch);
+  // a user is retained in offset k if they have ANY event in cohort
+  // week + k. Scale shape: one (user, week)-keyed distinct over the
+  // fact (partial-agg combines map-side), then user-keyed agg + join
+  // over the ~|users|·weeks pair table, final (cohort, offset)
+  // aggregate dimension-sized. No global windows, no driver state;
+  // rate is integer-exact (roundRatio2).
+  private val cohortRetention: Q = (spark, dir) => {
+    import spark.implicits._
+    // ONE pass over the fact: the distinct (user, week) pairs are the
+    // shared base (lazy localCheckpoint — computed once, reused thrice);
+    // the cohort derives from the pairs, not from a second events scan.
+    val active = Tables.load(spark, dir, "events")
+      .select($"user_id", to_date(date_trunc("week", $"ts")).as("week"))
+      .distinct()
+      .localCheckpoint(false)
+    val cohort = active.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    val sizes = cohort.groupBy($"cohort_week").agg(count(lit(1)).as("n_cohort"))
+    cohort.join(active, "user_id")
+      .groupBy($"cohort_week",
+        (datediff($"week", $"cohort_week") / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_week")
+      .select($"cohort_week", $"week_offset", $"n_active", $"n_cohort",
+        roundRatio2($"n_active" * 100, $"n_cohort").as("retention"))
+  }
+
+  // ---- a16_decile_lift: the gains/lift table every churn model review
+  // reads (reference README's model-quality section is exactly this
+  // audience). Score = engagement (event count in the first 23 days);
+  // outcome = purchased in the final 7 days. Deciles are assigned by
+  // the TWO-PHASE spelling, not a global NTILE: a global
+  // row_number()/ntile() window is a single-partition sort — the
+  // classic driver-shaped bottleneck at a billion users. Instead:
+  //   (1) per-user agg (one shuffle, user-keyed);
+  //   (2) the SCORE HISTOGRAM (distinct scores are small-int counts —
+  //       dimension-sized) → cumulative count below each score, built
+  //       with a window over the tiny histogram and broadcast back;
+  //   (3) per-score windows (bounded partitions, parallel) rank ties
+  //       by user_id, so global_rank = cum_below(score) + rank_in_tie
+  //       reproduces row_number(ORDER BY score DESC, user_id) exactly
+  //       without ever sorting the full table in one task.
+  // decile = floor(10·(rank−1)/n); lift is integer-exact:
+  // lift = (cum_pos/cum_n)/(tot_pos/n) → roundRatio2(cum_pos·n·100,
+  // cum_n·tot_pos). The oracle spells the same semantics with the
+  // naive global row_number — matching output, opposite scaling.
+  private val decileLift: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val users = ev.groupBy($"user_id").agg(
+      sum(when($"ts" < lit("2024-01-24").cast("timestamp"), 1L).otherwise(0L))
+        .as("score"),
+      max(when($"event_type" === "purchase" &&
+        $"ts" >= lit("2024-01-24").cast("timestamp"), 1L).otherwise(0L))
+        .as("pos"))
+      // node-sized (one row per user); lazy checkpoint stops the three
+      // downstream uses (histogram, totals, rank join) from re-scanning
+      // the events fact three times.
+      .localCheckpoint(false)
+    val hist = users.groupBy($"score").agg(count(lit(1)).as("n_s"))
+    // cum_below(s) = users with a STRICTLY HIGHER score (rank precedes
+    // on score desc); window over the histogram only — rows = #distinct
+    // scores, not #users.
+    val wHist = Window.orderBy($"score".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select($"score",
+      coalesce(sum($"n_s").over(wHist), lit(0L)).as("cum_below"))
+    val wTie = Window.partitionBy($"score").orderBy($"user_id")
+    val totals = users.agg(count(lit(1)).as("n_tot"), sum($"pos").as("pos_tot"))
+    val ranked = users
+      .join(broadcast(cum), "score")
+      .crossJoin(broadcast(totals))
+      .withColumn("rk", $"cum_below" + row_number().over(wTie))
+    val byDecile = ranked
+      .groupBy(floor(lit(10) * ($"rk" - 1) / $"n_tot").cast("long").as("decile"))
+      .agg(count(lit(1)).as("n_users"), sum($"pos").as("n_pos"),
+        max($"n_tot").as("n_tot"), max($"pos_tot").as("pos_tot"))
+    val wCum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byDecile
+      .withColumn("cum_n", sum($"n_users").over(wCum))
+      .withColumn("cum_pos", sum($"n_pos").over(wCum))
+      .select($"decile", $"n_users", $"n_pos",
+        roundRatio2($"n_pos" * 100, $"n_users").as("rate"),
+        roundRatio2($"cum_pos" * $"n_tot" * 100, $"cum_n" * $"pos_tot")
+          .as("cum_lift"))
+  }
+
+  // ---- ev_attribution: last-touch conversion attribution with a 7-day
+  // lookback — "which channel gets credit for this purchase". Touch =
+  // click/view; a purchase's credited channel is the user's most recent
+  // touch within 7 days, else "direct". ONE user-keyed window (running
+  // last-non-null over a struct keeps ts+channel aligned — the same
+  // struct-payload lesson as the as-of join, TemporalJoins.scala) and a
+  // dimension-sized final aggregate. Per-user partitions are bounded by
+  // per-user history, the safe window axis at any corpus size.
+  private val attribution: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val touch = when($"event_type".isin("click", "view"),
+      struct($"ts".as("t_ts"), $"event_type".as("t_ch")))
+    val lastTouch = last(touch, ignoreNulls = true).over(w)
+    ev.withColumn("lt", lastTouch)
+      .filter($"event_type" === "purchase")
+      .select(
+        when($"lt".isNull ||
+          $"lt.t_ts" < $"ts" - expr("INTERVAL 7 DAYS"), "direct")
+          .otherwise($"lt.t_ch").as("channel"),
+        $"value")
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_conversions"), dsum($"value").as("sum_value"))
+  }
+
+  // ---- g1_pagerank: 3 damped PageRank iterations over the co-purchase
+  // graph (parts linked when one order contains both — the j6 edge
+  // set), the graph-centrality twin of the pointer-jumping CC family
+  // (Dedup.connectedComponents). All arithmetic is INTEGER fixed-point
+  // (ranks in parts-per-billion, per-edge contribution floor(r/deg),
+  // damping floor(17·s/20)): integer sums are order-independent, so
+  // the result is bit-identical under any partitioning and any engine
+  // — double-sum PageRank can't be hash-compared across engines at
+  // all. Scale shape: per iteration one edges⋈ranks join (both sides
+  // keyed on the join key; ranks are node-sized, edges dominate) + one
+  // dst-keyed aggregate — the textbook Pregel round as two shuffles;
+  // localCheckpoint truncates the 3-round lineage exactly like the CC
+  // loop. Isolated parts (never co-ordered) are out of the node set by
+  // construction.
+  private val pagerank: Q = (spark, dir) => {
+    import spark.implicits._
+    val items = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .localCheckpoint(true) // both self-join sides read the checkpoint
+    val edges = items.as("a").join(items.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" =!= $"b.l_partkey")
+      .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val nodes = deg.select($"src".as("node"), $"deg")
+    val n = nodes.count()
+    val init = nodes.withColumn("rank_ppb", lit(1000000000L / n))
+    val base = 150000000L / n // (1−d)/N in ppb, d = 0.85
+    var ranks = init
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(ranks, edges("src") === ranks("node"))
+        .select($"dst", floor($"rank_ppb" / $"deg").cast("long").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("s"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select($"node", $"deg",
+          (lit(base) + floor(lit(17) * coalesce($"s", lit(0L)) / 20))
+            .cast("long").as("rank_ppb"))
+        .localCheckpoint(true)
+    }
+    ranks.select($"node".as("p_partkey"), $"rank_ppb")
+      .orderBy($"rank_ppb".desc, $"p_partkey".asc).limit(25)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ev_cohort_retention" -> cohortRetention,
+    "a16_decile_lift"     -> decileLift,
+    "ev_attribution"      -> attribution,
+    "g1_pagerank"         -> pagerank)
+
+  val oracles: Map[String, String] = Map(
+    "ev_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1),
+        |sizes AS (SELECT cohort_week, COUNT(*) AS n_cohort FROM cohort GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, week FROM ev),
+        |r AS (
+        |  SELECT c.cohort_week, (a.week - c.cohort_week) // 7 AS week_offset,
+        |         COUNT(*) AS n_active
+        |  FROM cohort c JOIN act a USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT r.cohort_week, week_offset, n_active, n_cohort,
+        |       floor((n_active * 100 * 2 + n_cohort) / (n_cohort * 2)) / 100.0 AS retention
+        |FROM r JOIN sizes USING (cohort_week)""".stripMargin,
+
+    "a16_decile_lift" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-24' THEN 1 ELSE 0 END) AS score,
+        |         MAX(CASE WHEN event_type = 'purchase' AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-24' THEN 1 ELSE 0 END) AS pos
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT score, pos,
+        |         ROW_NUMBER() OVER (ORDER BY score DESC, user_id) AS rk,
+        |         COUNT(*) OVER () AS n_tot, SUM(pos) OVER () AS pos_tot
+        |  FROM u),
+        |d AS (
+        |  SELECT CAST(FLOOR(10 * (rk - 1) / n_tot) AS BIGINT) AS decile,
+        |         COUNT(*) AS n_users, SUM(pos) AS n_pos,
+        |         MAX(n_tot) AS n_tot, MAX(pos_tot) AS pos_tot
+        |  FROM r GROUP BY 1),
+        |c AS (
+        |  SELECT *, SUM(n_users) OVER (ORDER BY decile) AS cum_n,
+        |         SUM(n_pos) OVER (ORDER BY decile) AS cum_pos
+        |  FROM d)
+        |SELECT decile, n_users, n_pos,
+        |       floor((n_pos * 100 * 2 + n_users) / (n_users * 2)) / 100.0 AS rate,
+        |       floor((cum_pos * n_tot * 100 * 2 + cum_n * pos_tot) / (cum_n * pos_tot * 2)) / 100.0 AS cum_lift
+        |FROM c""".stripMargin,
+
+    "ev_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, event_type, value,
+        |         LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN struct_pack(t_ts := CAST(ts AS TIMESTAMP), t_ch := event_type) END
+        |                    IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+        |  FROM events)
+        |SELECT CASE WHEN lt IS NULL OR lt.t_ts < t - INTERVAL 7 DAY
+        |            THEN 'direct' ELSE lt.t_ch END AS channel,
+        |       COUNT(*) AS n_conversions,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM ev WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+
+    "g1_pagerank" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM deg),
+        |it0 AS (SELECT node, deg, 1000000000 // (SELECT n FROM n) AS r FROM deg),
+        |it1 AS (
+        |  SELECT d.node, d.deg,
+        |         150000000 // (SELECT n FROM n)
+        |           + (17 * COALESCE(SUM(p.r // p.deg), 0)) // 20 AS r
+        |  FROM deg d LEFT JOIN (SELECT e.dst, i.r, i.deg FROM edges e
+        |                        JOIN it0 i ON e.src = i.node) p
+        |    ON p.dst = d.node GROUP BY 1, 2),
+        |it2 AS (
+        |  SELECT d.node, d.deg,
+        |         150000000 // (SELECT n FROM n)
+        |           + (17 * COALESCE(SUM(p.r // p.deg), 0)) // 20 AS r
+        |  FROM deg d LEFT JOIN (SELECT e.dst, i.r, i.deg FROM edges e
+        |                        JOIN it1 i ON e.src = i.node) p
+        |    ON p.dst = d.node GROUP BY 1, 2),
+        |it3 AS (
+        |  SELECT d.node, d.deg,
+        |         150000000 // (SELECT n FROM n)
+        |           + (17 * COALESCE(SUM(p.r // p.deg), 0)) // 20 AS r
+        |  FROM deg d LEFT JOIN (SELECT e.dst, i.r, i.deg FROM edges e
+        |                        JOIN it2 i ON e.src = i.node) p
+        |    ON p.dst = d.node GROUP BY 1, 2)
+        |SELECT node AS p_partkey, r AS rank_ppb FROM it3
+        |ORDER BY r DESC, node ASC LIMIT 25""".stripMargin)
+}

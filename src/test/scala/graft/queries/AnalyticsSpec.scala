@@ -1,0 +1,140 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Planted-truth semantics for the analytics layer (the DuckDB oracle
+  * proves cross-engine parity; these prove the MATH on hand-checkable
+  * inputs). */
+class AnalyticsSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Cohorts: user 1 first appears in week 0 (Mon 2024-01-01), active
+    * again in week 1; user 2 joins in week 1 only; user 3 joins week 0,
+    * never returns. */
+  private lazy val cohortDir: String = {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-02 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-09 10:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-10 10:00:00"), 2L, "click", 1.0, "{}"),
+      (4L, ts("2024-01-03 10:00:00"), 3L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = Files.createTempDirectory("an-cohort").toString
+    events.write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("cohort retention: offsets and rates from first-event weeks") {
+    import spark.implicits._
+    val out = Analytics.queries("ev_cohort_retention")(spark, cohortDir)
+      .orderBy($"cohort_week", $"week_offset")
+      .select($"cohort_week".cast("string"), $"week_offset", $"n_active",
+        $"n_cohort", $"retention")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      // week-0 cohort = {1, 3}: both active offset 0; only user 1 at 1
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 2L, 0.5),
+      // week-1 cohort = {2}
+      ("2024-01-08", 0L, 1L, 1L, 1.0)))
+  }
+
+  /** Lift: 10 users, scores 10..1 (user k has events only before the
+    * cutoff giving score = 11-k), positives = the top-2 scorers and the
+    * bottom scorer. One user per decile (n = 10). */
+  private lazy val liftDir: String = {
+    import spark.implicits._
+    val rows = (1 to 10).flatMap { k =>
+      val score = 11 - k
+      val base = (1 to score).map(i =>
+        (k * 100L + i, ts(f"2024-01-0${(i % 5) + 1}%d 10:00:00"), k.toLong,
+          "click", 1.0, "{}"))
+      val pos = if (k <= 2 || k == 10)
+        Seq((k * 100L + 99, ts("2024-01-25 10:00:00"), k.toLong,
+          "purchase", 5.0, "{}"))
+      else Seq.empty
+      base ++ pos
+    }
+    val d = Files.createTempDirectory("an-lift").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("decile lift: two-phase ranking reproduces global order; lift math exact") {
+    import spark.implicits._
+    val out = Analytics.queries("a16_decile_lift")(spark, liftDir)
+      .orderBy($"decile")
+      .select($"decile", $"n_users", $"n_pos", $"rate", $"cum_lift")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == (0L to 9L))
+    assert(out.forall(r => r._2 == 1L))
+    // positives: deciles 0, 1 (top scorers) and 9 (bottom scorer)
+    assert(out.map(_._3) == Seq(1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L))
+    // base rate 3/10; decile-0 cum lift = (1/1)/(3/10) = 3.33
+    assert(out.head._5 == 3.33)
+    // full-population cum lift is 1.0 by construction
+    assert(out.last._5 == 1.0)
+  }
+
+  /** Attribution: purchase after a click → click; after a view (later
+    * than the click) → view; touch 8 days stale → direct; no touch at
+    * all → direct. */
+  private lazy val attrDir: String = {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-10 10:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-10 11:00:00"), 1L, "purchase", 10.0, "{}"),
+      (3L, ts("2024-01-10 12:00:00"), 1L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-10 13:00:00"), 1L, "purchase", 20.0, "{}"),
+      (5L, ts("2024-01-01 09:00:00"), 2L, "click", 0.0, "{}"),
+      (6L, ts("2024-01-09 10:00:00"), 2L, "purchase", 40.0, "{}"),
+      (7L, ts("2024-01-05 10:00:00"), 3L, "purchase", 80.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = Files.createTempDirectory("an-attr").toString
+    events.write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("attribution: last touch in lookback wins; stale or missing → direct") {
+    import spark.implicits._
+    val out = Analytics.queries("ev_attribution")(spark, attrDir)
+      .select($"channel", $"n_conversions", $"sum_value")
+      .as[(String, Long, Double)].collect().toMap2
+    assert(out("click") == (1L, 10.0)) // purchase 2 ← click 1
+    assert(out("view") == (1L, 20.0)) // purchase 4 ← view 3 (latest)
+    assert(out("direct") == (2L, 120.0)) // stale (8 days) + no-touch
+  }
+
+  /** PageRank: a symmetric 2-node graph is a fixed point at 1/2 each;
+    * a hub-and-spoke order (hub co-ordered with 2 spokes that never
+    * co-occur) ranks the hub strictly above the spokes. */
+  test("pagerank: fixed point on the 2-cycle; hub outranks spokes") {
+    import spark.implicits._
+    val li = Seq(
+      // order 1: parts 1, 2 → the 2-cycle
+      (1L, 1L), (1L, 2L),
+      // orders 10/11: hub 5 with spoke 6, then hub 5 with spoke 7
+      (10L, 5L), (10L, 6L), (11L, 5L), (11L, 7L))
+      .toDF("l_orderkey", "l_partkey")
+    val d = Files.createTempDirectory("an-pr").toString
+    li.write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = Analytics.queries("g1_pagerank")(spark, d)
+      .as[(Long, Long)].collect().toMap
+    // n = 5 nodes; uniform init 2e8 ppb. The 2-cycle: deg 1 both sides,
+    // each round r = 30e6 + floor(17·2e8/20) = 2e8 — exact fixed point.
+    assert(out(1L) == 200000000L && out(2L) == 200000000L)
+    assert(out(5L) > out(6L) && out(6L) == out(7L))
+    // ranks are conserved-ish: total stays within rounding of 1e9
+    assert(math.abs(out.values.sum - 1000000000L) < 100L)
+  }
+
+  private implicit class PairMap(rows: Array[(String, Long, Double)]) {
+    def toMap2: Map[String, (Long, Double)] =
+      rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+}
