@@ -236,6 +236,42 @@ object Dedup {
       .select($"id_a", $"id_b", $"jaccard")
   }
 
+  /** Shingle CONTAINMENT — the doc-in-doc detector Jaccard misses: a
+    * short doc quoted whole inside a long one has inter ≈ |small| but
+    * Jaccard ≈ |small|/|large| → arbitrarily low. Containment scores
+    * inter/|smaller| so the quote/wrapper case hits ~1.0 regardless of
+    * the size ratio (the asymmetric measure used for extraction and
+    * quote detection in corpus dedup). Same posting-list machinery,
+    * skew guard, and scale shape as [[ngramJaccard]] — one grouping +
+    * one pair-count shuffle, per-list pair volume bounded by the df
+    * cap; Jaccard is emitted next to it so the divergence is visible
+    * per pair. `contained_id` names the smaller side (ties → id_a). */
+  def containment(spark: SparkSession, dir: String,
+                  threshold: Double = 0.8,
+                  maxShingleDf: Long = 100L): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(spark, dir)
+    val posts = sh.select($"doc_id", explode($"sh").as("tok0"))
+      .select($"doc_id", hash48($"tok0").as("tok"))
+      .groupBy($"tok").agg(sort_array(array_distinct(collect_list($"doc_id"))).as("ids"))
+      .filter(size($"ids").between(2, maxShingleDf))
+    val pairs = posts
+      .select(explode(orderedPairs($"ids")).as("p"))
+      .groupBy($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select($"doc_id", size($"sh").as("n"))
+    pairs
+      .join(sizes.select($"doc_id".as("id_a"), $"n".as("n_a")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"n".as("n_b")), "id_b")
+      .withColumn("containment",
+        $"inter".cast("double") / least($"n_a", $"n_b"))
+      .filter($"containment" >= threshold)
+      .select($"id_a", $"id_b",
+        when($"n_a" <= $"n_b", $"id_a").otherwise($"id_b").as("contained_id"),
+        $"inter", $"containment",
+        ($"inter".cast("double") / ($"n_a" + $"n_b" - $"inter")).as("jaccard"))
+  }
+
   /** MinHash + LSH banding near-dup: signatures (TextOps.minhashSig) →
     * 4 bands of 2 rows → band-bucket posting lists → ordered-pair
     * candidates → exact-Jaccard verification ≥ threshold. All
@@ -613,6 +649,7 @@ object Dedup {
     "dedup_exact"         -> exact,
     "dedup_stop_shingles" -> ((s, d) => stopShingles(s, d, maxShingleDf = 3L)),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "dedup_containment"   -> ((s, d) => containment(s, d)),
     "dedup_incremental"   -> ((s, d) =>
       ngramJaccardIncremental(s, d, isNew = _ % 10 === 0)),
     "dedup_clusters"      -> ((s, d) => nearDupClusters(s, d)),
@@ -754,6 +791,25 @@ object Dedup {
          |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
          |FROM pair JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+
+    "dedup_containment" ->
+      s"""$shCte,
+         |inv AS (SELECT DISTINCT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(list_transform(sh, s -> ${hash48Sql("s")})) AS tok FROM s)),
+         |keep AS (SELECT tok FROM inv GROUP BY tok HAVING COUNT(*) BETWEEN 2 AND 100),
+         |pair AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM inv x JOIN keep k ON k.tok = x.tok
+         |  JOIN inv y ON x.tok = y.tok AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(sh) AS n FROM s)
+         |SELECT id_a, id_b,
+         |       CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained_id,
+         |       inter,
+         |       CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) AS containment,
+         |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |FROM pair JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(inter AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8""".stripMargin,
 
     "dedup_incremental" ->
       // the full pair statement restricted to pairs touching the "new

@@ -627,6 +627,33 @@ object Relational {
       .select($"event_id", $"user_id", split.as("split"))
   }
 
+  // ---- O6 (extension): weighted sampling without replacement, per
+  // group — Efraimidis–Spirakis A-ES with a DETERMINISTIC uniform: each
+  // doc draws u = (hash48("ws:"+id)+1)/2^48 ∈ (0,1] and keeps key
+  // ln(u)/w (equivalent to u^(1/w); w = n_chars), top-K per source by
+  // key. Long docs are proportionally likelier, yet the sample is a
+  // pure function of the data — reproducible, partition-invariant, and
+  // oracle-checkable, none of which rand()-based weighted sampling
+  // gives. Scale shape: key is map-side arithmetic ((h+1)/2^48 is a
+  // power-of-two division — IEEE-exact in both engines; the ln/div is
+  // rounded to 9 dp with a doc_id tiebreak so a last-ulp libm
+  // disagreement cannot flip the boundary), then the same two-phase
+  // WindowGroupLimit top-K as d_source_cap: each map task keeps its
+  // local top-K per source before the exchange.
+  private val o6: Q = (spark, dir) => {
+    import spark.implicits._
+    val K = 5
+    val u = (graft.llm.TextOps.hash48(concat(lit("ws:"), $"doc_id".cast("string")))
+      + 1).cast("double") / lit(281474976710656.0)
+    val key = round(log(u) / greatest($"n_chars", lit(1L)).cast("double"), 9)
+    val w = Window.partitionBy($"source").orderBy($"key".desc, $"doc_id".asc)
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars", key.as("key"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= K)
+      .select($"source", $"doc_id", $"n_chars", $"rk")
+  }
+
   // ---- A12 (extension): one-pass column profiling — the data-quality
   // summary every ingest pipeline runs before training. ONE aggregate
   // over ONE scan (no per-column passes): row count, null count, exact
@@ -762,6 +789,7 @@ object Relational {
     "w17_rolling_7d"     -> w17,
     "a8_approx_percentiles" -> a8approx,
     "o5_group_hash_split" -> o5,
+    "o6_weighted_sample" -> o6,
     "j6_cooccurrence"    -> j6,
     "a15_histogram"      -> a15,
     "j7_fuzzy_block"     -> j7,
@@ -993,6 +1021,20 @@ object Relational {
         |               AS BIGINT) % 100) < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM events""".stripMargin,
+
+    "o6_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |         round(ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |                     AS BIGINT) + 1) / 281474976710656.0)
+        |               / CAST(greatest(n_chars, 1) AS DOUBLE), 9) AS key
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY key DESC, doc_id ASC) AS rk
+        |  FROM d)
+        |SELECT source, doc_id, n_chars, rk FROM r WHERE rk <= 5""".stripMargin,
 
     "w17_rolling_7d" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,

@@ -32,6 +32,33 @@ class DedupSpec extends SparkSpec {
     d
   }
 
+  test("containment flags a doc quoted whole inside a larger one; jaccard misses it") {
+    import spark.implicits._
+    // doc 11 is a verbatim 12-token prefix of the 33-token doc 10:
+    // every shingle of 11 is a shingle of 10 → containment 1.0, while
+    // jaccard = 10/31 ≈ 0.32 — exactly the quote/wrapper case the
+    // symmetric measure cannot see. doc 12 shares nothing.
+    val big = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu one two three " +
+      "four five six seven"
+    val small = big.split(" ").take(12).mkString(" ")
+    val docs = Seq(
+      (10L, big, "en", "s0", big.length.toLong),
+      (11L, small, "en", "s1", small.length.toLong),
+      (12L, "unrelated text about cooking pasta until golden and crisp",
+        "en", "s2", 58L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Files.createTempDirectory("contain-spec").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Dedup.queries("dedup_containment")(spark, d)
+      .select($"id_a", $"id_b", $"contained_id", $"containment", $"jaccard")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((10L, 11L, 11L, 1.0, 10.0 / 31.0)))
+    // the jaccard query at its 0.8 threshold indeed misses the pair
+    assert(Dedup.queries("dedup_ngram_jaccard")(spark, d).count() == 0L)
+  }
+
   test("exact dedup groups identical texts under the smallest doc_id") {
     import spark.implicits._
     val out = Dedup.queries("dedup_exact")(spark, dir)

@@ -61,6 +61,40 @@ class RelationalLawsSpec extends SparkSpec {
     }
   }
 
+  test("O6 law: A-ES weighted sample equals the locally replayed key order") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // The sample is a pure function of the data: recompute every key
+    // driver-side with the same hash48 / ln / 9-dp rounding and take the
+    // top-5 per source — the distributed result must match EXACTLY.
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+      .as[(Long, String, Long)].collect()
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.toSeq.map { case (id, src, nc) =>
+        val u = (graft.llm.TextOps.hash48Jvm(s"ws:$id") + 1).toDouble /
+          281474976710656.0
+        val key = BigDecimal(math.log(u) / math.max(nc, 1L).toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (src, id, key)
+      }.sortBy { case (_, id, key) => (-key, id) }.take(5)
+        .zipWithIndex.map { case ((s, id, _), i) => (s, id, i + 1L) }
+    }.toSet
+    val got = Relational.queries("o6_weighted_sample")(spark, dir)
+      .select($"source", $"doc_id", $"rk")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected)
+    // weighting sanity: sampled docs skew long — the mean sampled
+    // n_chars exceeds the corpus mean (n_chars spans ~3 orders of
+    // magnitude, so A-ES bias dominates hash noise at any seed).
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    val sampleIds = got.map(_._2)
+    val sampleMean = docs.filter(d => sampleIds(d._1)).map(_._3).sum.toDouble /
+      sampleIds.size
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
   test("A8 law: approx percentiles land within the GK rank-error bound of exact") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
