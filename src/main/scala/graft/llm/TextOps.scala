@@ -605,8 +605,37 @@ object TextOps {
       .select($"doc_id", explode(array_distinct(mins)).as("fp"))
   }
 
+  /** Shingle NOVELTY — per-doc fraction of 3-gram shingles that appear
+    * nowhere else in the corpus (corpus df = 1). The self-information
+    * quality signal: boilerplate-heavy and template-generated docs score
+    * near 0, genuinely new prose near 1 — complements the WITHIN-doc
+    * signals (entropy, repetition) with a cross-corpus one. Docs with
+    * < 3 tokens have no shingles and emit nothing (stated in the oracle
+    * too).
+    *
+    * Scale shape: one shingle-keyed aggregation builds the df table,
+    * then postings re-join it ON THE SAME KEY — the exchange from the
+    * groupBy is reused for the join side (no second shuffle of the
+    * token stream), and the final doc-keyed agg shuffles one narrow
+    * row per posting. No df cap needed: unlike the pair generators, a
+    * hot shingle here costs one counter, not d² pairs. */
+  private val novelty: Q = (spark, dir) => {
+    import spark.implicits._
+    val posts = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(shingles(toks($"text"))).as("sh0"))
+      .select($"doc_id", hash48($"sh0").as("tok"))
+    val df = posts.groupBy($"tok").agg(count(lit(1)).as("df"))
+    posts.join(df, "tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"df" === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        ($"n_novel".cast("double") / $"n_shingles").as("novelty"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d_repetition"     -> repetition,
+    "d_novelty"        -> novelty,
     "d_pack_sequences" -> packSeq,
     "d_source_cap"     -> sourceCap,
     "d_mixture_plan"   -> mixturePlan,
@@ -659,6 +688,17 @@ object TextOps {
     (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    "d_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
+         |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),
+         |p AS (SELECT doc_id, unnest(list_transform(sh, x -> ${hash48Sql("x")})) AS tok FROM s),
+         |d AS (SELECT tok, COUNT(*) AS df FROM p GROUP BY 1)
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         |       SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel,
+         |       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / COUNT(*) AS novelty
+         |FROM p JOIN d USING (tok) GROUP BY doc_id""".stripMargin,
+
     "d_winnow" ->
       s"""WITH d AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |g AS (SELECT doc_id,

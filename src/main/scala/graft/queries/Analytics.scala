@@ -182,13 +182,68 @@ object Analytics {
       .orderBy($"rank_ppb".desc, $"p_partkey".asc).limit(25)
   }
 
+  // ---- t7_scd2: build a type-2 slowly-changing dimension from the
+  // event stream — the warehouse-modeling op every feature store needs
+  // to answer "what was this user's state AS OF time t" without
+  // leakage. State = the user's current event_type ("channel"); each
+  // maximal run of equal consecutive states becomes one versioned row
+  // with [valid_from, valid_to) and is_current. Gaps-and-islands: a
+  // change flag (lag ≠ current), a running sum numbering the runs, one
+  // agg per run, then lead() stitches each run's end to the next run's
+  // start. Scale shape: every window and the agg are user-keyed —
+  // bounded partitions, no global sort; ties broken by event_id so the
+  // build is deterministic under any partitioning.
+  private val scd2: Q = (spark, dir) => {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = Window.partitionBy($"user_id").orderBy($"version")
+    Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("chg",
+        when(lag($"event_type", 1).over(wOrd).isNull ||
+          lag($"event_type", 1).over(wOrd) =!= $"event_type", 1L)
+          .otherwise(0L))
+      .withColumn("version", sum($"chg").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"version")
+      .agg(max($"event_type").as("channel"), // constant within a run
+        min($"ts").as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead($"valid_from", 1).over(wRun))
+      .withColumn("is_current", $"valid_to".isNull)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t7_scd2"             -> scd2,
     "ev_cohort_retention" -> cohortRetention,
     "a16_decile_lift"     -> decileLift,
     "ev_attribution"      -> attribution,
     "g1_pagerank"         -> pagerank)
 
   val oracles: Map[String, String] = Map(
+    "t7_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, event_type,
+        |         CASE WHEN LAG(event_type) OVER w IS NULL
+        |                OR LAG(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT user_id, t, event_type,
+        |         SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, version, MAX(event_type) AS channel,
+        |         MIN(t) AS valid_from, COUNT(*) AS n_events
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, version, channel, valid_from, n_events,
+        |       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |         AS valid_to,
+        |       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |         IS NULL AS is_current
+        |FROM g""".stripMargin,
+
     "ev_cohort_retention" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week

@@ -152,6 +152,25 @@ class TextOpsSpec extends SparkSpec {
     assert(hotKeptTok == hotKept * 10L) // every doc is exactly 10 tokens
   }
 
+  test("novelty: cloned docs score 0, a unique doc scores 1, short docs absent") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (30L, base, "en", "s", 1L), // clone pair: every shingle df = 2
+      (31L, base, "en", "s", 1L),
+      (32L, "one two three four five six seven", "en", "s", 1L), // unique
+      (33L, "too short", "en", "s", 1L)) // < 3 tokens: no shingles
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Files.createTempDirectory("noveltyspec").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.queries("d_novelty")(spark, d)
+      .select($"doc_id", $"n_shingles", $"novelty")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(30L) == (6L, 0.0) && out(31L) == (6L, 0.0))
+    assert(out(32L) == (5L, 1.0))
+    assert(!out.contains(33L))
+  }
+
   test("winnow: shared >= w+k-1 token run guarantees a common fingerprint") {
     import spark.implicits._
     // docs 10/11 share an exact 6-token run (w+k-1 = 4+3-1) embedded in

@@ -110,6 +110,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("direct") == (2L, 120.0)) // stale (8 days) + no-touch
   }
 
+  test("scd2: runs collapse to versioned rows with stitched validity") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-01 13:00:00"), 1L, "click", 0.0, "{}"),
+      (5L, ts("2024-01-02 09:00:00"), 2L, "error", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = Files.createTempDirectory("an-scd2").toString
+    events.write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = Analytics.queries("t7_scd2")(spark, d)
+      .orderBy($"user_id", $"version")
+      .select($"user_id", $"version", $"channel", $"valid_from",
+        $"valid_to", $"n_events", $"is_current")
+      .as[(Long, Long, String, Timestamp, Option[Timestamp], Long, Boolean)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, "click", ts("2024-01-01 10:00:00"),
+        Some(ts("2024-01-01 12:00:00")), 2L, false),
+      (1L, 2L, "view", ts("2024-01-01 12:00:00"),
+        Some(ts("2024-01-01 13:00:00")), 1L, false),
+      (1L, 3L, "click", ts("2024-01-01 13:00:00"), None, 1L, true),
+      (2L, 1L, "error", ts("2024-01-02 09:00:00"), None, 1L, true)))
+  }
+
   /** PageRank: a symmetric 2-node graph is a fixed point at 1/2 each;
     * a hub-and-spoke order (hub co-ordered with 2 spokes that never
     * co-occur) ranks the hub strictly above the spokes. */
