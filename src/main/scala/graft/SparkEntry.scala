@@ -29,6 +29,7 @@ object SparkEntry {
       graft.llm.EventWindows.queries ++
       graft.llm.TemporalJoins.queries ++
       graft.encode.FeatIndex.queries ++
+      graft.encode.Encoders.queries ++
       graft.io.Sinks.queries ++
       graft.llm.Multimodal.queries
 
@@ -45,6 +46,7 @@ object SparkEntry {
       graft.llm.EventWindows.oracles ++
       graft.llm.TemporalJoins.oracles ++
       graft.encode.FeatIndex.oracles ++
+      graft.encode.Encoders.oracles ++
       graft.io.Sinks.oracles ++
       graft.llm.Multimodal.oracles
 }

@@ -1,0 +1,118 @@
+package graft.encode
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.TextOps.{hash48, hash48Sql}
+import graft.util.Cols._
+
+/** Dictionary-FREE encoders — the two standard alternatives to the
+  * [[FeatIndex]] dictionary codec when the vocabulary is unbounded or
+  * the fit/apply split must be leakage-safe.
+  *
+  * The reference's pipeline is dictionary-based (LR/data/
+  * churn_featindex.txt); at 100 TB a dictionary is a bottleneck twice —
+  * the build is a global distinct and the apply is a giant broadcast.
+  * Both encoders here are map-side, stateless functions of the row.
+  */
+object Encoders {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Hashing-trick (feature-hashing) encode of the event stream: each
+    * row's categorical features map straight to column indices via
+    * idx = hash48(feature) % D — no dictionary build, no broadcast, no
+    * OOV slot; collisions merge (the standard trade, benign at the
+    * 1024-dim default for 3 features/row). Spark ML's `FeatureHasher`
+    * is the library twin (murmur3-based, so not cross-engine
+    * checkable); this spelling keeps the engine's own 48-bit hash so
+    * the DuckDB oracle replays the exact indices. Emitted as sparse
+    * (event_id, feature_idx) pairs, ascending — the same shape the
+    * LibSVM writer consumes. ZERO shuffles: pure per-row projection +
+    * explode (distinct is per-row inside the array, not a global
+    * distinct). */
+  private val featureHash: Q = (spark, dir) => {
+    import spark.implicits._
+    val D = 1024
+    val feats = array(
+      concat(lit("et:"), $"event_type"),
+      concat(lit("hr:"), hour($"ts").cast("string")),
+      concat(lit("uk:"), ($"user_id" % 64).cast("string")))
+    Tables.load(spark, dir, "events")
+      .select($"event_id",
+        explode(array_distinct(sort_array(
+          transform(feats, f => hash48(f) % D)))).as("feature_idx"))
+  }
+
+  /** Leakage-safe smoothed TARGET ENCODING (the high-cardinality
+    * categorical encoder gradient-boosted churn models prefer over
+    * one-hot): per category c, te(c) = (pos_c + m·prior)/(n_c + m) with
+    * m = 20, where the statistics come from the TRAIN SPLIT ONLY (the
+    * same deterministic hash split as o5 — computing them on all rows
+    * would leak the test labels into the feature). Label: customer
+    * placed ≥ 1 urgent-priority order; category: market segment.
+    *
+    * Scale shape: one custkey-keyed aggregation over orders (partial agg
+    * map-side), a co-keyed join to customer (both sides shuffle on
+    * custkey once — at warehouse scale these are bucketed tables and
+    * the exchange disappears), then a segment-sized aggregate and a
+    * 1-row broadcast prior attach. The encoder artifact is this tiny
+    * table; applying it is a broadcast map-side join. The smoothing
+    * arithmetic is ONE left-associated double chain, mirrored
+    * literally in the oracle so both engines compute bit-identical
+    * doubles. */
+  private val targetEncode: Q = (spark, dir) => {
+    import spark.implicits._
+    val labels = Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(max(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L))
+        .as("pos"))
+    val train = Tables.load(spark, dir, "customer")
+      .join(labels, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"c_mktsegment",
+        coalesce($"pos", lit(0L)).as("pos"))
+      .filter(hash48($"c_custkey".cast("string")) % 100 < 80)
+    val bySeg = train.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_train"), sum($"pos").as("n_pos"))
+    val prior = bySeg.agg(
+      (sum($"n_pos").cast("double") / sum($"n_train")).as("prior"))
+    bySeg.crossJoin(broadcast(prior))
+      .select($"c_mktsegment", $"n_train", $"n_pos",
+        roundRatio2($"n_pos" * 100, $"n_train").as("rate"),
+        (($"n_pos" + lit(20.0) * $"prior") / ($"n_train" + lit(20.0)))
+          .as("te_smooth"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "enc_feature_hash"  -> featureHash,
+    "m12_target_encode" -> targetEncode)
+
+  val oracles: Map[String, String] = Map(
+    "enc_feature_hash" ->
+      s"""WITH f AS (
+         |  SELECT event_id, list_sort(list_distinct([
+         |    ${hash48Sql("'et:' || event_type")} % 1024,
+         |    ${hash48Sql("'hr:' || CAST(hour(CAST(ts AS TIMESTAMP)) AS VARCHAR)")} % 1024,
+         |    ${hash48Sql("'uk:' || CAST(user_id % 64 AS VARCHAR)")} % 1024])) AS idx
+         |  FROM events)
+         |SELECT event_id, unnest(idx) AS feature_idx FROM f""".stripMargin,
+
+    "m12_target_encode" ->
+      s"""WITH lab AS (
+         |  SELECT o_custkey,
+         |         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS pos
+         |  FROM orders GROUP BY 1),
+         |train AS (
+         |  SELECT c_mktsegment, COALESCE(pos, 0) AS pos
+         |  FROM customer LEFT JOIN lab ON c_custkey = o_custkey
+         |  WHERE ${hash48Sql("CAST(c_custkey AS VARCHAR)")} % 100 < 80),
+         |seg AS (
+         |  SELECT c_mktsegment, COUNT(*) AS n_train, SUM(pos) AS n_pos
+         |  FROM train GROUP BY 1),
+         |p AS (SELECT CAST(SUM(n_pos) AS DOUBLE) / SUM(n_train) AS prior FROM seg)
+         |SELECT c_mktsegment, n_train, n_pos,
+         |       ${roundRatio2Sql("n_pos * 100", "n_train")} AS rate,
+         |       (n_pos + 20.0 * prior) / (n_train + 20.0) AS te_smooth
+         |FROM seg, p""".stripMargin)
+}

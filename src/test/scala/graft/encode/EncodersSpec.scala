@@ -1,0 +1,79 @@
+package graft.encode
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Planted-truth + leakage laws for the dictionary-free encoders. */
+class EncodersSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("feature hash: indices are the hash48 of each feature, per row") {
+    import spark.implicits._
+    val events = Seq(
+      (7L, ts("2024-01-01 13:30:00"), 130L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = Files.createTempDirectory("enc-fh").toString
+    events.write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Encoders.queries("enc_feature_hash")(spark, d)
+      .select($"feature_idx").as[Long].collect().toSet
+    val expected = Set("et:click", "hr:13", "uk:2") // 130 % 64 = 2
+      .map(f => graft.llm.TextOps.hash48Jvm(f) % 1024)
+    assert(got == expected)
+  }
+
+  test("feature hash: stateless — a repartitioned input encodes identically") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val a = Encoders.queries("enc_feature_hash")(spark, dir)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val b = Encoders.queries("enc_feature_hash")(spark, dir)
+      .repartition(7).as[(Long, Long)].collect().sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("target encode: hand-checked smoothing; test-split labels cannot leak") {
+    import spark.implicits._
+    // Pick custkeys landing in train (hash%100 < 80) / test deterministically.
+    val inTrain = (1L to 400L).filter(k =>
+      graft.llm.TextOps.hash48Jvm(k.toString) % 100 < 80)
+    val inTest = (1L to 400L).filterNot(k =>
+      graft.llm.TextOps.hash48Jvm(k.toString) % 100 < 80)
+    assert(inTrain.size >= 20 && inTest.size >= 5)
+    // Segment A: 10 train customers, 4 positive. Segment B: 10 train, 0 pos.
+    val aTrain = inTrain.take(10)
+    val bTrain = inTrain.slice(10, 20)
+    val testKeys = inTest.take(5) // all positive — must NOT move the stats
+    val customers = (aTrain.map((_, "A")) ++ bTrain.map((_, "B")) ++
+      testKeys.map((_, "A")))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = (aTrain.take(4) ++ testKeys).zipWithIndex.map {
+      case (k, i) => (9000L + i, k, "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val d = Files.createTempDirectory("enc-te").toString
+    customers.write.mode("overwrite").parquet(s"$d/customer.parquet")
+    orders.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Encoders.queries("m12_target_encode")(spark, d)
+      .select($"c_mktsegment", $"n_train", $"n_pos", $"te_smooth")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val prior = 4.0 / 20.0
+    assert(out("A") == ((10L, 4L, (4L + 20.0 * prior) / (10L + 20.0))))
+    assert(out("B") == ((10L, 0L, (0L + 20.0 * prior) / (10L + 20.0))))
+    // Leakage law: flip every TEST label (drop their urgent orders) —
+    // the encoder table must be bit-identical.
+    orders.filter(!$"o_custkey".isin(testKeys: _*))
+      .write.mode("overwrite").parquet(s"$d/orders2.parquet")
+    val d2 = Files.createTempDirectory("enc-te2").toString
+    customers.write.mode("overwrite").parquet(s"$d2/customer.parquet")
+    spark.read.parquet(s"$d/orders2.parquet")
+      .write.mode("overwrite").parquet(s"$d2/orders.parquet")
+    val out2 = Encoders.queries("m12_target_encode")(spark, d2)
+      .select($"c_mktsegment", $"n_train", $"n_pos", $"te_smooth")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out2 == out)
+  }
+}
