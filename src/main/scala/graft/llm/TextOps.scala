@@ -633,9 +633,48 @@ object TextOps {
         ($"n_novel".cast("double") / $"n_shingles").as("novelty"))
   }
 
+  /** Unigram language-model quality score — the KenLM/CCNet-style
+    * perplexity filter with a unigram stand-in: train add-1/2-smoothed
+    * token probabilities on corpus snapshot A (doc_id % 2 = 0), score
+    * every snapshot-B doc by its mean negative log-likelihood.
+    * High-NLL docs are the gibberish/OOV-dense tail a quality pipeline
+    * drops; the split makes it a genuine held-out score, not a
+    * self-probability.
+    *
+    * Cross-engine exactness: mean-of-doubles is partial-agg
+    * ORDER-DEPENDENT, so per-token NLLs are quantized to integer
+    * MICRO-NATS (round(-ln p · 1e6)) and summed as longs — exact under
+    * any partitioning; the one final division is a single IEEE op. The
+    * smoothing denominator tot + V/2 stays float-exact because V·0.5
+    * is a power-of-two multiple. Scale shape: one term-keyed count on
+    * the A stream, 1-row stats broadcast, then the B postings join the
+    * count table ON ITS GROUPING KEY (exchange reuse) and one doc-keyed
+    * agg; OOV handled by the left join's null → c = 0. */
+  private val lmScore: Q = (spark, dir) => {
+    import spark.implicits._
+    val terms = Tables.load(spark, dir, "documents")
+      .select($"doc_id", ($"doc_id" % 2 === 0).as("is_a"),
+        explode(toks($"text")).as("term"))
+      .filter(length($"term") > 0)
+    val countsA = terms.filter($"is_a").groupBy($"term")
+      .agg(count(lit(1)).as("c"))
+    val stats = countsA.agg(sum($"c").as("tot"), count(lit(1)).as("v"))
+    terms.filter(!$"is_a")
+      .join(countsA, Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .select($"doc_id",
+        round(-log((coalesce($"c", lit(0L)) + 0.5) /
+          ($"tot" + $"v" * 0.5)) * 1e6).cast("long").as("nll_micro"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum($"nll_micro").as("sum_nll"))
+      .select($"doc_id", $"n_tok",
+        round($"sum_nll" / 1e6 / $"n_tok", 6).as("avg_nll"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d_repetition"     -> repetition,
     "d_novelty"        -> novelty,
+    "d_lm_score"       -> lmScore,
     "d_pack_sequences" -> packSeq,
     "d_source_cap"     -> sourceCap,
     "d_mixture_plan"   -> mixturePlan,
@@ -688,6 +727,22 @@ object TextOps {
     (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    "d_lm_score" ->
+      s"""WITH t0 AS (SELECT doc_id, doc_id % 2 = 0 AS is_a,
+         |              unnest($ToksSql) AS term FROM documents),
+         |t AS (SELECT * FROM t0 WHERE length(term) > 0),
+         |a AS (SELECT term, COUNT(*) AS c FROM t WHERE is_a GROUP BY 1),
+         |s AS (SELECT SUM(c) AS tot, COUNT(*) AS v FROM a),
+         |b AS (
+         |  SELECT t.doc_id,
+         |         CAST(round(-ln((COALESCE(a.c, 0) + 0.5) / (s.tot + s.v * 0.5))
+         |                    * 1000000) AS BIGINT) AS nll
+         |  FROM t LEFT JOIN a USING (term) CROSS JOIN s
+         |  WHERE NOT t.is_a)
+         |SELECT doc_id, COUNT(*) AS n_tok,
+         |       round(SUM(nll) / 1000000.0 / COUNT(*), 6) AS avg_nll
+         |FROM b GROUP BY doc_id""".stripMargin,
+
     "d_novelty" ->
       s"""WITH t AS (SELECT doc_id, $ToksSql AS w FROM documents),
          |s AS (SELECT doc_id, $ShinglesSql AS sh FROM t),

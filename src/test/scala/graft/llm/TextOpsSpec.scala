@@ -171,6 +171,27 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.contains(33L))
   }
 
+  test("lm score: in-vocabulary doc scores 0 NLL, OOV doc scores ln(1/p_oov)") {
+    import spark.implicits._
+    // Snapshot A (even ids) = doc 0: "x x x x" → vocab {x}, tot=4, V=1.
+    // B doc 1 = "x": p = (4+0.5)/(4+0.5) = 1 → NLL 0.
+    // B doc 3 = "zzz": OOV, p = 0.5/4.5 → NLL = ln 9.
+    val docs = Seq(
+      (0L, "x x x x", "en", "s", 7L),
+      (1L, "x", "en", "s", 1L),
+      (3L, "zzz", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Files.createTempDirectory("lmspec").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.queries("d_lm_score")(spark, d)
+      .select($"doc_id", $"n_tok", $"avg_nll")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((1L, 0.0)))
+    val expected = math.rint(math.log(9.0) * 1e6) / 1e6
+    assert(out(3L)._1 == 1L && math.abs(out(3L)._2 - expected) < 1e-9)
+    assert(!out.contains(0L)) // snapshot-A docs are train, not scored
+  }
+
   test("winnow: shared >= w+k-1 token run guarantees a common fingerprint") {
     import spark.implicits._
     // docs 10/11 share an exact 6-token run (w+k-1 = 4+3-1) embedded in
