@@ -37,6 +37,16 @@ object Sessions {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The driver regenerates testdata between rounds and its timestamp
+      // physical type has CHANGED once already (r7: TIMESTAMP(NANOS);
+      // r8: TIMESTAMP(MICROS, isAdjustedToUTC=false)). Non-UTC-adjusted
+      // micros default to TIMESTAMP_NTZ under Spark 4's inference, and
+      // NTZ is rejected by unix_micros() and streaming watermarks.
+      // Inference OFF reads them as TimestampType whose UTC wall-clock
+      // equals the stored naive value — exactly what DuckDB's naive read
+      // sees, so oracles are unaffected. (Tables.load also casts any NTZ
+      // column defensively, for sessions built elsewhere.)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Reliable checkpoints (Dedup's checkpointDir mode) are only
       // deleted by the context cleaner when this is on (default false);
       // without it every round of an iterative job leaks a full

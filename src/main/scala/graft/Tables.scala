@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver testdata star schema (TESTDATA.md).
   *
@@ -28,6 +28,14 @@ object Tables {
     // precision past 2^53 (caught by the ev_session oracle: ±1 µs drift).
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Belt to the Sessions.local braces: if a session without
+    // inferTimestampNTZ=false read a non-UTC-adjusted parquet timestamp
+    // as NTZ, re-type it — in a UTC session the cast preserves the
+    // wall-clock, i.e. the same values DuckDB's naive read sees. NTZ
+    // breaks unix_micros() and streaming watermarks downstream.
+    else if (name == "events" &&
+      df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast("timestamp"))
     else df
   }
 

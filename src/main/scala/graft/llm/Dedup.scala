@@ -484,6 +484,37 @@ object Dedup {
       .select($"doc_id", coalesce($"canonical_id", $"doc_id").as("canonical_id"))
   }
 
+  /** Cluster canonicalization — the KEEP decision that turns near-dup
+    * clusters into a deduplicated corpus: one row per cluster naming
+    * the surviving document (the LONGEST member; ties → larger doc_id
+    * — "keep the most complete copy", the usual corpus-dedup policy,
+    * where [[nearDupClusters]]' min-id canonical is just a label) and
+    * the member count, singletons included, so the output IS the keep
+    * list. Scale shape: on top of the CC labels this adds exactly one
+    * cluster-keyed aggregate — max over a (n_chars, doc_id) struct is
+    * an ordinary partial-aggregable max (struct ordering is
+    * lexicographic), so there is no window and no per-cluster sort;
+    * the oracle spells the same pick as ROW_NUMBER over the cluster,
+    * an independent plan. */
+  def canonicalKeep(spark: SparkSession, dir: String,
+                    threshold: Double = 0.8,
+                    maxRounds: Int = 25,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val labels = connectedComponents(
+      ngramJaccard(spark, dir, threshold), maxRounds, checkpointDir)
+    Tables.load(spark, dir, "documents").select($"doc_id", $"n_chars")
+      .join(labels.select($"id".as("doc_id"), $"lbl"), Seq("doc_id"),
+        "left_outer")
+      .select($"doc_id", $"n_chars",
+        coalesce($"lbl", $"doc_id").as("cluster_id"))
+      .groupBy($"cluster_id")
+      .agg(max(struct($"n_chars", $"doc_id")).as("k"),
+        count(lit(1)).as("n_members"))
+      .select($"cluster_id", $"k.doc_id".as("keep_doc_id"),
+        $"k.n_chars".as("keep_chars"), $"n_members")
+  }
+
   /** [[connectedComponents]] over the SIMHASH pair graph — the declared
     * demonstration that clustering composes with any pair source (the
     * guaranteed-recall hamming graph here vs. ngram Jaccard in
@@ -653,6 +684,7 @@ object Dedup {
     "dedup_incremental"   -> ((s, d) =>
       ngramJaccardIncremental(s, d, isNew = _ % 10 === 0)),
     "dedup_clusters"      -> ((s, d) => nearDupClusters(s, d)),
+    "dedup_canonical"     -> ((s, d) => canonicalKeep(s, d)),
     "dedup_clusters_simhash" -> ((s, d) => simhashClusters(s, d)),
     "dedup_simhash"       -> ((s, d) => simhashDedup(s, d)),
     "dedup_minhash"       -> ((s, d) => minhashDedup(s, d)),
@@ -732,7 +764,11 @@ object Dedup {
     * delta-driven recursion cannot terminate before m reaches the whole
     * component. Measured on a 256k-edge synthetic graph: 0.9 s vs 18.3 s
     * for the closure spelling, byte-identical output. */
-  private def ccLabelTailSql(idCol: String, table: String): String =
+  /** The recursive min-label closure CTEs (edges→reach→canon) over a
+    * pair CTE named `nd` — the shared tail body of every cluster
+    * oracle; ends at `canon($idCol, canonical_id)` so callers pick
+    * their own final select. */
+  private def ccCanonCtesSql(idCol: String): String =
     s"""edges AS (
        |  SELECT id_a AS s2, id_b AS d2 FROM nd
        |  UNION SELECT id_b, id_a FROM nd),
@@ -743,9 +779,32 @@ object Dedup {
        |  JOIN edges e ON e.s2 = r.s2 AND r.d2 < e.d2 GROUP BY e.d2),
        |canon AS (
        |  SELECT s2 AS $idCol, MIN(d2) AS canonical_id
-       |  FROM reach GROUP BY s2)
+       |  FROM reach GROUP BY s2)""".stripMargin
+
+  private def ccLabelTailSql(idCol: String, table: String): String =
+    s"""${ccCanonCtesSql(idCol)}
        |SELECT d.$idCol, COALESCE(c.canonical_id, d.$idCol) AS canonical_id
        |FROM $table d LEFT JOIN canon c ON c.$idCol = d.$idCol""".stripMargin
+
+  /** ngram-Jaccard pairs + closure, ending at `canon(doc_id,
+    * canonical_id)` — shared by the `dedup_clusters` and
+    * `dedup_canonical` oracles so the two can never drift. */
+  private lazy val ngramCcCtesSql: String =
+    s"""${shCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |inv AS (SELECT DISTINCT doc_id, tok FROM (
+       |  SELECT doc_id, unnest(list_transform(sh, s -> ${hash48Sql("s")})) AS tok FROM s)),
+       |keep AS (SELECT tok FROM inv GROUP BY tok HAVING COUNT(*) BETWEEN 2 AND 100),
+       |pair AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM inv x JOIN keep k ON k.tok = x.tok
+       |  JOIN inv y ON x.tok = y.tok AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s),
+       |nd AS (
+       |  SELECT id_a, id_b FROM pair
+       |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+       |${ccCanonCtesSql("doc_id")}""".stripMargin
 
   /** Shared by `d_contamination` and `d_contamination_bloom`: the bloom
     * path's false positives are eliminated by its exact verify join, so
@@ -842,21 +901,26 @@ object Dedup {
     "dedup_clusters" -> {
       // min-label CC of the ngram near-dup graph via recursive CTE;
       // canonical = min node of the component (incl. self)
-      s"""${shCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |inv AS (SELECT DISTINCT doc_id, tok FROM (
-         |  SELECT doc_id, unnest(list_transform(sh, s -> ${hash48Sql("s")})) AS tok FROM s)),
-         |keep AS (SELECT tok FROM inv GROUP BY tok HAVING COUNT(*) BETWEEN 2 AND 100),
-         |pair AS (
-         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
-         |  FROM inv x JOIN keep k ON k.tok = x.tok
-         |  JOIN inv y ON x.tok = y.tok AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2),
-         |sz AS (SELECT doc_id, len(sh) AS n FROM s),
-         |nd AS (
-         |  SELECT id_a, id_b FROM pair
-         |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
-         |${ccLabelTailSql("doc_id", "documents")}""".stripMargin
+      s"""$ngramCcCtesSql
+         |SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+         |FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id""".stripMargin
+    },
+
+    "dedup_canonical" -> {
+      // same closure; the final select keeps the LONGEST member per
+      // cluster (ties → larger doc_id) via ROW_NUMBER — an independent
+      // spelling of the Spark side's max(struct(n_chars, doc_id))
+      s"""$ngramCcCtesSql,
+         |lab AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |         COALESCE(c.canonical_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id)
+         |SELECT cluster_id, keep_doc_id, keep_chars, n_members FROM (
+         |  SELECT cluster_id, doc_id AS keep_doc_id, n_chars AS keep_chars,
+         |         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |         ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |           ORDER BY n_chars DESC, doc_id DESC) AS rk
+         |  FROM lab) WHERE rk = 1""".stripMargin
     },
 
     "dedup_minhash" -> {

@@ -212,14 +212,98 @@ object Analytics {
       .withColumn("is_current", $"valid_to".isNull)
   }
 
+  // ---- t8_merge_upsert: CDC merge-apply (MERGE INTO semantics as a
+  // batch DataFrame) — the other half of warehouse maintenance next to
+  // t7_scd2: apply a changelog of upserts/deletes/inserts to a base
+  // snapshot and emit the next snapshot plus an audit action column.
+  // The changelog is DERIVED deterministically from the same orders
+  // table (hash-bucketed: ~6% deletes, ~20% updates with status 'C'
+  // and a +10% price, ~14% inserts under fresh NEGATIVE keys so they
+  // can never collide with base keys) — every engine can rebuild the
+  // identical batch, which is what makes the oracle possible.
+  //
+  // Scale shape: the apply is NOT a join — base ∪ changes, then ONE
+  // key-shuffled aggregate taking max_by(payload, src) per key
+  // (changes carry src=1 > base's 0, so latest-wins; partial aggs
+  // combine map-side). That spelling is ratio-agnostic: a full-outer
+  // join degrades when changes ≈ base (two shuffles + join), and a
+  // broadcast apply dies when the changelog outgrows memory; union+agg
+  // is one shuffle at ANY base:changes ratio and inherits AQE's skew
+  // splitting. The oracle deliberately spells it as the FULL OUTER
+  // JOIN — same semantics, independent plan. Money math is integer
+  // cents end-to-end (floor(cents·11/10) < 2^52 exact in both
+  // engines); the final /100.0 is one IEEE division on identical
+  // integers. Delete rows survive the aggregate and are dropped by the
+  // final filter — op is PART of the max_by payload, so a key's fate
+  // travels with its winning row.
+  private val mergeUpsert: Q = (spark, dir) => {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        (dec2($"o_totalprice") * 100).cast("long").as("cents"),
+        (hash48($"o_orderkey".cast("string"))).as("h"))
+    val base = orders.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+      $"cents", lit(null).cast("string").as("op"), lit(0).as("src"))
+    // one op per key: delete wins over update (mutually exclusive CASE)
+    val isDel = $"h" % 17 === 0
+    val upsDel = orders.filter(isDel || $"h" % 5 === 0)
+      .select($"o_orderkey", $"o_custkey",
+        when(isDel, $"o_orderstatus").otherwise(lit("C")).as("o_orderstatus"),
+        when(isDel, $"cents")
+          .otherwise(floor($"cents" * 11 / 10).cast("long")).as("cents"),
+        when(isDel, lit("D")).otherwise(lit("U")).as("op"), lit(1).as("src"))
+    val inserts = orders.filter($"h" % 7 === 3)
+      .select((-$"o_orderkey").as("o_orderkey"), $"o_custkey",
+        $"o_orderstatus", $"cents", lit("I").as("op"), lit(1).as("src"))
+    base.unionAll(upsDel).unionAll(inserts)
+      .groupBy($"o_orderkey")
+      .agg(max_by(
+        struct($"o_custkey", $"o_orderstatus", $"cents", $"op"), $"src")
+        .as("r"))
+      .select($"o_orderkey", $"r.o_custkey".as("o_custkey"),
+        $"r.o_orderstatus".as("o_orderstatus"),
+        ($"r.cents" / 100.0).as("o_totalprice"),
+        coalesce($"r.op", lit("K")).as("action"))
+      .filter($"action" =!= "D")
+  }
+
   val queries: Map[String, Q] = Map(
     "t7_scd2"             -> scd2,
+    "t8_merge_upsert"     -> mergeUpsert,
     "ev_cohort_retention" -> cohortRetention,
     "a16_decile_lift"     -> decileLift,
     "ev_attribution"      -> attribution,
     "g1_pagerank"         -> pagerank)
 
   val oracles: Map[String, String] = Map(
+    // same merge semantics, independently spelled as FULL OUTER JOIN
+    "t8_merge_upsert" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |         ${hash48Sql("CAST(o_orderkey AS VARCHAR)")} AS h
+         |  FROM orders),
+         |ch AS (
+         |  SELECT o_orderkey, o_custkey,
+         |         CASE WHEN h % 17 = 0 THEN o_orderstatus ELSE 'C' END AS o_orderstatus,
+         |         CASE WHEN h % 17 = 0 THEN cents
+         |              ELSE CAST(floor(cents * 11 / 10) AS BIGINT) END AS cents,
+         |         CASE WHEN h % 17 = 0 THEN 'D' ELSE 'U' END AS op
+         |  FROM o WHERE h % 17 = 0 OR h % 5 = 0
+         |  UNION ALL
+         |  SELECT -o_orderkey, o_custkey, o_orderstatus, cents, 'I'
+         |  FROM o WHERE h % 7 = 3),
+         |m AS (
+         |  SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+         |         COALESCE(c.o_custkey, b.o_custkey) AS o_custkey,
+         |         COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+         |         COALESCE(c.cents, b.cents) AS cents,
+         |         COALESCE(c.op, 'K') AS action
+         |  FROM o b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey)
+         |SELECT o_orderkey, o_custkey, o_orderstatus, cents / 100.0 AS o_totalprice,
+         |       action
+         |FROM m WHERE action <> 'D'""".stripMargin,
+
     "t7_scd2" ->
       """WITH o AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, event_type,

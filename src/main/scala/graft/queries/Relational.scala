@@ -761,8 +761,55 @@ object Relational {
       .select($"o_custkey", $"o_orderkey", $"od", $"spend_7d")
   }
 
+  // ---- A17 (extension): one-pass data-quality audit — the constraint
+  // suite (Deequ-style) every ingest gate runs before data reaches
+  // training: row count, key uniqueness, null rate, value-range bounds,
+  // domain membership, referential integrity. Scale shape: ONE scan of
+  // the fact computes every scan-local metric in a single aggregate
+  // (the a12_profile treatment; the lone count-distinct costs the
+  // standard single-distinct Expand), the RI rule is a left_anti
+  // aggregate against the parent keys (broadcast at dimension scale,
+  // shuffle otherwise — Catalyst's call), and the two 1-row results
+  // cross-join before an explode fans out one row PER RULE. Metrics
+  // are exact integers/doubles, so pass/fail is engine-independent; a
+  // FAILING rule (this data has duplicate (orderkey, linenumber)
+  // pairs) stays in the output — an audit that can only pass is not an
+  // audit. The composite key packs into one BIGINT (linenumber ∈ 1..7
+  // < 8) so both engines count-distinct the same scalar.
+  private val a17: Q = (spark, dir) => {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+    val scanStats = li.agg(
+      count(lit(1)).as("n"),
+      countDistinct($"l_orderkey" * 8 + $"l_linenumber").as("n_key"),
+      sum(when($"l_discount".isNull, 1L).otherwise(0L)).as("n_null_disc"),
+      min($"l_quantity").as("q_min"),
+      max($"l_quantity").as("q_max"),
+      sum(when(!$"l_returnflag".isin("R", "A", "N"), 1L).otherwise(0L))
+        .as("n_bad_flag"))
+    val orphans = li.select($"l_orderkey")
+      .join(Tables.load(spark, dir, "orders").select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    def rule(name: String, metric: Column, passed: Column) =
+      struct(lit(name).as("rule"), metric.cast("double").as("metric"),
+        passed.as("passed"))
+    scanStats.crossJoin(orphans) // 1 row × 1 row
+      .select(explode(array(
+        rule("row_count", $"n", $"n" > 0),
+        rule("pk_dup_rows", $"n" - $"n_key", $"n" === $"n_key"),
+        rule("null_discount", $"n_null_disc", $"n_null_disc" === 0),
+        rule("qty_min", $"q_min", $"q_min" >= 1.0),
+        rule("qty_max", $"q_max", $"q_max" <= 50.0),
+        rule("flag_domain", $"n_bad_flag", $"n_bad_flag" === 0),
+        rule("ri_orders", $"n_orphan", $"n_orphan" === 0))).as("r"))
+      .select($"r.rule".as("rule"), $"r.metric".as("metric"),
+        $"r.passed".as("passed"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_scan_dates"      -> s1,
+    "a17_dq_audit"       -> a17,
     "p_column_ops"       -> pOps,
     "j1_sql_left_join"   -> j1,
     "j2_join_chain"      -> j2,
@@ -806,6 +853,26 @@ object Relational {
     "t2_recency_window"  -> t2)
 
   val oracles: Map[String, String] = Map(
+    "a17_dq_audit" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n,
+        |         COUNT(DISTINCT l_orderkey * 8 + l_linenumber) AS n_key,
+        |         SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS n_null_disc,
+        |         MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max,
+        |         SUM(CASE WHEN l_returnflag NOT IN ('R','A','N') THEN 1 ELSE 0 END) AS n_bad_flag
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT COUNT(*) AS n_orphan FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT rule, metric, passed FROM (
+        |  SELECT 'row_count' AS rule, CAST(n AS DOUBLE) AS metric, n > 0 AS passed FROM a
+        |  UNION ALL SELECT 'pk_dup_rows', CAST(n - n_key AS DOUBLE), n = n_key FROM a
+        |  UNION ALL SELECT 'null_discount', CAST(n_null_disc AS DOUBLE), n_null_disc = 0 FROM a
+        |  UNION ALL SELECT 'qty_min', CAST(q_min AS DOUBLE), q_min >= 1.0 FROM a
+        |  UNION ALL SELECT 'qty_max', CAST(q_max AS DOUBLE), q_max <= 50.0 FROM a
+        |  UNION ALL SELECT 'flag_domain', CAST(n_bad_flag AS DOUBLE), n_bad_flag = 0 FROM a
+        |  UNION ALL SELECT 'ri_orders', CAST(n_orphan AS DOUBLE), n_orphan = 0 FROM o)""".stripMargin,
+
     "s1_scan_dates" ->
       """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
         |       o_orderpriority

@@ -160,6 +160,23 @@ class DedupSpec extends SparkSpec {
     assert(canon == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
   }
 
+  /** Canonicalization policy on the shared fixture: cluster {0,1,2}
+    * (0/1 identical, 2 one word longer) must keep doc 2 — the LONGEST
+    * member, not the min-id label — and the unrelated doc 3 survives
+    * as its own singleton. keep_chars cross-checked against the
+    * documents table so the struct-max payload stays aligned. */
+  test("canonical keep: longest member survives; singletons keep themselves") {
+    import spark.implicits._
+    val rows = Dedup.canonicalKeep(spark, dir, threshold = 0.5)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val chars = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    assert(rows.keySet == Set(0L, 3L))
+    assert(rows(0L) == ((2L, chars(2L), 3L)))
+    assert(rows(3L) == ((3L, chars(3L), 1L)))
+  }
+
   /** 30-doc CHAIN: doc i shares a token block only with doc i+1, so the
     * component's diameter is 29 — plain neighbor-min propagation needs
     * 29 rounds (past the 25-round cap → silently wrong); pointer

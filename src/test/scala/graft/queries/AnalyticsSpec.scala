@@ -159,6 +159,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out.values.sum - 1000000000L) < 100L)
   }
 
+  /** Merge-apply: replay the hash-derived changelog driver-side and
+    * demand the distributed union+max_by apply produce EXACTLY the
+    * expected snapshot — deletes gone, updates rewritten (status 'C',
+    * +10% integer-cents price), inserts under negated keys, untouched
+    * rows kept verbatim. */
+  test("merge-apply: deletes dropped, updates rewritten, inserts under fresh keys") {
+    import spark.implicits._
+    val statuses = Array("O", "F", "P")
+    val orders = (1L to 200L).map(k => (k, k % 30,
+      statuses((k % 3).toInt), k + 0.25,
+      ts("2000-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val d = Files.createTempDirectory("an-merge").toString
+    orders.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Analytics.queries("t8_merge_upsert")(spark, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_totalprice", $"action")
+      .as[(Long, Long, String, Double, String)].collect().toSet
+    val expected = (1L to 200L).flatMap { k =>
+      val cents = k * 100 + 25
+      val h = graft.llm.TextOps.hash48Jvm(k.toString)
+      val (isDel, isUpd, isIns) =
+        (h % 17 == 0, h % 17 != 0 && h % 5 == 0, h % 7 == 3)
+      val st = statuses((k % 3).toInt)
+      val kept =
+        if (isDel) Seq.empty
+        else if (isUpd) Seq((k, k % 30, "C", (cents * 11 / 10) / 100.0, "U"))
+        else Seq((k, k % 30, st, cents / 100.0, "K"))
+      val ins =
+        if (isIns) Seq((-k, k % 30, st, cents / 100.0, "I")) else Seq.empty
+      kept ++ ins
+    }.toSet
+    assert(out == expected)
+  }
+
   private implicit class PairMap(rows: Array[(String, Long, Double)]) {
     def toMap2: Map[String, (Long, Double)] =
       rows.map(r => r._1 -> (r._2, r._3)).toMap
