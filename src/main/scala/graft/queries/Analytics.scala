@@ -222,43 +222,57 @@ object Analytics {
   // can never collide with base keys) — every engine can rebuild the
   // identical batch, which is what makes the oracle possible.
   //
-  // Scale shape: the apply is NOT a join — base ∪ changes, then ONE
-  // key-shuffled aggregate taking max_by(payload, src) per key
+  // Scale shape: the apply is NOT a join — base ∪ changes rows, then
+  // ONE key-shuffled aggregate taking max_by(payload, src) per key
   // (changes carry src=1 > base's 0, so latest-wins; partial aggs
   // combine map-side). That spelling is ratio-agnostic: a full-outer
   // join degrades when changes ≈ base (two shuffles + join), and a
   // broadcast apply dies when the changelog outgrows memory; union+agg
   // is one shuffle at ANY base:changes ratio and inherits AQE's skew
-  // splitting. The oracle deliberately spells it as the FULL OUTER
-  // JOIN — same semantics, independent plan. Money math is integer
-  // cents end-to-end (floor(cents·11/10) < 2^52 exact in both
-  // engines); the final /100.0 is one IEEE division on identical
-  // integers. Delete rows survive the aggregate and are dropped by the
-  // final filter — op is PART of the max_by payload, so a key's fate
-  // travels with its winning row.
+  // splitting. Because the changelog here DERIVES from the base table,
+  // the union is spelled as a per-row explode(filter(array(...))) —
+  // ONE scan of orders emits base + change + insert rows in the same
+  // pass (a 3-way unionAll of selects over the same table re-scans it
+  // three times; with a real separate changelog table it would be a
+  // plain 2-source union, same aggregate). The oracle deliberately
+  // spells the FULL OUTER JOIN — same semantics, independent plan.
+  // Money math is integer cents end-to-end (floor(cents·11/10) < 2^52
+  // exact in both engines); the final /100.0 is one IEEE division on
+  // identical integers. Delete rows survive the aggregate and are
+  // dropped by the final filter — op is PART of the max_by payload, so
+  // a key's fate travels with its winning row.
   private val mergeUpsert: Q = (spark, dir) => {
     import spark.implicits._
     val orders = Tables.load(spark, dir, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
         (dec2($"o_totalprice") * 100).cast("long").as("cents"),
         (hash48($"o_orderkey".cast("string"))).as("h"))
-    val base = orders.select($"o_orderkey", $"o_custkey", $"o_orderstatus",
-      $"cents", lit(null).cast("string").as("op"), lit(0).as("src"))
     // one op per key: delete wins over update (mutually exclusive CASE)
     val isDel = $"h" % 17 === 0
-    val upsDel = orders.filter(isDel || $"h" % 5 === 0)
-      .select($"o_orderkey", $"o_custkey",
-        when(isDel, $"o_orderstatus").otherwise(lit("C")).as("o_orderstatus"),
-        when(isDel, $"cents")
-          .otherwise(floor($"cents" * 11 / 10).cast("long")).as("cents"),
-        when(isDel, lit("D")).otherwise(lit("U")).as("op"), lit(1).as("src"))
-    val inserts = orders.filter($"h" % 7 === 3)
-      .select((-$"o_orderkey").as("o_orderkey"), $"o_custkey",
-        $"o_orderstatus", $"cents", lit("I").as("op"), lit(1).as("src"))
-    base.unionAll(upsDel).unionAll(inserts)
-      .groupBy($"o_orderkey")
+    val isChg = isDel || $"h" % 5 === 0
+    val isIns = $"h" % 7 === 3
+    def row(keep: Column, key: Column, st: Column, cents: Column,
+            op: Column, src: Int): Column =
+      struct(keep.as("keep"), key.as("o_orderkey"),
+        $"o_custkey".as("o_custkey"), st.as("o_orderstatus"),
+        cents.as("cents"), op.as("op"), lit(src).as("src"))
+    orders
+      .select(explode(filter(array(
+        row(lit(true), $"o_orderkey", $"o_orderstatus", $"cents",
+          lit(null).cast("string"), 0),
+        row(isChg, $"o_orderkey",
+          when(isDel, $"o_orderstatus").otherwise(lit("C")),
+          when(isDel, $"cents")
+            .otherwise(floor($"cents" * 11 / 10).cast("long")),
+          when(isDel, lit("D")).otherwise(lit("U")), 1),
+        row(isIns, -$"o_orderkey", $"o_orderstatus", $"cents",
+          lit("I"), 1)),
+        x => x.getField("keep"))).as("e"))
+      .groupBy($"e.o_orderkey".as("o_orderkey"))
       .agg(max_by(
-        struct($"o_custkey", $"o_orderstatus", $"cents", $"op"), $"src")
+        struct($"e.o_custkey".as("o_custkey"),
+          $"e.o_orderstatus".as("o_orderstatus"),
+          $"e.cents".as("cents"), $"e.op".as("op")), $"e.src")
         .as("r"))
       .select($"o_orderkey", $"r.o_custkey".as("o_custkey"),
         $"r.o_orderstatus".as("o_orderstatus"),

@@ -103,7 +103,11 @@ class PlanShapeSpec extends SparkSpec {
     // dedup exchange. The cartesian/BNLJ zero-checks remain the
     // unblocked-fuzzy-join guard, and the levenshtein verify must stay
     // ABOVE the dedup (RelationalLawsSpec pins the no-pushdown barrier)
-    ("j7_fuzzy_block", 7, 0))
+    ("j7_fuzzy_block", 7, 0),
+    // CDC merge-apply: ONE scan (explode fans base/change/insert rows
+    // out map-side — no 3× table re-scan) + ONE key-shuffled max_by
+    // aggregate; no join anywhere in the apply
+    ("t8_merge_upsert", 2, 0))
 
   for ((name, maxExchanges, minBroadcast) <- budgets) {
     test(s"$name plan: Expand-free, cartesian-free, ≤$maxExchanges exchanges" +
