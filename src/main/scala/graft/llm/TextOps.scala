@@ -586,11 +586,17 @@ object TextOps {
     * Scale shape: pure per-row HOF chain (ordered k-gram hashes →
     * window minima → array_distinct → explode) — zero exchanges before
     * the sink, embarrassingly parallel at any corpus size; integer
-    * hashes only, so engine parity is exact. */
+    * hashes only, so engine parity is exact. The token array and the
+    * gram array are MATERIALIZED in their own projections before any
+    * lambda touches them — HOFs are interpreted (CodegenFallback), so
+    * an expression referenced inside a lambda re-evaluates per element
+    * access: with the split inline, every k-gram re-ran the regex
+    * tokenizer 3× (the f13/f14 lesson; measured 8.4 s → 0.8 s at
+    * sf0.1, ×10.6, same rows). */
   private val winnow: Q = (spark, dir) => {
     import spark.implicits._
     val WinnowW = 4
-    val t = toks($"text")
+    val t = col("t")
     val grams = transform(sequence(lit(1), size(t) - 2), i =>
       hash48(concat_ws(" ",
         element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
@@ -600,6 +606,7 @@ object TextOps {
         array_min(slice(g, j, lit(WinnowW)))))
       .otherwise(array(array_min(g)))
     Tables.load(spark, dir, "documents")
+      .select($"doc_id", toks($"text").as("t"))
       .filter(size(t) >= 3) // below k tokens: no k-gram, no fingerprint
       .select($"doc_id", grams.as("g"))
       .select($"doc_id", explode(array_distinct(mins)).as("fp"))
