@@ -674,8 +674,16 @@ object TextOps {
           ($"tot" + $"v" * 0.5)) * 1e6).cast("long").as("nll_micro"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tok"), sum($"nll_micro").as("sum_nll"))
+      // mean in INTEGER micro-nats, round-half-up via the roundRatio2
+      // technique — round(sum/1e6/n, 6) flipped on 2 sf1 docs because
+      // Spark rounds the double through exact BigDecimal while DuckDB
+      // multiplies by 1e6 in double space (the documented
+      // round(double)-boundary hazard); floor((2s+n)/(2n)) is pure
+      // integer arithmetic and /1e6 one IEEE division on identical
+      // longs, so the engines cannot disagree at any scale.
       .select($"doc_id", $"n_tok",
-        round($"sum_nll" / 1e6 / $"n_tok", 6).as("avg_nll"))
+        (floor(($"sum_nll" * 2 + $"n_tok") / ($"n_tok" * 2)) / 1e6)
+          .as("avg_nll"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -747,7 +755,8 @@ object TextOps {
          |  FROM t LEFT JOIN a USING (term) CROSS JOIN s
          |  WHERE NOT t.is_a)
          |SELECT doc_id, COUNT(*) AS n_tok,
-         |       round(SUM(nll) / 1000000.0 / COUNT(*), 6) AS avg_nll
+         |       floor((SUM(nll) * 2 + COUNT(*)) / (COUNT(*) * 2)) / 1000000.0
+         |         AS avg_nll
          |FROM b GROUP BY doc_id""".stripMargin,
 
     "d_novelty" ->

@@ -131,6 +131,46 @@ object StreamingWindows {
       }.toDF()
   }
 
+  case class LatestState(ts: java.sql.Timestamp, event_type: String,
+                         value: Double, event_id: Long)
+  case class EvFull(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                    event_type: String, value: Double)
+  case class UserLatest(user_id: Long, ts: java.sql.Timestamp,
+                        event_type: String, value: Double, event_id: Long)
+
+  /** Streaming CDC "current state per key" — the stream twin of the
+    * batch merge-apply (`t8_merge_upsert`'s latest-wins aggregate):
+    * every micro-batch folds its rows into the stored
+    * max-by-(ts, event_id) row per user, and update-mode output emits
+    * the new current row for each touched key — exactly the changelog
+    * a downstream upsert sink (Delta/Hudi-style MERGE, or the K4 KV
+    * put) consumes. Ties break on event_id so stream and batch agree
+    * under ANY row arrival order. State is ONE narrow row per key —
+    * bounded by key cardinality, never by stream length; with an
+    * inactivity timeout this is the standard compacting-changelog
+    * pattern at any scale. By-name typed projection per the r7
+    * positional-tuple lesson. The ordering uses Timestamp.compareTo —
+    * nanos-aware — NOT getTime, which truncates the event time to
+    * millis and silently disagrees with the batch max_by on
+    * microsecond data (caught by the parity spec). */
+  def latestState(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[EvFull]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[LatestState, UserLatest](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EvFull], state: GroupState[LatestState]) =>
+          var cur = state.getOption.orNull
+          rows.foreach { r =>
+            val c = if (cur == null) 1 else r.ts.compareTo(cur.ts)
+            if (c > 0 || (c == 0 && r.event_id > cur.event_id))
+              cur = LatestState(r.ts, r.event_type, r.value, r.event_id)
+          }
+          state.update(cur)
+          UserLatest(user, cur.ts, cur.event_type, cur.value, cur.event_id)
+      }.toDF()
+  }
+
   /** Stream-stream interval join: purchases stream ⋈ views stream on
     * user_id with the view in the `lagHours` before the purchase — the
     * streaming twin of the batch binned range join (`ev_range_join`).

@@ -333,6 +333,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_._2.isEmpty) && got.exists(_._2 == Some("gold")))
   }
 
+  test("latest-state CDC view equals the batch max_by over any micro-batch split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max_by, struct}
+    val sf = "/root/testdata/sf0.001"
+    val staged = Files.createTempDirectory("stream-latest").toString
+    graft.Tables.load(spark, sf, "events")
+      .repartition(4).write.mode("overwrite").parquet(s"$staged/events.parquet")
+    val stream = StreamingWindows.latestState(spark,
+      StreamingWindows.readEventStream(spark, s"$staged/events.parquet"))
+    // update-mode sink logs every per-key revision across the 4
+    // micro-batches; revisions are monotone in (ts, event_id), so the
+    // per-key max IS the final state — compare that to the batch twin.
+    val sink = StreamingWindows.runToCompletion(spark, stream, "t_latest",
+      OutputMode.Update())
+    val got = sink.groupBy($"user_id")
+      .agg(max_by(struct($"ts", $"event_type", $"value", $"event_id"),
+        struct($"ts", $"event_id")).as("r"))
+      .select($"user_id", $"r.ts", $"r.event_type", $"r.value", $"r.event_id")
+      .as[(Long, java.sql.Timestamp, String, Double, Long)].collect().toSet
+    val batch = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(max_by(struct($"ts", $"event_type", $"value", $"event_id"),
+        struct($"ts", $"event_id")).as("r"))
+      .select($"user_id", $"r.ts", $"r.event_type", $"r.value", $"r.event_id")
+      .as[(Long, java.sql.Timestamp, String, Double, Long)].collect().toSet
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("mapGroupsWithState keeps per-user running counts") {
     import spark.implicits._
     val stream = StreamingWindows.readEventStream(spark, s"$dir/events.parquet")
