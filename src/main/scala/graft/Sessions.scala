@@ -32,6 +32,17 @@ object Sessions {
       // (graft.plans.WindowDistinctToAggregate; SURVEY §7.8 stretch).
       .config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE sizes every shuffle from a FINE-GRAINED start: shuffles
+      // begin at 8× cores partitions and coalesce by size
+      // (parallelismFirst keeps ≥ cores-many partitions on small
+      // data, so bench-scale plans are unchanged), while large inputs
+      // keep enough partitions that a single task never materializes
+      // a multi-hundred-MB block. Found by the g1_pagerank sf10
+      // probe: at 32 static partitions its cached edge list put ~10M
+      // rows per partition and 32 concurrent serialized cache writes
+      // OOM'd the 8 GB heap inside MemoryStore.putIteratorAsBytes.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")

@@ -153,15 +153,44 @@ object Analytics {
   // construction.
   private val pagerank: Q = (spark, dir) => {
     import spark.implicits._
+    // items/edges are CATALOG-SCALE (they grow 100× with a 100× fact
+    // table) and each is read multiple times, so they must be pinned —
+    // and the PIN LEVEL is chosen by input size, the same size-based
+    // reasoning Spark applies to broadcasts. The sf10 probe showed why
+    // neither fixed level works: the default deserialized memory-first
+    // local checkpoint OOM'd the 8 GB heap outright; serialized
+    // memory-first (MEMORY_AND_DISK_SER) still OOM'd in the
+    // concurrent cache-WRITE path (32 tasks × multi-hundred-MB
+    // buffers in MemoryStore.putIteratorAsBytes, where spill
+    // accounting lags allocation); DISK_ONLY survives any size by
+    // streaming blocks straight to local store — but costs 2.5× at
+    // bench scale where the graph trivially fits in memory. So: disk
+    // when the fact table is big (> 512 MB on disk ⇒ edges in the
+    // multi-GB class), serialized-memory-with-spill otherwise. On a
+    // cluster the same decision is executor-memory-per-core vs
+    // edges/executor; the threshold moves, the policy doesn't.
+    // Node-sized ranks stay on the default level.
+    val liBytes = {
+      val p = java.nio.file.Paths.get(dir, "lineitem.parquet")
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).mapToLong(f =>
+          try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
+          .sum()
+      else java.nio.file.Files.size(p)
+    }
+    val ser =
+      if (liBytes > (512L << 20))
+        org.apache.spark.storage.StorageLevel.DISK_ONLY
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val items = Tables.load(spark, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct()
-      .localCheckpoint(true) // both self-join sides read the checkpoint
+      .localCheckpoint(true, ser) // both self-join sides read this
     val edges = items.as("a").join(items.as("b"),
         $"a.l_orderkey" === $"b.l_orderkey" &&
           $"a.l_partkey" =!= $"b.l_partkey")
       .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, ser)
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val nodes = deg.select($"src".as("node"), $"deg")
     val n = nodes.count()
