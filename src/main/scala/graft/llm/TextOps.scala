@@ -612,6 +612,56 @@ object TextOps {
       .select($"doc_id", explode(array_distinct(mins)).as("fp"))
   }
 
+  /** Hashed-linear classifier INFERENCE (the fastText quality-filter
+    * shape): every modern corpus pipeline scores documents with a cheap
+    * linear model over hashed unigram+bigram features (CCNet's
+    * fastText lang/quality filters, Llama-style "educational value"
+    * scorers). The expensive part at 100 TB is not training (tiny, done
+    * offline) but INFERENCE over every document — and that is what this
+    * operator implements: features = unigrams + bigrams hashed into
+    * D = 4096 buckets (the hashing trick — same trade as
+    * enc_feature_hash: no vocabulary, collisions share weights), score
+    * = Σ w[bucket(f)] over all token occurrences, label = sign.
+    *
+    * The weight table is itself hash-derived (w[b] = hash48("w:"+b) %
+    * 2001 − 1000, integer milli-units) — a deterministic stand-in with
+    * the exact storage/compute shape of a trained model; swapping in
+    * real weights is a 4096-entry literal array (or a broadcast lookup
+    * — never a join). Integer milli-weights make the per-doc sum
+    * order-independent and hence hash-comparable cross-engine; no mean
+    * is taken, the raw sum + feature count let any threshold be
+    * applied downstream without a division hazard.
+    *
+    * Scale shape: ZERO exchanges — tokens, bigrams, hashing, and the
+    * weight sum are one per-row HOF chain inside a single projection
+    * (the oracle spells it as unnest+GROUP BY; same result, opposite
+    * plan). The token array is materialized in its own projection
+    * first — interpreted HOF lambdas re-evaluate captured non-attribute
+    * expressions per element access (the d_winnow/f13 lesson). */
+  private val classifierScore: Q = (spark, dir) => {
+    import spark.implicits._
+    val D = 4096
+    val w = col("w")
+    val uni = transform(w, t => concat(lit("u:"), t))
+    val bi = filter(
+      zip_with(w, slice(w, lit(2), size(w)),
+        (a, b) => concat(lit("b:"), a, lit("_"), b)),
+      x => x.isNotNull)
+    val f = col("f")
+    def weight(feat: Column): Column =
+      hash48(concat(lit("w:"), (hash48(feat) % D).cast("string"))) % 2001 -
+        1000
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        filter(toks($"text"), t => length(t) > 0).as("w"))
+      .select($"doc_id", concat(uni, bi).as("f"))
+      .filter(size(f) > 0)
+      .select($"doc_id", size(f).cast("long").as("n_feat"),
+        aggregate(f, lit(0L), (acc, x) => acc + weight(x))
+          .as("score_milli"))
+      .withColumn("label", when($"score_milli" >= 0, 1L).otherwise(0L))
+  }
+
   /** Shingle NOVELTY — per-doc fraction of 3-gram shingles that appear
     * nowhere else in the corpus (corpus df = 1). The self-information
     * quality signal: boilerplate-heavy and template-generated docs score
@@ -695,6 +745,7 @@ object TextOps {
     "d_mixture_plan"   -> mixturePlan,
     "d_drift"          -> drift,
     "d_winnow"         -> winnow,
+    "d_classifier_score" -> classifierScore,
     "d_entropy"        -> entropy,
     "d_chunk"          -> chunk,
     "d_vocab_topk"     -> vocab,
@@ -742,6 +793,27 @@ object TextOps {
     (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    "d_classifier_score" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         list_filter($ToksSql, t -> length(t) > 0) AS w
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, unnest(list_concat(
+         |    list_transform(w, t -> 'u:' || t),
+         |    CASE WHEN len(w) >= 2 THEN
+         |      list_transform(generate_series(1, len(w) - 1),
+         |        i -> 'b:' || w[i] || '_' || w[i+1])
+         |    ELSE [] END)) AS feat
+         |  FROM d),
+         |wt AS (
+         |  SELECT doc_id,
+         |         ${hash48Sql(s"'w:' || CAST(${hash48Sql("feat")} % 4096 AS VARCHAR)")} % 2001 - 1000 AS wm
+         |  FROM f)
+         |SELECT doc_id, COUNT(*) AS n_feat, SUM(wm) AS score_milli,
+         |       CAST(CASE WHEN SUM(wm) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+         |FROM wt GROUP BY doc_id""".stripMargin,
+
     "d_lm_score" ->
       s"""WITH t0 AS (SELECT doc_id, doc_id % 2 = 0 AS is_a,
          |              unnest($ToksSql) AS term FROM documents),

@@ -20,6 +20,36 @@ object Analytics {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Size-adaptive pin level for catalog-scale cached graph tables
+    * (co-purchase items/edges: they grow 100× with a 100× fact table and
+    * are each read several times). The sf10 probe showed neither fixed
+    * level works: deserialized memory-first OOMs outright on a ~30M-edge
+    * list, MEMORY_AND_DISK_SER still OOMs in the concurrent cache-WRITE
+    * path (32 tasks × multi-hundred-MB buffers in
+    * MemoryStore.putIteratorAsBytes, where spill accounting lags
+    * allocation), and DISK_ONLY — which survives any size by streaming
+    * blocks straight to local store — costs 2.5× at bench scale where
+    * the graph trivially fits in memory. So: disk when the fact table
+    * is big (> 512 MB on disk ⇒ edges in the multi-GB class),
+    * serialized-memory-with-spill otherwise — the same size-based
+    * reasoning Spark applies to broadcast decisions. On a cluster the
+    * threshold becomes executor-memory-per-core vs edges/executor; the
+    * policy doesn't change. */
+  private def adaptiveLevel(dir: String)
+      : org.apache.spark.storage.StorageLevel = {
+    val liBytes = {
+      val p = java.nio.file.Paths.get(dir, "lineitem.parquet")
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).mapToLong(f =>
+          try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
+          .sum()
+      else java.nio.file.Files.size(p)
+    }
+    if (liBytes > (512L << 20))
+      org.apache.spark.storage.StorageLevel.DISK_ONLY
+    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+  }
+
   // ---- ev_cohort_retention: the classic signup-cohort × week-offset
   // retention triangle. Cohort = ISO week of a user's FIRST event
   // (2024-01-01 is a Monday, so weeks align with the testdata epoch);
@@ -153,35 +183,11 @@ object Analytics {
   // construction.
   private val pagerank: Q = (spark, dir) => {
     import spark.implicits._
-    // items/edges are CATALOG-SCALE (they grow 100× with a 100× fact
-    // table) and each is read multiple times, so they must be pinned —
-    // and the PIN LEVEL is chosen by input size, the same size-based
-    // reasoning Spark applies to broadcasts. The sf10 probe showed why
-    // neither fixed level works: the default deserialized memory-first
-    // local checkpoint OOM'd the 8 GB heap outright; serialized
-    // memory-first (MEMORY_AND_DISK_SER) still OOM'd in the
-    // concurrent cache-WRITE path (32 tasks × multi-hundred-MB
-    // buffers in MemoryStore.putIteratorAsBytes, where spill
-    // accounting lags allocation); DISK_ONLY survives any size by
-    // streaming blocks straight to local store — but costs 2.5× at
-    // bench scale where the graph trivially fits in memory. So: disk
-    // when the fact table is big (> 512 MB on disk ⇒ edges in the
-    // multi-GB class), serialized-memory-with-spill otherwise. On a
-    // cluster the same decision is executor-memory-per-core vs
-    // edges/executor; the threshold moves, the policy doesn't.
-    // Node-sized ranks stay on the default level.
-    val liBytes = {
-      val p = java.nio.file.Paths.get(dir, "lineitem.parquet")
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).mapToLong(f =>
-          try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
-          .sum()
-      else java.nio.file.Files.size(p)
-    }
-    val ser =
-      if (liBytes > (512L << 20))
-        org.apache.spark.storage.StorageLevel.DISK_ONLY
-      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    // items/edges are catalog-scale and each is read multiple times —
+    // pinned at the size-adaptive level (see [[adaptiveLevel]]; the
+    // sf10 probe history behind it is documented there). Node-sized
+    // ranks stay on the default level.
+    val ser = adaptiveLevel(dir)
     val items = Tables.load(spark, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct()
       .localCheckpoint(true, ser) // both self-join sides read this
@@ -310,13 +316,133 @@ object Analytics {
       .filter($"action" =!= "D")
   }
 
+  // ---- ev_anomaly: robust per-user outlier monitor (median/MAD) — the
+  // data-drift gate a pipeline runs on an incoming event batch before
+  // training ("did this user's spend pattern suddenly spike?"). Mean/
+  // stddev z-scores are themselves dragged by the outliers they hunt;
+  // median/MAD is the standard robust alternative. Per user: med =
+  // median(value), dev = |value − med|, MAD = median(dev); an event is
+  // an outlier when dev > 3·MAD. Output is the per-user monitor row
+  // (count, median, MAD, outlier count) — the table an alerting job
+  // thresholds.
+  //
+  // Cross-engine exactness: medians interpolate the two middle values
+  // for even counts, so everything runs on integer CENTS doubled at
+  // each median step — (a+b)/2 of ints is exactly x.0 or x.5, ×2
+  // restores an exact integer (med2 = 2·median(cents), mad4 =
+  // 2·median(2·dev)), and the outlier test dev > 3·MAD becomes the
+  // pure-integer 2·dev2 > 3·mad4. No double ever carries information
+  // beyond an exact half-integer, so Spark and DuckDB agree bitwise.
+  //
+  // Scale shape: both medians and the final count are keyed on
+  // user_id — ONE logical shuffle key end-to-end (the exchange is
+  // reused across the agg→join→agg→join→agg chain), partitions bounded
+  // by per-user history, the safe axis at any corpus size. Exact
+  // median buffers one user's values per group — the same bound every
+  // user-keyed window in this file already accepts.
+  private val anomaly: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id",
+        (dec2($"value") * 100).cast("long").as("cents"))
+    val m = e.groupBy($"user_id")
+      .agg((median($"cents") * 2).cast("long").as("med2"),
+        count(lit(1)).as("n_ev"))
+    val d = e.join(m, "user_id")
+      .select($"user_id", $"n_ev", $"med2",
+        abs($"cents" * 2 - $"med2").as("dev2"))
+    val md = d.groupBy($"user_id")
+      .agg((median($"dev2") * 2).cast("long").as("mad4"))
+    d.join(md, "user_id")
+      .groupBy($"user_id")
+      .agg(max($"n_ev").as("n_ev"), max($"med2").as("med2"),
+        max($"mad4").as("mad4"),
+        sum(when($"dev2" * 2 > $"mad4" * 3, 1L).otherwise(0L)).as("n_out"))
+  }
+
+  // ---- g2_triangles: exact triangle counting over the co-purchase
+  // graph (same edge set as g1_pagerank / j6) — the clustering-
+  // coefficient numerator, the graph-analytics companion to PageRank
+  // (centrality) and connected components (reachability). Output: the
+  // 25 parts participating in the most triangles.
+  //
+  // Scale shape — two standard ideas composed:
+  //  (1) "compact-forward" ORIENTATION: each undirected edge points
+  //      from its lower-(degree, id) endpoint to the higher one. The
+  //      orientation is a DAG under a total order, so a triangle
+  //      a→b, a→c, b→c is found exactly once (at edge (a,b)) — and
+  //      max OUT-degree is O(√m) (a node keeps out-edges only toward
+  //      HIGHER-degree neighbors, and only ~√m nodes have degree
+  //      ≥ √m), which bounds both the work and the adjacency arrays
+  //      below, hub-proof at a 100 TB co-purchase graph.
+  //  (2) edge-centric ADJACENCY INTERSECTION (the GraphX/GraphFrames
+  //      triangleCount shape): per oriented edge (u,v), triangles
+  //      through it = |out(u) ∩ out(v)|, computed with array_intersect
+  //      INSIDE the join's row processing. The naive alternative — a
+  //      wedge self-join e1.d = e2.s then a closing join — must push
+  //      every wedge through an exchange (Σ out_deg² rows: measured
+  //      83M at sf0.1 vs 1.2M edges, 10.2 s); here wedges never
+  //      materialize, and the only wide shuffle carries the 1.2M edge
+  //      rows + one O(√m)-bounded neighbor array each. Measured 3×
+  //      faster at sf0.1, and the gap grows with density. The DuckDB
+  //      oracle deliberately keeps the wedge-join spelling — two
+  //      different exact algorithms agreeing is a stronger check.
+  // Per-node credits: for edge (u,v) with common set C, u and v each
+  // count |C| triangles and every c ∈ C counts 1 — each triangle
+  // credits its 3 corners exactly once. All joins are key-shuffles of
+  // catalog-scale sides (never broadcast — the j7 lesson); the edge
+  // list is pinned at the size-adaptive level shared with g1.
+  private val triangles: Q = (spark, dir) => {
+    import spark.implicits._
+    val ser = adaptiveLevel(dir)
+    val items = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .localCheckpoint(true, ser)
+    val und = items.as("a").join(items.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .distinct()
+      .localCheckpoint(true, ser)
+    val deg = und.select($"u".as("n")).unionAll(und.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("dg"))
+    val uFirst = $"du.dg" < $"dv.dg" ||
+      ($"du.dg" === $"dv.dg" && $"u" < $"v")
+    val o = und
+      .join(deg.as("du"), $"u" === $"du.n")
+      .join(deg.as("dv"), $"v" === $"dv.n")
+      .select(when(uFirst, $"u").otherwise($"v").as("s"),
+        when(uFirst, $"v").otherwise($"u").as("d"))
+      .localCheckpoint(true, ser)
+    // out-neighbor arrays, node-sized, array length ≤ max out-degree =
+    // O(√m); membership is set-semantics so collect_list order (which
+    // is partitioning-dependent) cannot reach the result.
+    val adj = o.groupBy($"s").agg(collect_list($"d").as("nbrs"))
+    // a sink d (no out-edges) is dropped by the inner join — correct:
+    // out(u) ∩ out(v) is empty when out(v) is.
+    val common = o
+      .join(adj.select($"s".as("an"), $"nbrs".as("na")), $"s" === $"an")
+      .join(adj.select($"s".as("bn"), $"nbrs".as("nb")), $"d" === $"bn")
+      .select($"s", $"d", array_intersect($"na", $"nb").as("c"))
+      .filter(size($"c") > 0)
+    common.select(explode(concat(
+        array(struct($"s".as("n"), size($"c").cast("long").as("k")),
+          struct($"d".as("n"), size($"c").cast("long").as("k"))),
+        transform($"c", x => struct(x.as("n"), lit(1L).as("k"))))).as("e"))
+      .groupBy($"e.n".as("p_partkey"))
+      .agg(sum($"e.k").as("n_triangles"))
+      .orderBy($"n_triangles".desc, $"p_partkey".asc).limit(25)
+  }
+
   val queries: Map[String, Q] = Map(
     "t7_scd2"             -> scd2,
     "t8_merge_upsert"     -> mergeUpsert,
     "ev_cohort_retention" -> cohortRetention,
+    "ev_anomaly"          -> anomaly,
     "a16_decile_lift"     -> decileLift,
     "ev_attribution"      -> attribution,
-    "g1_pagerank"         -> pagerank)
+    "g1_pagerank"         -> pagerank,
+    "g2_triangles"        -> triangles)
 
   val oracles: Map[String, String] = Map(
     // same merge semantics, independently spelled as FULL OUTER JOIN
@@ -427,6 +553,48 @@ object Analytics {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM ev WHERE event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
+
+    "ev_anomaly" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT user_id, CAST(median(cents) * 2 AS BIGINT) AS med2,
+        |             COUNT(*) AS n_ev FROM e GROUP BY 1),
+        |d AS (SELECT e.user_id, e.event_id, m.n_ev, m.med2,
+        |             abs(2 * e.cents - m.med2) AS dev2
+        |      FROM e JOIN m USING (user_id)),
+        |md AS (SELECT user_id, CAST(median(dev2) * 2 AS BIGINT) AS mad4
+        |       FROM d GROUP BY 1)
+        |SELECT d.user_id, MAX(d.n_ev) AS n_ev, MAX(d.med2) AS med2,
+        |       MAX(md.mad4) AS mad4,
+        |       SUM(CASE WHEN 2 * d.dev2 > 3 * md.mad4 THEN 1 ELSE 0 END) AS n_out
+        |FROM d JOIN md USING (user_id)
+        |GROUP BY 1""".stripMargin,
+
+    "g2_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT n, COUNT(*) AS dg FROM
+        |          (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+        |        GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+        |              THEN u ELSE v END AS s,
+        |         CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+        |              THEN v ELSE u END AS d
+        |  FROM und JOIN deg du ON und.u = du.n JOIN deg dv ON und.v = dv.n),
+        |tri AS (
+        |  SELECT e1.s AS x, e1.d AS y, e2.d AS z
+        |  FROM o e1 JOIN o e2 ON e1.d = e2.s
+        |  JOIN o e3 ON e3.s = e1.s AND e3.d = e2.d)
+        |SELECT node AS p_partkey, COUNT(*) AS n_triangles
+        |FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |      UNION ALL SELECT z FROM tri)
+        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 25""".stripMargin,
 
     "g1_pagerank" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

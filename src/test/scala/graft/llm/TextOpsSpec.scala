@@ -243,4 +243,28 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(byTerm("alpha") + byTerm("beta")) < 1e-6) // symmetric plant
     assert(math.abs(byTerm("stable")) < 0.1) // balanced term ≈ no drift
   }
+
+  test("classifier score: driver-side hash replay matches the distributed sum exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "good good text", "en", "s", 14L),
+      (1L, "single", "en", "s", 6L),
+      (2L, "   ", "en", "s", 3L)) // whitespace-only: no features, dropped
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Files.createTempDirectory("clsspec").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.queries("d_classifier_score")(spark, d)
+      .select($"doc_id", $"n_feat", $"score_milli", $"label")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    def w(feat: String): Long =
+      TextOps.hash48Jvm(
+        "w:" + (TextOps.hash48Jvm(feat) % 4096).toString) % 2001 - 1000
+    // doc 0: unigrams keep MULTIPLICITY (u:good twice), bigrams in order
+    val feats0 = Seq("u:good", "u:good", "u:text", "b:good_good", "b:good_text")
+    val s0 = feats0.map(w).sum
+    assert(out(0L) == ((0L, 5L, s0, if (s0 >= 0) 1L else 0L)))
+    val s1 = w("u:single")
+    assert(out(1L) == ((1L, 1L, s1, if (s1 >= 0) 1L else 0L)))
+    assert(!out.contains(2L))
+  }
 }

@@ -195,6 +195,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("anomaly: planted spike flagged, doubled-median integers exact") {
+    import spark.implicits._
+    // user 1: twelve 10.00s + one 99.99 spike -> med2 = 2000, MAD = 0,
+    //   the spike is the only nonzero deviation -> n_out = 1.
+    // user 2: six 10.00s, six 20.00s, one 1000.00 -> med = 20.00
+    //   (7th of 13), mad4 = 4000, only the spike exceeds 3 MAD.
+    // user 3: 10.00,10.01,10.02,10.03 -> EVEN count: med = 1001.5 cents
+    //   (half-integer) -> med2 = 2003 exact; dev2 = [3,1,1,3],
+    //   mad4 = 2*median([1,1,3,3]) = 4; no outliers.
+    val rows =
+      (1 to 12).map(i => (i.toLong, ts("2024-01-01 10:00:00"), 1L, "c", 10.0, "{}")) ++
+      Seq((13L, ts("2024-01-01 11:00:00"), 1L, "c", 99.99, "{}")) ++
+      (1 to 6).map(i => (100L + i, ts("2024-01-01 10:00:00"), 2L, "c", 10.0, "{}")) ++
+      (1 to 6).map(i => (110L + i, ts("2024-01-01 10:00:00"), 2L, "c", 20.0, "{}")) ++
+      Seq((120L, ts("2024-01-01 11:00:00"), 2L, "c", 1000.0, "{}")) ++
+      (0 to 3).map(i => (200L + i, ts("2024-01-01 10:00:00"), 3L, "c", 10.0 + i / 100.0, "{}"))
+    val d = Files.createTempDirectory("an-anomaly").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = Analytics.queries("ev_anomaly")(spark, d)
+      .select($"user_id", $"n_ev", $"med2", $"mad4", $"n_out")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 13L, 2000L, 0L, 1L)))
+    assert(out(2L) == ((2L, 13L, 4000L, 4000L, 1L)))
+    assert(out(3L) == ((3L, 4L, 2003L, 4L, 0L)))
+  }
+
+  test("triangles: 4-clique yields 4 triangles, 3 per member, pendant absent") {
+    import spark.implicits._
+    // order 1 holds parts {1,2,3,4} -> K4: C(4,3)=4 triangles, each
+    // node in 3; order 2 holds {4,5} -> node 5 is a pendant, in none.
+    // Duplicate (order,part) rows exercise the distinct steps.
+    val li = (Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (1L, 1L),
+      (2L, 4L), (2L, 5L)))
+      .toDF("l_orderkey", "l_partkey")
+    val d = Files.createTempDirectory("an-tri").toString
+    li.write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = Analytics.queries("g2_triangles")(spark, d)
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
   private implicit class PairMap(rows: Array[(String, Long, Double)]) {
     def toMap2: Map[String, (Long, Double)] =
       rows.map(r => r._1 -> (r._2, r._3)).toMap
