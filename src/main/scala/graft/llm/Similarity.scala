@@ -208,6 +208,49 @@ object Similarity {
         $"rank".cast("long").as("rank"))
   }
 
+  /** Neighbors kept per vector in the corpus-wide k-NN graph. */
+  val KnnK = 3
+
+  /** Corpus-wide k-NN GRAPH: every vector's top-[[KnnK]] neighbors by
+    * exact cosine among its LSH candidates — the precursor artifact for
+    * SemDeDup-style semantic dedup, embedding-space clustering, and
+    * graph-based ANN indexes (an NSW layer is exactly this table). The
+    * tier-2 query answers "neighbors of these 10 probes"; this one
+    * materializes neighbors of EVERYBODY, which is why it must never
+    * touch a probe×corpus or corpus² shape.
+    *
+    * Scale shape: candidate pairs come from the same (band, bucket)
+    * equi-join the dedup/LSH family uses — adaptive r keeps per-bucket
+    * fanout ~constant as the corpus grows, so candidates grow ~linearly
+    * (the §9 gate's measured claim); vectors attach AFTER the distinct
+    * (the pair shuffle carries ids, not 64 doubles); the final top-k is
+    * a row_number window over bounded per-src candidate lists, planned
+    * as two-phase WindowGroupLimit. The band-bucket table is computed
+    * once (lazy localCheckpoint) and self-joined — not rebuilt per
+    * side (the projections are ~2r dot products per vector: real work
+    * at corpus scale). */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = KnnK,
+               bands: Int = LshBands): DataFrame = {
+    import spark.implicits._
+    val r = gateBits(spark, dir)
+    val eb = bandBuckets(spark, dir, bands, r).localCheckpoint(false)
+    val cand = eb.select($"band", $"bucket", $"vec_id".as("src"))
+      .join(eb.select($"band", $"bucket", $"vec_id".as("dst")),
+        Seq("band", "bucket"))
+      .filter($"src" =!= $"dst")
+      .select($"src", $"dst").distinct()
+    val e = emb(spark, dir)
+    val scored = cand
+      .join(e.select($"vec_id".as("src"), $"v".as("sv")), Seq("src"))
+      .join(e.select($"vec_id".as("dst"), $"v".as("dv")), Seq("dst"))
+      .withColumn("cosine", dot($"sv", $"dv"))
+    val w = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"src".as("vec_id"), $"dst".as("neighbor_id"), $"cosine",
+        $"rank".cast("long").as("rank"))
+  }
+
   /** Tier 3: IVF — KMeans(16) coarse quantizer, assign every vector to
     * its centroid list, probe the 2 nearest lists per query. Centroids
     * are learned → no SQL oracle. */
@@ -314,6 +357,7 @@ object Similarity {
     "sim_topk_brute" -> ((s, d) => topkBrute(s, d)),
     "sim_topk_lsh"   -> ((s, d) => topkLsh(s, d)),
     "sim_topk_ivf"   -> ((s, d) => topkIvf(s, d)),
+    "sim_knn_graph"  -> ((s, d) => knnGraph(s, d)),
     "f13_higher_order" -> hof,
     "f14_quantize"   -> quant)
 
@@ -396,6 +440,28 @@ object Similarity {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $TopK""".stripMargin,
+
+    "sim_knn_graph" -> {
+      val bandJoins = (0 until LshBands).map { b =>
+        s"""SELECT qb.vec_id AS src, eb.vec_id AS dst
+           |  FROM eb qb JOIN eb ON qb.b$b = eb.b$b
+           |  WHERE eb.vec_id <> qb.vec_id""".stripMargin
+      }.mkString("\n  UNION\n")
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |rr AS (${adaptiveBitsSql()}),
+         |eb AS (${bandedCteSql(LshBands)}),
+         |cand AS (
+         |  $bandJoins),
+         |scored AS (
+         |  SELECT c.src, e.vec_id AS neighbor_id, $dotSql AS cosine
+         |  FROM cand c
+         |  JOIN (SELECT vec_id, v AS qv FROM e0) q ON q.vec_id = c.src
+         |  JOIN e0 e ON e.vec_id = c.dst),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY src
+         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         |SELECT src AS vec_id, neighbor_id, cosine, rank
+         |FROM r WHERE rank <= $KnnK""".stripMargin
+    },
 
     "sim_topk_lsh" -> {
       val bandJoins = (0 until LshBands).map { b =>

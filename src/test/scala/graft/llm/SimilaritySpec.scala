@@ -76,6 +76,39 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 >= r2, s"IVF recall not monotone in nprobe: $r4 < $r2")
   }
 
+  test("knn graph: identical vectors are mutual rank-1; probe rows equal tier-2") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // identical unit vectors MUST share every band bucket -> candidacy
+    // is guaranteed, cosine exactly 1.0, mutual rank 1. The third
+    // vector is orthogonal; nothing is asserted about its collisions.
+    val v = Seq.fill(64)(0.125f)
+    val w = (0 until 64).map(i => if (i % 2 == 0) 0.125f else -0.125f)
+    val d = java.nio.file.Files.createTempDirectory("knnspec").toString
+    Seq((0L, v, 0), (1L, v, 0), (2L, w, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val r1 = Similarity.queries("sim_knn_graph")(spark, d)
+      .filter($"rank" === 1)
+      .select($"vec_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(r1(0L)._1 == 1L && math.abs(r1(0L)._2 - 1.0) < 1e-12)
+    assert(r1(1L)._1 == 0L && math.abs(r1(1L)._2 - 1.0) < 1e-12)
+
+    // law: the graph restricted to the tier-2 probe set IS the tier-2
+    // result (same candidates, same exact ranking) up to rank KnnK.
+    val g = Similarity.knnGraph(spark, dir)
+      .filter($"vec_id" < Similarity.NumQueryVecs)
+      .select($"vec_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val t2 = Similarity.topkLsh(spark, dir)
+      .filter($"rank" <= Similarity.KnnK)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(g == t2)
+  }
+
   test("autoBitsPerBand keeps per-bucket fanout constant as the corpus grows") {
     // n/2^r ≈ targetBucketSize across scales, with the 4-bit floor.
     assert(Similarity.autoBitsPerBand(500) == 4)        // floor
