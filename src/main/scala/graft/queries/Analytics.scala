@@ -434,17 +434,228 @@ object Analytics {
       .orderBy($"n_triangles".desc, $"p_partkey".asc).limit(25)
   }
 
+  // ---- ev_transitions: first-order Markov transition matrix over the
+  // event stream — "after a click, what happens next?", the session-flow
+  // report next to ev_funnel and the input of any sequence simulator.
+  // Per user, events ordered by (ts, event_id); each event's predecessor
+  // type comes from ONE user-keyed lag window (bounded partitions, the
+  // safe axis), with the chain entered through a synthetic '_start'
+  // state so entry probabilities are part of the same matrix. The
+  // (prev, next) count aggregate is dimension-sized (|types|+1)², and
+  // the per-prev normalizer is attached by a broadcast of that tiny
+  // aggregate — the fact table is scanned once and shuffled once (the
+  // user-keyed window), never joined against itself. p_pct is
+  // integer-exact (roundRatio2), so the matrix hash-compares bitwise.
+  private val transitions: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type",
+        coalesce(lag($"event_type", 1).over(w), lit("_start")))
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy($"prev_type").agg(sum($"n").as("n_prev"))
+    pairs.join(broadcast(totals), "prev_type")
+      .select($"prev_type", $"next_type", $"n", $"n_prev",
+        roundRatio2($"n" * 100, $"n_prev").as("p_pct"))
+  }
+
+  // ---- t9_incremental_agg: incremental aggregate maintenance — the
+  // materialized-view pattern that makes a 100 TB daily ETL affordable:
+  // the historical partition's aggregate STATE (n, sum, min, max — a
+  // commutative monoid) is stored once and MERGED with the fresh
+  // partition's partial state; history is never rescanned. Spelled
+  // honestly as state-merge: one scan tags each row with its partition
+  // epoch, the first aggregate builds per-(group, epoch) partial states
+  // (this is the piece a real pipeline persists), and the second
+  // aggregate — over a dimension-sized input — combines states with the
+  // monoid ops (Σn, Σsum, min min, max max). avg derives from merged
+  // state only, integer-exact. The oracle deliberately recomputes the
+  // whole aggregate from scratch in one pass: state-merge == recompute
+  // is exactly the correctness contract of incremental maintenance.
+  private val incrementalAgg: Q = (spark, dir) => {
+    import spark.implicits._
+    val cut = lit("1998-01-01").cast("timestamp")
+    val partials = Tables.load(spark, dir, "orders")
+      .select($"o_orderstatus", $"o_orderpriority",
+        ($"o_orderdate" >= cut).as("is_delta"),
+        (dec2($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"o_orderstatus", $"o_orderpriority", $"is_delta")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+        min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+    partials
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(sum($"n").as("n"), sum($"sum_cents").as("sum_cents"),
+        min($"min_cents").as("min_cents"), max($"max_cents").as("max_cents"))
+      .select($"o_orderstatus", $"o_orderpriority", $"n",
+        ($"sum_cents" / 100.0).as("sum_price"),
+        ($"min_cents" / 100.0).as("min_price"),
+        ($"max_cents" / 100.0).as("max_price"),
+        roundRatio2($"sum_cents", $"n").as("avg_price"))
+  }
+
+  // ---- a19_drift_bins: numeric-distribution drift monitor (the
+  // PSI-report shape) between a reference window and the current window
+  // of the same table — the companion of d_drift (token space) and
+  // a17_dq_audit (constraints): "did the price distribution move?".
+  // Fixed-width $25k bins keep binning deterministic and engine-free
+  // (quantile bins would couple the bin edges to the data order); rates
+  // are integer BASIS POINTS via the exact floor((2n·10⁴+tot)/(2tot))
+  // trick — never round a double for an oracle column (the d_lm_score
+  // lesson). Scale shape: ONE scan, ONE dimension-sized aggregate
+  // (conditional sums per side — no join, no second pass, no pivot);
+  // the drifted flag thresholds |Δbp| > 100 (1 %-point).
+  private val driftBins: Q = (spark, dir) => {
+    import spark.implicits._
+    val cut = lit("1998-01-01").cast("timestamp")
+    val binned = Tables.load(spark, dir, "orders")
+      .select(
+        floor((dec2($"o_totalprice") * 100).cast("long") / 2500000L)
+          .cast("long").as("bin"),
+        ($"o_orderdate" >= cut).as("is_cur"))
+      .groupBy($"bin")
+      .agg(sum(when(!$"is_cur", 1L).otherwise(0L)).as("n_ref"),
+        sum(when($"is_cur", 1L).otherwise(0L)).as("n_cur"))
+    val tot = binned.agg(sum($"n_ref").as("t_ref"), sum($"n_cur").as("t_cur"))
+    binned.crossJoin(broadcast(tot))
+      .select($"bin", $"n_ref", $"n_cur",
+        floor(($"n_ref" * 10000 * 2 + $"t_ref") / ($"t_ref" * 2))
+          .cast("long").as("ref_bp"),
+        floor(($"n_cur" * 10000 * 2 + $"t_cur") / ($"t_cur" * 2))
+          .cast("long").as("cur_bp"))
+      .withColumn("delta_bp", abs($"cur_bp" - $"ref_bp"))
+      .withColumn("drifted", $"delta_bp" > 100)
+  }
+
+  // ---- g3_communities: label propagation (2 synchronous rounds) over
+  // the co-purchase graph — community detection, completing the graph
+  // suite (g1 centrality, g2 cohesion, CC reachability): "which parts
+  // cluster into a buying context?". Labels start as node ids; each
+  // round every node adopts the MODE of its neighbors' labels (ties →
+  // smallest label). Both the mode and the tie-break are picked by ONE
+  // aggregate — max_by(lbl, (cnt, −lbl)) — no per-node window, no sort;
+  // struct comparison is lexicographic so (count desc, label asc) is
+  // exact. Fixed synchronous rounds keep the result deterministic under
+  // any partitioning (async LPA is schedule-dependent — un-oracle-able).
+  // Scale shape per round: one edges⋈labels join (both sides keyed on
+  // the join key, labels node-sized) + two keyed aggregates — the same
+  // Pregel-round shape as g1_pagerank, lineage truncated per round; the
+  // bidirectional edge list is pinned at the size-adaptive level. The
+  // oracle spells the mode pick as ROW_NUMBER OVER (count DESC, lbl ASC)
+  // — independent spelling, same semantics.
+  private val communities: Q = (spark, dir) => {
+    import spark.implicits._
+    val ser = adaptiveLevel(dir)
+    val items = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .localCheckpoint(true, ser)
+    val und = items.as("a").join(items.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .distinct()
+    val bi = und.unionAll(und.select($"v".as("u"), $"u".as("v")))
+      .localCheckpoint(true, ser)
+    var lbl = bi.select($"u".as("n")).distinct()
+      .select($"n", $"n".as("lbl"))
+    for (_ <- 1 to 2) {
+      lbl = bi.join(lbl, bi("v") === lbl("n"))
+        .groupBy($"u", $"lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy($"u")
+        .agg(max_by($"lbl", struct($"cnt", -$"lbl")).as("lbl"))
+        .select($"u".as("n"), $"lbl")
+        .localCheckpoint(true)
+    }
+    lbl.select($"n".as("p_partkey"), $"lbl".as("community"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t7_scd2"             -> scd2,
     "t8_merge_upsert"     -> mergeUpsert,
+    "t9_incremental_agg"  -> incrementalAgg,
     "ev_cohort_retention" -> cohortRetention,
     "ev_anomaly"          -> anomaly,
+    "ev_transitions"      -> transitions,
     "a16_decile_lift"     -> decileLift,
+    "a19_drift_bins"      -> driftBins,
     "ev_attribution"      -> attribution,
     "g1_pagerank"         -> pagerank,
-    "g2_triangles"        -> triangles)
+    "g2_triangles"        -> triangles,
+    "g3_communities"      -> communities)
 
   val oracles: Map[String, String] = Map(
+    "ev_transitions" ->
+      """WITH p AS (
+        |  SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id), '_start') AS prev_type,
+        |         event_type AS next_type
+        |  FROM events),
+        |c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        |t AS (SELECT prev_type, SUM(n) AS n_prev FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n, t.n_prev,
+        |       floor((c.n * 100 * 2 + t.n_prev) / (t.n_prev * 2)) / 100.0 AS p_pct
+        |FROM c JOIN t USING (prev_type)""".stripMargin,
+
+    // deliberate one-pass recompute: state-merge == recompute is the
+    // correctness contract of incremental aggregate maintenance
+    "t9_incremental_agg" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |       SUM(cents) / 100.0 AS sum_price,
+        |       MIN(cents) / 100.0 AS min_price,
+        |       MAX(cents) / 100.0 AS max_price,
+        |       floor((SUM(cents) * 2 + COUNT(*)) / (COUNT(*) * 2)) / 100.0 AS avg_price
+        |FROM o GROUP BY 1, 2""".stripMargin,
+
+    "a19_drift_bins" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           / 2500000) AS BIGINT) AS bin,
+        |         o_orderdate >= TIMESTAMP '1998-01-01' AS is_cur
+        |  FROM orders),
+        |g AS (
+        |  SELECT bin,
+        |         SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) AS n_ref,
+        |         SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM g)
+        |SELECT bin, n_ref, n_cur,
+        |       CAST(floor((n_ref * 10000 * 2 + t_ref) / (t_ref * 2)) AS BIGINT) AS ref_bp,
+        |       CAST(floor((n_cur * 10000 * 2 + t_cur) / (t_cur * 2)) AS BIGINT) AS cur_bp,
+        |       abs(CAST(floor((n_cur * 10000 * 2 + t_cur) / (t_cur * 2)) AS BIGINT)
+        |         - CAST(floor((n_ref * 10000 * 2 + t_ref) / (t_ref * 2)) AS BIGINT)) AS delta_bp,
+        |       abs(CAST(floor((n_cur * 10000 * 2 + t_cur) / (t_cur * 2)) AS BIGINT)
+        |         - CAST(floor((n_ref * 10000 * 2 + t_ref) / (t_ref * 2)) AS BIGINT)) > 100 AS drifted
+        |FROM g, t""".stripMargin,
+
+    // independent spelling: ROW_NUMBER picks the mode+tie-break that the
+    // Spark side gets from max_by(lbl, (cnt, -lbl))
+    "g3_communities" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |bi AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |it0 AS (SELECT DISTINCT u AS n, u AS lbl FROM bi),
+        |c1 AS (SELECT b.u, l.lbl, COUNT(*) AS cnt
+        |       FROM bi b JOIN it0 l ON b.v = l.n GROUP BY 1, 2),
+        |it1 AS (SELECT u AS n, lbl FROM (
+        |          SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u
+        |            ORDER BY cnt DESC, lbl ASC) AS rn FROM c1)
+        |        WHERE rn = 1),
+        |c2 AS (SELECT b.u, l.lbl, COUNT(*) AS cnt
+        |       FROM bi b JOIN it1 l ON b.v = l.n GROUP BY 1, 2),
+        |it2 AS (SELECT u AS n, lbl FROM (
+        |          SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u
+        |            ORDER BY cnt DESC, lbl ASC) AS rn FROM c2)
+        |        WHERE rn = 1)
+        |SELECT n AS p_partkey, lbl AS community FROM it2""".stripMargin,
+
     // same merge semantics, independently spelled as FULL OUTER JOIN
     "t8_merge_upsert" ->
       s"""WITH o AS (

@@ -238,6 +238,90 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("transitions: lag pairs, _start entry state, exact row probabilities") {
+    import spark.implicits._
+    // user 1: click → view → click; user 2: view. Four transitions:
+    // _start→click, click→view, view→click (u1); _start→view (u2).
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "click", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:00:00"), 2L, "view", 1.0, "{}"))
+    val d = Files.createTempDirectory("an-trans").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = Analytics.queries("ev_transitions")(spark, d)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out == Map(
+      ("_start", "click") -> ((1L, 2L, 0.5)),
+      ("_start", "view")  -> ((1L, 2L, 0.5)),
+      ("click", "view")   -> ((1L, 1L, 1.0)),
+      ("view", "click")   -> ((1L, 1L, 1.0))))
+  }
+
+  test("incremental agg: merged partial states equal a one-pass recompute") {
+    import spark.implicits._
+    // group (O, 1-URGENT) straddles the 1998-01-01 epoch cut: the two
+    // 1997 rows land in the base state, the 1999 row in the delta state;
+    // the merge must see all three. avg = roundRatio2(35000, 3) = 116.67.
+    val orders = Seq(
+      (1L, 1L, "O", 100.0, ts("1997-06-01 00:00:00"), "1-URGENT"),
+      (2L, 2L, "O", 50.0, ts("1997-07-01 00:00:00"), "1-URGENT"),
+      (3L, 3L, "O", 200.0, ts("1999-01-01 00:00:00"), "1-URGENT"),
+      (4L, 4L, "F", 10.0, ts("1999-02-01 00:00:00"), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val d = Files.createTempDirectory("an-incr").toString
+    orders.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Analytics.queries("t9_incremental_agg")(spark, d)
+      .as[(String, String, Long, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7)))
+      .toMap
+    assert(out(("O", "1-URGENT")) == ((3L, 350.0, 50.0, 200.0, 116.67)))
+    assert(out(("F", "2-HIGH")) == ((1L, 10.0, 10.0, 10.0, 10.0)))
+  }
+
+  test("drift bins: balanced bin not drifted, vanished/appeared bins flagged") {
+    import spark.implicits._
+    // $25k-wide bins. ref (pre-1998): 2× $10 (bin 0), 2× $30k (bin 1);
+    // cur: 1× $10 (bin 0), 1× $60k (bin 2). Bin 0 holds 5000 bp on both
+    // sides → no drift; bin 1 vanishes and bin 2 appears → both flagged.
+    val orders = Seq(
+      (1L, 1L, "O", 10.0, ts("1997-06-01 00:00:00"), "1-URGENT"),
+      (2L, 1L, "O", 10.0, ts("1997-06-02 00:00:00"), "1-URGENT"),
+      (3L, 1L, "O", 30000.0, ts("1997-06-03 00:00:00"), "1-URGENT"),
+      (4L, 1L, "O", 30000.0, ts("1997-06-04 00:00:00"), "1-URGENT"),
+      (5L, 1L, "O", 10.0, ts("1999-06-01 00:00:00"), "1-URGENT"),
+      (6L, 1L, "O", 60000.0, ts("1999-06-02 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val d = Files.createTempDirectory("an-drift").toString
+    orders.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Analytics.queries("a19_drift_bins")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, 2L, 1L, 5000L, 5000L, 0L, false)))
+    assert(out(1L) == ((1L, 2L, 0L, 5000L, 0L, 5000L, true)))
+    assert(out(2L) == ((2L, 0L, 1L, 0L, 5000L, 5000L, true)))
+  }
+
+  test("communities: two cliques each converge to their min id, no mixing") {
+    import spark.implicits._
+    // Two disjoint K3s (orders 1 and 2). Round 1 under (mode, tie→min):
+    // each node takes the min of its two neighbors; round 2 the min id
+    // has propagated everywhere — labels = {1} and {10} respectively.
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 10L), (2L, 11L), (2L, 12L))
+      .toDF("l_orderkey", "l_partkey")
+    val d = Files.createTempDirectory("an-lpa").toString
+    li.write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = Analytics.queries("g3_communities")(spark, d)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   private implicit class PairMap(rows: Array[(String, Long, Double)]) {
     def toMap2: Map[String, (Long, Double)] =
       rows.map(r => r._1 -> (r._2, r._3)).toMap
