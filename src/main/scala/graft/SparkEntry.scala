@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Churn.queries ++
       graft.ml.ChurnML.queries ++
       graft.llm.TextOps.queries ++
+      graft.llm.Bpe.queries ++
       graft.llm.Retrieval.queries ++
       graft.llm.CorpusPipeline.queries ++
       graft.llm.Dedup.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       graft.queries.Churn.oracles ++
       graft.ml.ChurnML.oracles ++
       graft.llm.TextOps.oracles ++
+      graft.llm.Bpe.oracles ++
       graft.llm.Retrieval.oracles ++
       graft.llm.CorpusPipeline.oracles ++
       graft.llm.Dedup.oracles ++
