@@ -32,6 +32,7 @@ object SparkEntry {
       graft.encode.FeatIndex.queries ++
       graft.encode.Encoders.queries ++
       graft.io.Sinks.queries ++
+      graft.io.Layout.queries ++
       graft.llm.Multimodal.queries
 
   val oracleSql: Map[String, String] =
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.encode.FeatIndex.oracles ++
       graft.encode.Encoders.oracles ++
       graft.io.Sinks.oracles ++
+      graft.io.Layout.oracles ++
       graft.llm.Multimodal.oracles
 }
