@@ -260,6 +260,52 @@ object ChurnML {
             "f1", "n_train", "n_test")
   }
 
+  /** k-fold cross-validation — the model-selection operator the
+    * reference skips (it reports one 80/20 split; README's quality
+    * band is single-split). Folds are HASH-assigned per user
+    * (hash48(USR_NUM_ID) % k): deterministic under any partitioning,
+    * leakage-safe at the entity level (a user is never in two folds),
+    * and reproducible across engines/runs — Spark's own
+    * CrossValidator uses randomSplit, whose fold membership depends
+    * on the RNG stream. Scale shape: the wide table is built and
+    * cached ONCE; each fold's fit/score is a cheap filter over the
+    * cache (k fits, ONE wide-table build — a naive CV pays the
+    * feature pipeline k+1 times). Budget-scaled lrIter mirrors the
+    * ml_* bench policy; full convergence is validated at sf0.001 in
+    * MLChurnSpec. */
+  def crossValidate(spark: SparkSession, sfDir: String, k: Int = 3,
+                    lrIter: Int = 20): DataFrame =
+    crossValidateOn(
+      Churn.wideTable(spark, sfDir)
+        .withColumn("label", col("label").cast("double"))
+        .coalesce(math.max(2, spark.sparkContext.defaultParallelism / 4)),
+      k, lrIter)
+
+  /** CV core over an already-built wide frame (labeled, with
+    * USR_NUM_ID) — split out so the planted-signal spec can feed its
+    * own label. */
+  def crossValidateOn(wide0: DataFrame, k: Int, lrIter: Int): DataFrame = {
+    val spark = wide0.sparkSession
+    import spark.implicits._
+    val wide = wide0.withColumn("fold",
+      pmod(graft.llm.TextOps.hash48(col("USR_NUM_ID").cast("string")),
+        lit(k.toLong)))
+    wide.cache(); wide.count()
+    val rows = (0 until k).map { f =>
+      val train = wide.filter($"fold" =!= f)
+      val model = pipeline("lr", lrIter = lrIter).fit(train)
+      val pred = model.transform(wide.filter($"fold" === f))
+        .withColumn("prob1", Metrics.positiveProb(col("probability")))
+        .cache()
+      val aucV = Metrics.auc(pred)
+      val (nTr, nTe) = (train.count(), pred.count())
+      pred.unpersist()
+      (f.toLong, nTr, nTe, aucV)
+    }
+    wide.unpersist()
+    rows.toDF("fold", "n_train", "n_test", "auc")
+  }
+
   // ------------------------------------------------------------------
   // Declared operator queries
   // ------------------------------------------------------------------
@@ -370,7 +416,9 @@ object ChurnML {
     // double-paying the iteration cost; config column says so.
     "ml_gbt_xgbpath"    -> ((s, d) => trainEval(s, d, "gbt_xgb", gbtIter = 20)),
     "ml_lr_churn"       -> ((s, d) => trainEval(s, d, "lr", lrIter = 30)),
-    "ml_fm_churn"       -> ((s, d) => trainEval(s, d, "fm", fmIter = 10)))
+    "ml_fm_churn"       -> ((s, d) => trainEval(s, d, "fm", fmIter = 10)),
+    // hash-fold CV: deterministic folds, one wide-table build for k fits
+    "ml_cv_lr"          -> ((s, d) => crossValidate(s, d, k = 3, lrIter = 20)))
 
   val oracles: Map[String, String] = Map(
     "m1_string_indexer" ->

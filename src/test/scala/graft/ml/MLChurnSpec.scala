@@ -158,6 +158,26 @@ class MLChurnSpec extends SparkSpec {
     assert(fmRow.getAs[Long]("n_train") > 0L && fmRow.getAs[Long]("n_test") > 0L)
   }
 
+  test("hash-fold CV: folds partition users, planted AUC floor per fold, deterministic") {
+    val out1 = ChurnML.crossValidateOn(planted, k = 3, lrIter = 30).collect()
+    assert(out1.length == 3)
+    // folds cover and partition the table: per-fold n_train + n_test is
+    // the full cardinality, and test sizes sum to it
+    val total = out1.map(_.getAs[Long]("n_test")).sum
+    assert(total == 775L)
+    out1.foreach { r =>
+      assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") == 775L)
+      assert(r.getAs[Double]("auc") >= 0.85,
+        s"fold ${r.getAs[Long]("fold")} planted AUC ${r.getAs[Double]("auc")}")
+    }
+    // hash folds are data-deterministic: an identical re-run agrees
+    val out2 = ChurnML.crossValidateOn(planted, k = 3, lrIter = 30).collect()
+    out1.zip(out2).foreach { case (a, b) =>
+      assert(a.getAs[Long]("n_test") == b.getAs[Long]("n_test"))
+      assert(approxEq(a.getAs[Double]("auc"), b.getAs[Double]("auc")))
+    }
+  }
+
   test("trainEval emits a finite, seed-deterministic metrics row (rf)") {
     val r1 = ChurnML.trainEval(spark, dir, "rf").collect().head
     val r2 = ChurnML.trainEval(spark, dir, "rf").collect().head
