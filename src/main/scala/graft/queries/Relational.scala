@@ -807,6 +807,63 @@ object Relational {
         $"r.passed".as("passed"))
   }
 
+  // ---- J8 (extension): exact set-similarity self-join (Jaccard ≥ 1/2)
+  // over order baskets via PREFIX FILTERING (AllPairs/PPJoin) — the
+  // collaborative-filtering / near-dup-basket companion to j6's
+  // co-occurrence counts and the SET-space sibling of the dedup
+  // family's shingle methods. All-pairs Jaccard is baskets² — dead at
+  // any scale; prefix filtering is EXACT (no recall knob): sort each
+  // basket's tokens by global rarity (df asc, token asc — one total
+  // order corpus-wide) and index only the first
+  // p = |s| − ceil(|s|/2) + 1 tokens. Pigeonhole: two baskets with
+  // J ≥ 1/2 overlap in > |s|/2 tokens, so some shared token lies in
+  // both prefixes ⇒ every qualifying pair collides on ≥ 1 posting.
+  // Integer-exact throughout: p uses ceil(n/2) = floor((n+1)/2); the
+  // threshold predicate is inter·2 ≥ union (no doubles); jacc_pct is
+  // roundRatio2 (a 2-dp fraction). Scale shape: posting lists are keyed on the RAREST
+  // tokens of each basket — the df-asc sort makes hot tokens
+  // structurally incapable of entering prefixes of large baskets, the
+  // skew guard that makes the candidate join safe where a naive
+  // token-join explodes on the head of the Zipf curve. Candidate verify
+  // joins are basket-keyed (array payloads ride the shuffle once);
+  // array_intersect runs inside the join row — candidates never fan
+  // out to token rows again. The oracle deliberately spells the
+  // quadratic truth (full shared-token pair counts): exact algorithm
+  // vs exact enumeration agreeing is the recall proof at sf0.01.
+  private val j8: Q = (spark, dir) => {
+    import spark.implicits._
+    val items = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .localCheckpoint(false) // read 3× below: postings + both verify sides
+    val dfreq = items.groupBy($"l_partkey").agg(count(lit(1)).as("df"))
+    val baskets = items.join(dfreq, "l_partkey")
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list(struct($"df", $"l_partkey"))).as("st"))
+      .select($"l_orderkey",
+        transform($"st", x => x.getField("l_partkey")).as("toks"),
+        size($"st").as("sz"))
+      .localCheckpoint(false) // prefixes + two verify probes
+    val prefixes = baskets.select($"l_orderkey",
+      explode(slice($"toks", lit(1),
+        $"sz" - floor(($"sz" + 1) / 2).cast("int") + 1)).as("tok"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        $"a.tok" === $"b.tok" && $"a.l_orderkey" < $"b.l_orderkey")
+      .select($"a.l_orderkey".as("o1"), $"b.l_orderkey".as("o2"))
+      .distinct()
+    cand
+      .join(baskets.select($"l_orderkey".as("o1"), $"toks".as("ta"),
+        $"sz".as("na")), "o1")
+      .join(baskets.select($"l_orderkey".as("o2"), $"toks".as("tb"),
+        $"sz".as("nb")), "o2")
+      .select($"o1", $"o2",
+        size(array_intersect($"ta", $"tb")).cast("long").as("inter"),
+        $"na", $"nb")
+      .select($"o1", $"o2", $"inter",
+        ($"na" + $"nb" - $"inter").cast("long").as("union_sz"))
+      .filter($"inter" * 2 >= $"union_sz")
+      .withColumn("jacc", roundRatio2($"inter" * 100, $"union_sz"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_scan_dates"      -> s1,
     "a17_dq_audit"       -> a17,
@@ -840,6 +897,7 @@ object Relational {
     "j6_cooccurrence"    -> j6,
     "a15_histogram"      -> a15,
     "j7_fuzzy_block"     -> j7,
+    "j8_setsim_join"     -> j8,
     "w15_topk_group"     -> w15,
     "f12_json_extract"   -> f12,
     "f15_pii_redact"     -> f15,
@@ -853,6 +911,27 @@ object Relational {
     "t2_recency_window"  -> t2)
 
   val oracles: Map[String, String] = Map(
+    // the quadratic truth: full shared-token pair enumeration — the
+    // prefix-filtered algorithm must reproduce it EXACTLY (no recall
+    // knob to hide behind)
+    "j8_setsim_join" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |sz AS (SELECT l_orderkey, COUNT(*) AS n FROM items GROUP BY 1),
+        |pair AS (
+        |  SELECT a.l_orderkey AS o1, b.l_orderkey AS o2, COUNT(*) AS inter
+        |  FROM items a JOIN items b
+        |    ON a.l_partkey = b.l_partkey AND a.l_orderkey < b.l_orderkey
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT o1, o2, inter, sa.n + sb.n - inter AS union_sz
+        |  FROM pair
+        |  JOIN sz sa ON o1 = sa.l_orderkey
+        |  JOIN sz sb ON o2 = sb.l_orderkey)
+        |SELECT o1, o2, inter, union_sz,
+        |       floor((inter * 100 * 2 + union_sz) / (union_sz * 2)) / 100.0
+        |         AS jacc
+        |FROM j WHERE inter * 2 >= union_sz""".stripMargin,
+
     "a17_dq_audit" ->
       """WITH a AS (
         |  SELECT COUNT(*) AS n,

@@ -232,6 +232,29 @@ class RelationalLawsSpec extends SparkSpec {
       s"levenshtein leaked into a join condition:\n$plan")
   }
 
+  test("J8 law: prefix filtering finds every J>=1/2 pair incl. the boundary") {
+    import spark.implicits._
+    // baskets: o1=o2={1,2,3,4}; o3={1,2,5,6}; o4={1,2,3}; o5={7};
+    // o6={1..8}. Qualifying pairs (J >= 1/2, boundary INCLUDED):
+    //   (1,2) 4/4   (1,4),(2,4) 3/4   (1,6),(2,6),(3,6) exactly 4/8.
+    // Excluded: (1,3),(2,3) 2/6; (3,4) 2/5; (4,6) 3/8; o5 everywhere.
+    val li = (Seq(1L, 2L).flatMap(o => Seq(1L, 2L, 3L, 4L).map((o, _))) ++
+      Seq(1L, 2L, 5L, 6L).map((3L, _)) ++
+      Seq(1L, 2L, 3L).map((4L, _)) ++
+      Seq((5L, 7L)) ++
+      (1L to 8L).map((6L, _)))
+      .toDF("l_orderkey", "l_partkey")
+    val d = java.nio.file.Files.createTempDirectory("j8").toString
+    li.write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = Relational.queries("j8_setsim_join")(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 4L, 4L, 1.0),
+      (1L, 4L, 3L, 4L, 0.75), (2L, 4L, 3L, 4L, 0.75),
+      (1L, 6L, 4L, 8L, 0.5), (2L, 6L, 4L, 8L, 0.5),
+      (3L, 6L, 4L, 8L, 0.5)))
+  }
+
   test("U1 shopchannel udf reproduces the reference's quirky 4-way mapping") {
     import spark.implicits._
     val cases = Seq(
