@@ -807,6 +807,41 @@ object Relational {
         $"r.passed".as("passed"))
   }
 
+  // ---- A20 (extension): mergeable-sketch distinct-count maintenance —
+  // the HLL companion of t9_incremental_agg's monoid states: COUNT
+  // DISTINCT is not a monoid (states don't add), so incremental
+  // pipelines maintain it with mergeable sketches instead. Per-epoch
+  // partial hll_sketch_agg states (what a real pipeline persists per
+  // partition/day) are combined with hll_union_agg and must estimate
+  // the SAME value as a single direct sketch over all data — the
+  // merge==direct law is the whole point, and err vs the exact count
+  // stays inside the sketch's published bound. Scale shape: the sketch
+  // path never shuffles rows — partial sketches combine map-side and
+  // only KB-sized binary states cross the wire, where exact distinct
+  // shuffles every distinct value; the exact column here exists to
+  // measure error and is the thing a 100 TB pipeline would NOT run.
+  // No DuckDB oracle (Datasketches internals are library-specific);
+  // RelationalLawsSpec asserts merged == direct exactly and err_bp
+  // within bound.
+  private val a20: Q = (spark, dir) => {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+      .select($"o_orderstatus",
+        ($"o_orderdate" >= lit("1998-01-01").cast("timestamp")).as("is_delta"),
+        $"o_custkey")
+    val partials = o.groupBy($"o_orderstatus", $"is_delta")
+      .agg(hll_sketch_agg($"o_custkey").as("sk"))
+    val merged = partials.groupBy($"o_orderstatus")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_merged"))
+    val direct = o.groupBy($"o_orderstatus")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"o_custkey")).as("est_direct"),
+        countDistinct($"o_custkey").as("n_exact"))
+    merged.join(direct, "o_orderstatus")
+      .select($"o_orderstatus", $"est_merged", $"est_direct", $"n_exact",
+        floor(abs($"est_merged" - $"n_exact") * 10000 / $"n_exact")
+          .cast("long").as("err_bp"))
+  }
+
   // ---- J8 (extension): exact set-similarity self-join (Jaccard ≥ 1/2)
   // over order baskets via PREFIX FILTERING (AllPairs/PPJoin) — the
   // collaborative-filtering / near-dup-basket companion to j6's
@@ -898,6 +933,7 @@ object Relational {
     "a15_histogram"      -> a15,
     "j7_fuzzy_block"     -> j7,
     "j8_setsim_join"     -> j8,
+    "a20_hll_merge"      -> a20,
     "w15_topk_group"     -> w15,
     "f12_json_extract"   -> f12,
     "f15_pii_redact"     -> f15,

@@ -255,6 +255,21 @@ class RelationalLawsSpec extends SparkSpec {
       (3L, 6L, 4L, 8L, 0.5)))
   }
 
+  test("A20 law: union of partial HLL states estimates exactly as one direct sketch") {
+    import spark.implicits._
+    val out = Relational.queries("a20_hll_merge")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (st, merged, direct, exact, errBp) =>
+      // THE mergeability law: combining per-epoch states is lossless —
+      // same estimate as sketching all rows at once
+      assert(merged == direct, s"$st: merged $merged != direct $direct")
+      // default lgK=12 ⇒ relative error ~1.6%/sqrt? published RSE ≈
+      // 0.0326/sqrt(2^12/... ) — allow 5% (500 bp), an order above spec
+      assert(errBp <= 500, s"$st: err $errBp bp vs exact $exact")
+    }
+  }
+
   test("U1 shopchannel udf reproduces the reference's quirky 4-way mapping") {
     import spark.implicits._
     val cases = Seq(
