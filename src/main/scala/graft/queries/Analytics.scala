@@ -20,35 +20,13 @@ object Analytics {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Size-adaptive pin level for catalog-scale cached graph tables
-    * (co-purchase items/edges: they grow 100× with a 100× fact table and
-    * are each read several times). The sf10 probe showed neither fixed
-    * level works: deserialized memory-first OOMs outright on a ~30M-edge
-    * list, MEMORY_AND_DISK_SER still OOMs in the concurrent cache-WRITE
-    * path (32 tasks × multi-hundred-MB buffers in
-    * MemoryStore.putIteratorAsBytes, where spill accounting lags
-    * allocation), and DISK_ONLY — which survives any size by streaming
-    * blocks straight to local store — costs 2.5× at bench scale where
-    * the graph trivially fits in memory. So: disk when the fact table
-    * is big (> 512 MB on disk ⇒ edges in the multi-GB class),
-    * serialized-memory-with-spill otherwise — the same size-based
-    * reasoning Spark applies to broadcast decisions. On a cluster the
-    * threshold becomes executor-memory-per-core vs edges/executor; the
-    * policy doesn't change. */
+  /** Size-adaptive pin level for the catalog-scale cached graph tables
+    * — moved to [[graft.util.Storage.adaptiveLevel]] (r8: j8_setsim_join
+    * hit the identical OOM mode, so the policy is shared now); full
+    * rationale and probe history live there. */
   private def adaptiveLevel(dir: String)
-      : org.apache.spark.storage.StorageLevel = {
-    val liBytes = {
-      val p = java.nio.file.Paths.get(dir, "lineitem.parquet")
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).mapToLong(f =>
-          try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
-          .sum()
-      else java.nio.file.Files.size(p)
-    }
-    if (liBytes > (512L << 20))
-      org.apache.spark.storage.StorageLevel.DISK_ONLY
-    else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-  }
+      : org.apache.spark.storage.StorageLevel =
+    graft.util.Storage.adaptiveLevel(dir)
 
   // ---- ev_cohort_retention: the classic signup-cohort × week-offset
   // retention triangle. Cohort = ISO week of a user's FIRST event

@@ -843,60 +843,78 @@ object Relational {
   }
 
   // ---- J8 (extension): exact set-similarity self-join (Jaccard ≥ 1/2)
-  // over order baskets via PREFIX FILTERING (AllPairs/PPJoin) — the
-  // collaborative-filtering / near-dup-basket companion to j6's
-  // co-occurrence counts and the SET-space sibling of the dedup
-  // family's shingle methods. All-pairs Jaccard is baskets² — dead at
-  // any scale; prefix filtering is EXACT (no recall knob): sort each
-  // basket's tokens by global rarity (df asc, token asc — one total
-  // order corpus-wide) and index only the first
-  // p = |s| − ceil(|s|/2) + 1 tokens. Pigeonhole: two baskets with
-  // J ≥ 1/2 overlap in > |s|/2 tokens, so some shared token lies in
-  // both prefixes ⇒ every qualifying pair collides on ≥ 1 posting.
-  // Integer-exact throughout: p uses ceil(n/2) = floor((n+1)/2); the
-  // threshold predicate is inter·2 ≥ union (no doubles); jacc_pct is
-  // roundRatio2 (a 2-dp fraction). Scale shape: posting lists are keyed on the RAREST
-  // tokens of each basket — the df-asc sort makes hot tokens
-  // structurally incapable of entering prefixes of large baskets, the
-  // skew guard that makes the candidate join safe where a naive
-  // token-join explodes on the head of the Zipf curve. Candidate verify
-  // joins are basket-keyed (array payloads ride the shuffle once);
-  // array_intersect runs inside the join row — candidates never fan
-  // out to token rows again. The oracle deliberately spells the
-  // quadratic truth (full shared-token pair counts): exact algorithm
-  // vs exact enumeration agreeing is the recall proof at sf0.01.
+  // over order baskets — the collaborative-filtering / near-dup-basket
+  // companion to j6's co-occurrence counts and the SET-space sibling of
+  // the dedup family's shingle methods. All-pairs Jaccard is baskets² —
+  // dead at any scale; the candidate space must come from shared
+  // tokens. ALGORITHM CHOICE is size-driven, and the r8 sf10 probe
+  // decided it empirically:
+  //
+  //   Prefix filtering (AllPairs/PPJoin) — index only each basket's
+  //   |s|−⌈|s|/2⌉+1 globally-rarest tokens, verify candidates against
+  //   token arrays — is the textbook answer, and the first spelling
+  //   here. But its wins are proportional to how much of a set the
+  //   prefix EXCLUDES, and these baskets are TINY (avg 4 tokens):
+  //   prefixes keep ~3 of 4 tokens, candidate volume fell only 932M →
+  //   745M with the exact length+positional filters (measured, sf10),
+  //   while the verify stage had to sort the ~½B-pair stream TWICE
+  //   with array payloads attached — 20M-row × ~80B sorts per task
+  //   that OOM'd a 32-thread 8 GB JVM twice (TaskMemory page thrash,
+  //   then UnsafeExternalSorter death in the o2-sort). Prefix
+  //   filtering earns its complexity on LARGE sets (documents,
+  //   n-gram shingles), where the prefix excludes most of the set.
+  //
+  //   COLLISION COUNTING — self-join the full token postings, count
+  //   collisions per pair — computes the intersection EXACTLY with no
+  //   arrays, no distinct, and no verify joins: for small sets its
+  //   pair stream (Σ_tok c², 968M at sf10) is nearly the same size as
+  //   the filtered prefix stream, but each row is 3 longs, the COUNT
+  //   is the verification, and basket sizes ride the postings so the
+  //   aggregate emits (inter, na, nb) in one pass. J ≥ 1/2 is the
+  //   pure-integer post-filter 3·inter ≥ na+nb.
+  //
+  // Scale shape: ONE token-keyed SMJ + ONE pair-keyed hash aggregate.
+  // The join sides are pinned SMJ (the j7 Generate-estimate lesson:
+  // never let Catalyst broadcast a catalog-scale posting table) and
+  // explicitly repartitioned to a count scaled with posting volume —
+  // AQE sizes the join shuffle from its INPUT (~1 GB at sf10) and
+  // would coalesce to ~16 partitions, blind to the quadratic OUTPUT
+  // (the probe's first OOM); explicit numPartitions is exempt from
+  // coalescing, keeping each task's slice of the pair stream
+  // spill-able. Skew: posting lengths are basket counts per part —
+  // measured flat (max 30 at sf10); a Zipf-headed catalog would cap
+  // df like dedup_ngram_jaccard does. The oracle spells the same
+  // counting truth in DuckDB (independent join/agg order); planted
+  // spec pins the J=1/2 boundary and exclusions.
   private val j8: Q = (spark, dir) => {
     import spark.implicits._
+    // items grows with the fact table and is read twice (sizes +
+    // postings); size-adaptive pin (util.Storage, the g1/j8 policy).
+    val ser = graft.util.Storage.adaptiveLevel(dir)
     val items = Tables.load(spark, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct()
-      .localCheckpoint(false) // read 3× below: postings + both verify sides
-    val dfreq = items.groupBy($"l_partkey").agg(count(lit(1)).as("df"))
-    val baskets = items.join(dfreq, "l_partkey")
-      .groupBy($"l_orderkey")
-      .agg(sort_array(collect_list(struct($"df", $"l_partkey"))).as("st"))
-      .select($"l_orderkey",
-        transform($"st", x => x.getField("l_partkey")).as("toks"),
-        size($"st").as("sz"))
-      .localCheckpoint(false) // prefixes + two verify probes
-    val prefixes = baskets.select($"l_orderkey",
-      explode(slice($"toks", lit(1),
-        $"sz" - floor(($"sz" + 1) / 2).cast("int") + 1)).as("tok"))
-    val cand = prefixes.as("a").join(prefixes.as("b"),
-        $"a.tok" === $"b.tok" && $"a.l_orderkey" < $"b.l_orderkey")
-      .select($"a.l_orderkey".as("o1"), $"b.l_orderkey".as("o2"))
-      .distinct()
-    cand
-      .join(baskets.select($"l_orderkey".as("o1"), $"toks".as("ta"),
-        $"sz".as("na")), "o1")
-      .join(baskets.select($"l_orderkey".as("o2"), $"toks".as("tb"),
-        $"sz".as("nb")), "o2")
-      .select($"o1", $"o2",
-        size(array_intersect($"ta", $"tb")).cast("long").as("inter"),
-        $"na", $"nb")
+      .localCheckpoint(true, ser)
+    val sizes = items.groupBy($"l_orderkey").agg(count(lit(1)).as("sz"))
+    val nItems = items.count()
+    val joinParts = math.max(32L, math.min(1024L, nItems / 250000L)).toInt
+    val posts = items.join(sizes, "l_orderkey")
+      .repartition(joinParts, $"l_partkey")
+    // exact length filter inside the join: J ≥ 1/2 ⇒ min(sz) ≥
+    // max(sz)/2 — prunes pairs that could never qualify before they
+    // reach the aggregate (integer-only, no recall loss)
+    val pairs = posts.as("a").hint("merge").join(posts.as("b"),
+        $"a.l_partkey" === $"b.l_partkey" &&
+          $"a.l_orderkey" < $"b.l_orderkey" &&
+          $"b.sz" * 2 >= $"a.sz" && $"b.sz" <= $"a.sz" * 2)
+      .select($"a.l_orderkey".as("o1"), $"b.l_orderkey".as("o2"),
+        $"a.sz".as("na"), $"b.sz".as("nb"))
+    pairs
+      .groupBy($"o1", $"o2")
+      .agg(count(lit(1)).as("inter"), max($"na").as("na"), max($"nb").as("nb"))
+      .filter($"inter" * 3 >= $"na" + $"nb")
       .select($"o1", $"o2", $"inter",
-        ($"na" + $"nb" - $"inter").cast("long").as("union_sz"))
-      .filter($"inter" * 2 >= $"union_sz")
-      .withColumn("jacc", roundRatio2($"inter" * 100, $"union_sz"))
+        ($"na" + $"nb" - $"inter").as("union_sz"),
+        roundRatio2($"inter" * 100, $"na" + $"nb" - $"inter").as("jacc"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -107,7 +107,23 @@ class PlanShapeSpec extends SparkSpec {
     // CDC merge-apply: ONE scan (explode fans base/change/insert rows
     // out map-side — no 3× table re-scan) + ONE key-shuffled max_by
     // aggregate; no join anywhere in the apply
-    ("t8_merge_upsert", 2, 0))
+    ("t8_merge_upsert", 2, 0),
+    // Markov matrix: ONE user-keyed window shuffle + dimension-sized
+    // pair/normalizer aggs + broadcast normalizer attach; observed 6/1
+    ("ev_transitions", 8, 1),
+    // monoid state-merge: partial + merge agg over ONE scan; observed 2
+    ("t9_incremental_agg", 3, 0),
+    // collision-counting set-sim join: sizes attach + ONE token SMJ +
+    // ONE pair aggregate; observed 7 (the small-sf size attaches
+    // broadcast — AQE decides those by REAL aggregate stats; the
+    // posting self-join itself is hint-pinned SMJ, probed at sf10)
+    ("j8_setsim_join", 8, 0),
+    // HLL maintenance: partial-sketch agg + union agg + exact twin;
+    // observed 5/1
+    ("a20_hll_merge", 7, 0),
+    // median/MAD monitor: ONE logical key (user) across the whole
+    // agg→join→agg→join→agg chain; observed 6
+    ("ev_anomaly", 8, 0))
 
   for ((name, maxExchanges, minBroadcast) <- budgets) {
     test(s"$name plan: Expand-free, cartesian-free, ≤$maxExchanges exchanges" +
@@ -127,6 +143,20 @@ class PlanShapeSpec extends SparkSpec {
       assert(bhj >= minBroadcast,
         s"$name lost its broadcast join ($bhj < $minBroadcast) — " +
           s"a dim/probe side fell back to shuffle:\n$p")
+    }
+  }
+
+  // a19/k8 carry the house 1-row broadcast stat attach, which plans as
+  // a BroadcastNestedLoopJoin — allowed HERE only because the build
+  // side is an aggregate's single row (the BM25 pattern); everything
+  // else stays pinned.
+  for ((name, maxExchanges) <- Seq(("a19_drift_bins", 5), ("k8_zorder", 3))) {
+    test(s"$name plan: one-row stat attach only, ≤$maxExchanges exchanges") {
+      val p = planOf(name)
+      assert(count(p, "Expand") == 0 && count(p, "CartesianProduct") == 0)
+      assert(count(p, "BroadcastNestedLoopJoin") <= 1,
+        s"$name: more than the single 1-row stat attach:\n$p")
+      assert(count(p, "Exchange") <= maxExchanges, s"$name exchanges:\n$p")
     }
   }
 

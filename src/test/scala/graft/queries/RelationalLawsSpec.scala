@@ -232,7 +232,7 @@ class RelationalLawsSpec extends SparkSpec {
       s"levenshtein leaked into a join condition:\n$plan")
   }
 
-  test("J8 law: prefix filtering finds every J>=1/2 pair incl. the boundary") {
+  test("J8 law: collision counting finds every J>=1/2 pair incl. the boundary") {
     import spark.implicits._
     // baskets: o1=o2={1,2,3,4}; o3={1,2,5,6}; o4={1,2,3}; o5={7};
     // o6={1..8}. Qualifying pairs (J >= 1/2, boundary INCLUDED):
