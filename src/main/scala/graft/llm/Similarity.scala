@@ -291,6 +291,101 @@ object Similarity {
         $"rank".cast("long").as("rank"))
   }
 
+  /** Product quantization ANN — the memory-side answer at 100 TB, next
+    * to the compute-side tiers (brute / LSH / IVF / kNN-graph): 64
+    * float dims (256 B) compress to m=8 sub-codes of 4 bits' worth of
+    * centroid id each (4 B packed), so a trillion-vector
+    * corpus's codes fit where its raw vectors never will, and scoring
+    * never touches a raw corpus vector again.
+    *
+    * TRAIN: one KMeans(k=16, fixed seed) per 8-dim subspace — the
+    * codebooks are dimension-sized driver metadata, like the IVF
+    * centroids. ENCODE: 4 model.transforms assign each vector its
+    * nearest centroid per subspace — one map-side pass, no shuffle.
+    * SCORE (ADC): each probe query precomputes a 4×16 table of
+    * ‖q_s − c_{s,j}‖² driver-side; approximate L2² = Σ_s dt_s[code_s]
+    * is m array lookups per candidate (broadcast probe × corpus codes,
+    * the sim_topk_brute shape but over 4-byte codes instead of 256-B
+    * vectors), followed by an exact re-rank of the 10k ADC shortlist
+    * only. Per-query top-k via the two-phase window (WindowGroupLimit).
+    *
+    * No DuckDB oracle (KMeans codebooks are engine-internal, like
+    * sim_topk_ivf); SimilaritySpec floors recall@k vs the hash-green
+    * exact brute twin and pins determinism. */
+  def topkPq(spark: SparkSession, dir: String, k: Int = TopK,
+             m: Int = 8, ncodes: Int = 16): DataFrame = {
+    import spark.implicits._
+    val subDim = 64 / m
+    val e = emb(spark, dir)
+    // per-subspace slice as an ml vector column
+    def sliceCol(s: Int): Column =
+      array_to_vector(slice($"v", lit(s * subDim + 1), lit(subDim)))
+    var coded = e
+    // Codebooks are trained on a deterministic hash-sample (~20%, the
+    // standard PQ practice — k·m centroids need thousands of points,
+    // not the corpus) with a bounded iteration budget; at 100 TB the
+    // sample rate shrinks with corpus size, the fit cost doesn't grow.
+    val trainSet = e.filter(
+      TextOps.hash48(concat(lit("pq:"), $"vec_id".cast("string"))) % 5 === 0)
+      .localCheckpoint(false)
+    val models = (0 until m).map { s =>
+      val withF = trainSet.select($"vec_id", sliceCol(s).as("fv"))
+      val model = new KMeans().setK(ncodes).setSeed(42L + s).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol(s"c$s").fit(withF)
+      coded = model.transform(coded.withColumn("fv", sliceCol(s)))
+        .drop("fv")
+      model
+    }
+    val codes = coded.select($"vec_id" +: (0 until m).map(s => col(s"c$s")): _*)
+      .localCheckpoint(false) // the artifact a real pipeline persists
+    // driver-side ADC tables per probe query (probe set = driver
+    // metadata, the IVF convention)
+    val qvs = e.filter($"vec_id" < NumQueryVecs)
+      .select($"vec_id", $"v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeDf = qvs.toSeq.map { case (qid, qv) =>
+      val dt: Seq[Seq[Double]] = (0 until m).map { s =>
+        val qs = qv.slice(s * subDim, (s + 1) * subDim)
+        models(s).clusterCenters.toSeq.map { c =>
+          val ca = c.toArray
+          var d = 0.0
+          var i = 0
+          while (i < subDim) { val x = qs(i) - ca(i); d += x * x; i += 1 }
+          d
+        }
+      }
+      (qid, dt)
+    }.toDF("query_id", "dt")
+    val adc = (0 until m).map(s =>
+      element_at(element_at($"dt", s + 1), col(s"c$s") + 1))
+      .reduce(_ + _)
+    val scored = codes.crossJoin(broadcast(probeDf))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("adc_l2sq", adc)
+    // ADC is a SHORTLIST stage, not the final ranking (the standard
+    // ADC+refine layout): quantization error makes code distances too
+    // coarse to order the head exactly, so take a 10k-candidate
+    // shortlist by ADC, then re-rank JUST the shortlist against raw
+    // vectors — per query that is shortlist-many exact dots, not
+    // corpus-many, which is the whole economy of PQ at scale.
+    val wAdc = Window.partitionBy($"query_id")
+      .orderBy($"adc_l2sq".asc, $"vec_id".asc)
+    val shortlist = scored.withColumn("r0", row_number().over(wAdc))
+      .filter($"r0" <= k * 10)
+      .select($"query_id", $"vec_id")
+    val q = e.filter($"vec_id" < NumQueryVecs)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val refined = shortlist
+      .join(e, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine", dot($"qv", $"v"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)
+    refined.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cosine",
+        $"rank".cast("long").as("rank"))
+  }
+
   /** f13: per-vector array analytics via higher-order functions — norm,
     * sparsity, max, clipped mean, all computed INSIDE the array column
     * (no explode → no row blowup, no shuffle; a pure map-side op like
@@ -357,6 +452,7 @@ object Similarity {
     "sim_topk_brute" -> ((s, d) => topkBrute(s, d)),
     "sim_topk_lsh"   -> ((s, d) => topkLsh(s, d)),
     "sim_topk_ivf"   -> ((s, d) => topkIvf(s, d)),
+    "sim_topk_pq"    -> ((s, d) => topkPq(s, d)),
     "sim_knn_graph"  -> ((s, d) => knnGraph(s, d)),
     "f13_higher_order" -> hof,
     "f14_quantize"   -> quant)

@@ -76,6 +76,24 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 >= r2, s"IVF recall not monotone in nprobe: $r4 < $r2")
   }
 
+  test("PQ ADC recall@k clears the floor; deterministic re-run; codes are small ints") {
+    val brute = topkSet(Similarity.topkBrute(spark, dir))
+    val pq1 = topkSet(Similarity.topkPq(spark, dir))
+    val r = brute.count(pq1.contains).toDouble / brute.size
+    // 8×16 codebooks (4 B/vector, 64× compression) + exact re-rank of
+    // the 10k ADC shortlist; the floor catches a broken encoder by two
+    // orders of magnitude (random top-5 of 1500 ≈ 0.003)
+    assert(r >= 0.3, s"PQ recall $r under floor 0.3")
+    // fixed seeds ⇒ codebooks ⇒ codes ⇒ identical result set
+    val pq2 = topkSet(Similarity.topkPq(spark, dir))
+    assert(pq1 == pq2, "PQ not deterministic under re-run")
+    // refined scores are exact cosines of unit vectors
+    import spark.implicits._
+    val bad = Similarity.topkPq(spark, dir)
+      .filter($"cosine".isNull || org.apache.spark.sql.functions.abs($"cosine") > 1.000001).count()
+    assert(bad == 0L)
+  }
+
   test("knn graph: identical vectors are mutual rank-1; probe rows equal tier-2") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
