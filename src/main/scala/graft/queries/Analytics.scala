@@ -506,6 +506,69 @@ object Analytics {
       .withColumn("drifted", $"delta_bp" > 100)
   }
 
+  // ---- a21_ks_drift: exact two-sample Kolmogorov-Smirnov statistic
+  // between the reference and current price distributions — the proper
+  // nonparametric companion to a19's fixed-bin monitor (KS sees ANY
+  // distributional change, not just mass moving across $25k bin
+  // edges). KS = max_v |CDF_ref(v) − CDF_cur(v)| needs an exact CDF,
+  // i.e. a cumulative sum in VALUE ORDER — the naive spelling is a
+  // global ORDER BY window: one partition sorts every distinct value,
+  // the classic driver-shaped bottleneck. Here the a16 two-phase idea
+  // generalizes into a distributed prefix sum:
+  //   (1) per-value (cents) side counts — one value-keyed shuffle;
+  //   (2) per-BUCKET (cents >> 20, ~$10.5k wide) totals — a
+  //       dimension-sized table (≤ ~50 buckets at any sf) whose
+  //       window cumsum is trivially cheap, broadcast back;
+  //   (3) within-bucket windows (bounded partitions, parallel):
+  //       cum(v) = cum_below_bucket + within_bucket_running_sum.
+  // All arithmetic is integer; the CDF difference is cross-multiplied
+  // (|cum_ref·t_cur − cum_cur·t_ref|) so no division happens before
+  // the final ks_bp quantization — exact at any count (products
+  // < 2^63 through sf10 by a 10³ margin). Output: one row with the KS
+  // statistic in basis points and the smallest value attaining it.
+  private val ksDrift: Q = (spark, dir) => {
+    import spark.implicits._
+    val cut = lit("1998-01-01").cast("timestamp")
+    val byVal = Tables.load(spark, dir, "orders")
+      .select((dec2($"o_totalprice") * 100).cast("long").as("cents"),
+        ($"o_orderdate" >= cut).as("is_cur"))
+      .groupBy($"cents")
+      .agg(sum(when(!$"is_cur", 1L).otherwise(0L)).as("n_ref"),
+        sum(when($"is_cur", 1L).otherwise(0L)).as("n_cur"))
+      .withColumn("bucket", shiftright($"cents", 20))
+    val byBucket = byVal.groupBy($"bucket")
+      .agg(sum($"n_ref").as("b_ref"), sum($"n_cur").as("b_cur"))
+    val wB = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = byBucket.select($"bucket",
+      coalesce(sum($"b_ref").over(wB), lit(0L)).as("off_ref"),
+      coalesce(sum($"b_cur").over(wB), lit(0L)).as("off_cur"))
+    val wV = Window.partitionBy($"bucket").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = byVal.agg(sum($"n_ref").as("t_ref"), sum($"n_cur").as("t_cur"))
+    val cdf = byVal
+      .join(broadcast(offsets), "bucket")
+      .select($"cents",
+        ($"off_ref" + sum($"n_ref").over(wV)).as("cum_ref"),
+        ($"off_cur" + sum($"n_cur").over(wV)).as("cum_cur"))
+      .crossJoin(broadcast(totals))
+      .select($"cents",
+        abs($"cum_ref" * $"t_cur" - $"cum_cur" * $"t_ref").as("d"),
+        $"t_ref", $"t_cur")
+    // one final aggregate: the max difference and the SMALLEST value
+    // attaining it, picked together via max_by over the (d, −cents)
+    // struct (unique key ⇒ deterministic under any partitioning)
+    cdf
+      .agg(max($"d").as("dmax"),
+        max_by(struct($"cents", $"t_ref", $"t_cur"),
+          struct($"d", -$"cents")).as("w"))
+      .select(
+        floor($"dmax" * 10000 / ($"w.t_ref" * $"w.t_cur")).cast("long")
+          .as("ks_bp"),
+        ($"w.cents" / 100.0).as("at_price"),
+        $"w.t_ref".as("t_ref"), $"w.t_cur".as("t_cur"))
+  }
+
   // ---- g3_communities: label propagation (2 synchronous rounds) over
   // the co-purchase graph — community detection, completing the graph
   // suite (g1 centrality, g2 cohesion, CC reachability): "which parts
@@ -557,6 +620,7 @@ object Analytics {
     "ev_transitions"      -> transitions,
     "a16_decile_lift"     -> decileLift,
     "a19_drift_bins"      -> driftBins,
+    "a21_ks_drift"        -> ksDrift,
     "ev_attribution"      -> attribution,
     "g1_pagerank"         -> pagerank,
     "g2_triangles"        -> triangles,
@@ -609,6 +673,34 @@ object Analytics {
         |       abs(CAST(floor((n_cur * 10000 * 2 + t_cur) / (t_cur * 2)) AS BIGINT)
         |         - CAST(floor((n_ref * 10000 * 2 + t_ref) / (t_ref * 2)) AS BIGINT)) > 100 AS drifted
         |FROM g, t""".stripMargin,
+
+    // independent spelling: the naive GLOBAL window cumsum the Spark
+    // side deliberately avoids — DuckDB is single-node, so its global
+    // ORDER BY is exactly the oracle's job
+    "a21_ks_drift" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         o_orderdate >= TIMESTAMP '1998-01-01' AS is_cur
+        |  FROM orders),
+        |g AS (
+        |  SELECT cents,
+        |         SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) AS n_ref,
+        |         SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur
+        |  FROM v GROUP BY 1),
+        |c AS (
+        |  SELECT cents,
+        |         SUM(n_ref) OVER (ORDER BY cents) AS cum_ref,
+        |         SUM(n_cur) OVER (ORDER BY cents) AS cum_cur
+        |  FROM g),
+        |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM g),
+        |d AS (
+        |  SELECT cents, abs(cum_ref * t_cur - cum_cur * t_ref) AS d,
+        |         t_ref, t_cur
+        |  FROM c, t)
+        |SELECT CAST(floor(MAX(d) * 10000 / (MAX(t_ref) * MAX(t_cur))) AS BIGINT) AS ks_bp,
+        |       MIN(CASE WHEN d = (SELECT MAX(d) FROM d) THEN cents END) / 100.0 AS at_price,
+        |       MAX(t_ref) AS t_ref, MAX(t_cur) AS t_cur
+        |FROM d""".stripMargin,
 
     // independent spelling: ROW_NUMBER picks the mode+tie-break that the
     // Spark side gets from max_by(lbl, (cnt, -lbl))

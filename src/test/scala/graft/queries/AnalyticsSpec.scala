@@ -306,6 +306,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L, 1L, 0L, 5000L, 5000L, true)))
   }
 
+  test("ks drift: exact two-sample statistic, argmax value, degenerate equality") {
+    import spark.implicits._
+    // ref = {$1, $2}, cur = {$1, $3}: the CDFs agree at $1 (1/2 each)
+    // and at $3+ (1), and differ maximally at $2 (ref 1.0 vs cur 0.5)
+    // → KS = 0.5 = 5000 bp, attained first at $2.
+    val orders = Seq(
+      (1L, 1L, "O", 1.0, ts("1997-06-01 00:00:00"), "1-URGENT"),
+      (2L, 1L, "O", 2.0, ts("1997-06-02 00:00:00"), "1-URGENT"),
+      (3L, 1L, "O", 1.0, ts("1999-06-01 00:00:00"), "1-URGENT"),
+      (4L, 1L, "O", 3.0, ts("1999-06-02 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val d = Files.createTempDirectory("an-ks").toString
+    orders.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Analytics.queries("a21_ks_drift")(spark, d)
+      .as[(Long, Double, Long, Long)].collect()
+    assert(out.toSeq == Seq((5000L, 2.0, 2L, 2L)))
+
+    // identical distributions → KS 0 (cross-multiplied diffs all zero)
+    val same = Seq(
+      (1L, 1L, "O", 5.0, ts("1997-06-01 00:00:00"), "1-URGENT"),
+      (2L, 1L, "O", 7.0, ts("1997-06-02 00:00:00"), "1-URGENT"),
+      (3L, 1L, "O", 5.0, ts("1999-06-01 00:00:00"), "1-URGENT"),
+      (4L, 1L, "O", 7.0, ts("1999-06-02 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val d2 = Files.createTempDirectory("an-ks2").toString
+    same.write.mode("overwrite").parquet(s"$d2/orders.parquet")
+    val out2 = Analytics.queries("a21_ks_drift")(spark, d2)
+      .as[(Long, Double, Long, Long)].collect()
+    assert(out2.head._1 == 0L)
+  }
+
   test("communities: two cliques each converge to their min id, no mixing") {
     import spark.implicits._
     // Two disjoint K3s (orders 1 and 2). Round 1 under (mode, tie→min):
