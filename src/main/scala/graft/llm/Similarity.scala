@@ -328,13 +328,21 @@ object Similarity {
     val trainSet = e.filter(
       TextOps.hash48(concat(lit("pq:"), $"vec_id".cast("string"))) % 5 === 0)
       .localCheckpoint(false)
-    val models = (0 until m).map { s =>
-      val withF = trainSet.select($"vec_id", sliceCol(s).as("fv"))
-      val model = new KMeans().setK(ncodes).setSeed(42L + s).setMaxIter(10)
-        .setFeaturesCol("fv").setPredictionCol(s"c$s").fit(withF)
-      coded = model.transform(coded.withColumn("fv", sliceCol(s)))
-        .drop("fv")
-      model
+    // the m sub-fits are independent little jobs — submit them from
+    // concurrent threads (Spark schedules jobs from multiple threads
+    // fine) instead of serializing m× the fixed job latency
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val models = Await.result(Future.sequence((0 until m).map { s =>
+      Future {
+        val withF = trainSet.select($"vec_id", sliceCol(s).as("fv"))
+        new KMeans().setK(ncodes).setSeed(42L + s).setMaxIter(10)
+          .setFeaturesCol("fv").setPredictionCol(s"c$s").fit(withF)
+      }
+    }), Duration.Inf)
+    models.zipWithIndex.foreach { case (model, s) =>
+      coded = model.transform(coded.withColumn("fv", sliceCol(s))).drop("fv")
     }
     val codes = coded.select($"vec_id" +: (0 until m).map(s => col(s"c$s")): _*)
       .localCheckpoint(false) // the artifact a real pipeline persists
