@@ -569,6 +569,46 @@ object Analytics {
         $"w.t_ref".as("t_ref"), $"w.t_cur".as("t_cur"))
   }
 
+  // ---- ev_forecast_naive: seasonal-naive forecast backtest over the
+  // daily revenue series — the baseline every demand-forecasting model
+  // must beat, and the missing time-series-eval member of the
+  // analytics layer: ŷ(d) = y(d−7) (same weekday last week), scored
+  // over every day with a 7-day history. Scale shape: the ONLY
+  // fact-sized operation is the daily aggregate (date-keyed shuffle,
+  // partial aggs combine map-side); the series itself is
+  // DIMENSION-SIZED (one row per calendar day — ~2.5k rows for 7
+  // years, ~37k for a century), so the gap-filled spine (days with no
+  // orders forecast and score as 0 — sequence() between min and max
+  // day, the t5_gapfill spelling) and the lag-7 window run on a table
+  // that fits in one partition BY CONSTRUCTION at any fact scale; the
+  // global window is documented-safe here, unlike a fact-sized global
+  // sort. Errors are integer cents end-to-end; WAPE is emitted in
+  // basis points via the exact cross-multiplied floor (never round a
+  // double), MAE as cents/100.0 (one IEEE division on exact integers).
+  private val forecastNaive: Q = (spark, dir) => {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "orders")
+      .select(to_date($"o_orderdate").as("day"),
+        (dec2($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+    val spine = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("day"))
+    val series = spine.join(daily, Seq("day"), "left")
+      .select($"day", coalesce($"rev", lit(0L)).as("rev"))
+    val w = Window.orderBy($"day") // dimension-sized by construction
+    val scored = series
+      .withColumn("fc", lag($"rev", 7).over(w))
+      .filter($"fc".isNotNull)
+      .select(abs($"rev" - $"fc").as("abs_err"), $"rev")
+    scored.agg(count(lit(1)).as("n_days"),
+        sum($"abs_err").as("sae"), sum($"rev").as("srev"))
+      .select($"n_days",
+        (floor(($"sae" * 2 + $"n_days") / ($"n_days" * 2)) / 100.0)
+          .as("mae"),
+        floor(($"sae" * 10000 * 2 + $"srev") / ($"srev" * 2))
+          .cast("long").as("wape_bp"))
+  }
+
   // ---- g3_communities: label propagation (2 synchronous rounds) over
   // the co-purchase graph — community detection, completing the graph
   // suite (g1 centrality, g2 cohesion, CC reachability): "which parts
@@ -621,6 +661,7 @@ object Analytics {
     "a16_decile_lift"     -> decileLift,
     "a19_drift_bins"      -> driftBins,
     "a21_ks_drift"        -> ksDrift,
+    "ev_forecast_naive"   -> forecastNaive,
     "ev_attribution"      -> attribution,
     "g1_pagerank"         -> pagerank,
     "g2_triangles"        -> triangles,
@@ -673,6 +714,26 @@ object Analytics {
         |       abs(CAST(floor((n_cur * 10000 * 2 + t_cur) / (t_cur * 2)) AS BIGINT)
         |         - CAST(floor((n_ref * 10000 * 2 + t_ref) / (t_ref * 2)) AS BIGINT)) > 100 AS drifted
         |FROM g, t""".stripMargin,
+
+    "ev_forecast_naive" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev
+        |  FROM orders GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series((SELECT MIN(day) FROM d),
+        |                                (SELECT MAX(day) FROM d),
+        |                                INTERVAL 1 DAY))::DATE AS day),
+        |s AS (
+        |  SELECT spine.day, COALESCE(d.rev, 0) AS rev
+        |  FROM spine LEFT JOIN d USING (day)),
+        |f AS (
+        |  SELECT rev, LAG(rev, 7) OVER (ORDER BY day) AS fc FROM s),
+        |e AS (SELECT abs(rev - fc) AS abs_err, rev FROM f WHERE fc IS NOT NULL)
+        |SELECT COUNT(*) AS n_days,
+        |       floor((SUM(abs_err) * 2 + COUNT(*)) / (COUNT(*) * 2)) / 100.0 AS mae,
+        |       CAST(floor((SUM(abs_err) * 10000 * 2 + SUM(rev)) / (SUM(rev) * 2)) AS BIGINT) AS wape_bp
+        |FROM e""".stripMargin,
 
     // independent spelling: the naive GLOBAL window cumsum the Spark
     // side deliberately avoids — DuckDB is single-node, so its global

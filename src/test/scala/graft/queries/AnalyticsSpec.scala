@@ -339,6 +339,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(out2.head._1 == 0L)
   }
 
+  test("forecast backtest: lag-7 naive, gap days as zero, exact MAE/WAPE") {
+    import spark.implicits._
+    // 15 consecutive days with revenue = $1.00 on days 1-7, $2.00 on
+    // days 8-14, day 10 MISSING (spine fills 0), day 15 = $2.00.
+    // Scored days 8-15: fc = rev(d-7). Errors (cents):
+    //   d8..d14 vs d1..d7 (fc=100): rev 200 except d10 rev 0 → errs
+    //   100,100,100(d10: |0-100|),100,100,100,100 ... d10 rev=0 err 100
+    //   d15 vs d8 (fc=200): rev 200 err 0
+    // SAE = 700, n = 8, mae = round(700/8)=88 → 0.88; srev = 200*6+0+200
+    //   = 1400; wape = round(700*1e4/1400) = 5000 bp.
+    val rows = (1 to 15).filter(_ != 10).map { d =>
+      val price = if (d <= 7) 1.0 else 2.0
+      (d.toLong, 1L, "O", price, ts(f"1997-03-$d%02d 00:00:00"), "1-URGENT")
+    }
+    val df = rows.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val d = Files.createTempDirectory("an-fc").toString
+    df.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Analytics.queries("ev_forecast_naive")(spark, d)
+      .as[(Long, Double, Long)].collect()
+    assert(out.toSeq == Seq((8L, 0.88, 5000L)))
+  }
+
   test("communities: two cliques each converge to their min id, no mixing") {
     import spark.implicits._
     // Two disjoint K3s (orders 1 and 2). Round 1 under (mode, tie→min):
