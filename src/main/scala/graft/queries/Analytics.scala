@@ -609,6 +609,48 @@ object Analytics {
           .cast("long").as("wape_bp"))
   }
 
+  // ---- ev_survival_table: the Kaplan-Meier LIFE TABLE for user
+  // engagement — survival analysis, the churn platform's native
+  // statistical frame (the reference predicts churn as a binary label;
+  // the life table is the time-resolved version every retention team
+  // reads next to it). Duration = days from a user's first to last
+  // event; a user is CENSORED (still alive at observation end) when
+  // their last event falls within 3 days of the corpus max timestamp —
+  // right-censoring is what distinguishes survival analysis from a
+  // plain histogram. Output per duration t: n_risk (users whose
+  // duration ≥ t — the at-risk set), n_churn (uncensored exits at t),
+  // n_censored (censored at t). Everything is an integer COUNT (the
+  // K-M product Ŝ(t) = Π(1 − d/n) is a product of rationals — not
+  // hash-comparable cross-engine; emitting the exact life table keeps
+  // the oracle bit-exact and Ŝ is one trivial fold away for a reader).
+  // Scale shape: ONE user-keyed aggregate over the fact (the only
+  // fact-sized op; max(ts) attaches via a 1-row broadcast), then a
+  // duration-keyed aggregate and a suffix cumsum over the
+  // DIMENSION-SIZED duration table (≤ observation days rows — the
+  // forecast/a21 documented-safe global window regime).
+  private val survivalTable: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id", $"ts")
+    val maxTs = ev.agg(max($"ts").as("max_ts"))
+    val users = ev.groupBy($"user_id")
+      .agg(min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+      .crossJoin(broadcast(maxTs))
+      .select(
+        datediff(to_date($"last_ts"), to_date($"first_ts")).cast("long")
+          .as("duration"),
+        (datediff(to_date($"max_ts"), to_date($"last_ts")) <= 3)
+          .as("censored"))
+    val byDur = users.groupBy($"duration")
+      .agg(sum(when($"censored", 0L).otherwise(1L)).as("n_churn"),
+        sum(when($"censored", 1L).otherwise(0L)).as("n_censored"))
+    val wSuffix = Window.orderBy($"duration")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    byDur
+      .withColumn("n_risk", sum($"n_churn" + $"n_censored").over(wSuffix))
+      .select($"duration", $"n_risk", $"n_churn", $"n_censored")
+  }
+
   // ---- g3_communities: label propagation (2 synchronous rounds) over
   // the co-purchase graph — community detection, completing the graph
   // suite (g1 centrality, g2 cohesion, CC reachability): "which parts
@@ -662,6 +704,7 @@ object Analytics {
     "a19_drift_bins"      -> driftBins,
     "a21_ks_drift"        -> ksDrift,
     "ev_forecast_naive"   -> forecastNaive,
+    "ev_survival_table"   -> survivalTable,
     "ev_attribution"      -> attribution,
     "g1_pagerank"         -> pagerank,
     "g2_triangles"        -> triangles,
@@ -714,6 +757,27 @@ object Analytics {
         |       abs(CAST(floor((n_cur * 10000 * 2 + t_cur) / (t_cur * 2)) AS BIGINT)
         |         - CAST(floor((n_ref * 10000 * 2 + t_ref) / (t_ref * 2)) AS BIGINT)) > 100 AS drifted
         |FROM g, t""".stripMargin,
+
+    "ev_survival_table" ->
+      """WITH u AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+        |         MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events),
+        |d AS (
+        |  SELECT date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE)) AS duration,
+        |         date_diff('day', CAST(last_ts AS DATE), CAST(max_ts AS DATE)) <= 3 AS censored
+        |  FROM u, m),
+        |g AS (
+        |  SELECT duration,
+        |         SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS n_churn,
+        |         SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS n_censored
+        |  FROM d GROUP BY 1)
+        |SELECT duration,
+        |       SUM(n_churn + n_censored) OVER (ORDER BY duration
+        |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk,
+        |       n_churn, n_censored
+        |FROM g""".stripMargin,
 
     "ev_forecast_naive" ->
       """WITH d AS (

@@ -362,6 +362,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Seq((8L, 0.88, 5000L)))
   }
 
+  test("survival table: right-censoring, at-risk suffix counts, exact rows") {
+    import spark.implicits._
+    // observation end = 2024-01-20 (max ts). user 1: days 1..3
+    // (duration 2, last event 17 days before end → CHURN at 2);
+    // user 2: days 1..5 (duration 4, churn); user 3: days 16..20
+    // (duration 4, last event AT the end → censored); user 4: single
+    // event day 19 (duration 0, 1 day before end → censored).
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L), (2L, ts("2024-01-03 10:00:00"), 1L),
+      (3L, ts("2024-01-01 10:00:00"), 2L), (4L, ts("2024-01-05 10:00:00"), 2L),
+      (5L, ts("2024-01-16 10:00:00"), 3L), (6L, ts("2024-01-20 10:00:00"), 3L),
+      (7L, ts("2024-01-19 10:00:00"), 4L))
+      .map { case (eid, t, u) => (eid, t, u, "click", 1.0, "{}") }
+    val d = Files.createTempDirectory("an-surv").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = Analytics.queries("ev_survival_table")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // durations: 0 → censored u4; 2 → churn u1; 4 → churn u2 + censored
+    // u3. n_risk suffix: t=0: 4, t=2: 3, t=4: 2.
+    assert(out == Seq((0L, 4L, 0L, 1L), (2L, 3L, 1L, 0L), (4L, 2L, 1L, 1L)))
+  }
+
   test("communities: two cliques each converge to their min id, no mixing") {
     import spark.implicits._
     // Two disjoint K3s (orders 1 and 2). Round 1 under (mode, tie→min):
