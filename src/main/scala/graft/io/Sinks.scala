@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.util.Cols._
+import graft.llm.TextOps.hash48Sql
 
 /** Remaining source/sink operators (SURVEY §2.1/2.2): S2 CSV scan,
   * K1 saveAsTable, K2 model persist, K3 JDBC, K7 text dump, F11 sigmoid.
@@ -57,6 +58,39 @@ object Sinks {
       .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
         "value DOUBLE, ts_iso STRING")
       .json(s"$tmp/events_json")
+  }
+
+  /** S11: schema-evolution read — the warehouse reality every long-lived
+    * pipeline hits: files written before a column existed must coexist
+    * with files written after. Half the orders (hash-split, engine-free)
+    * are written under the V1 schema, half under V2 which ADDS
+    * rev_cents; `mergeSchema` unifies the footers and V1 rows surface
+    * the new column as NULL. The aggregate proves both the unified
+    * schema and the null semantics (count + null-count + sum per
+    * status). Scale note: mergeSchema reconciles FOOTERS (file
+    * metadata), not data — cost is per-file not per-row; at warehouse
+    * scale the same contract comes from the table format's schema
+    * registry (Hive/Delta/Iceberg), and the read path here is exactly
+    * what those formats hand Spark. */
+  private val s11: Q = (spark, dir) => {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        (graft.llm.TextOps.hash48($"o_orderkey".cast("string")) % 2 === 0)
+          .as("is_v1"))
+    val tmp = Files.createTempDirectory("graft-evolve").toString
+    o.filter($"is_v1")
+      .select($"o_orderkey", $"o_orderstatus")
+      .write.mode("overwrite").parquet(s"$tmp/t/v=1")
+    o.filter(!$"is_v1")
+      .select($"o_orderkey", $"o_orderstatus",
+        (dec2($"o_totalprice") * 100).cast("long").as("rev_cents"))
+      .write.mode("overwrite").parquet(s"$tmp/t/v=2")
+    spark.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"rev_cents".isNull, 1L).otherwise(0L)).as("n_legacy"),
+        (sum(coalesce($"rev_cents", lit(0L))) / 100.0).as("sum_v2_price"))
   }
 
   /** K1: saveAsTable in ORC — the reference's exact spelling (RF:225
@@ -193,6 +227,7 @@ object Sinks {
   val queries: Map[String, Q] = Map(
     "s2_csv_scan"      -> s2,
     "s10_json_roundtrip" -> s10,
+    "s11_schema_merge" -> s11,
     "k1_save_as_table" -> k1,
     "k2_model_persist" -> k2,
     "k3_jdbc_roundtrip"-> k3,
@@ -207,6 +242,17 @@ object Sinks {
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |       CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
         |FROM orders""".stripMargin,
+    "s11_schema_merge" ->
+      s"""WITH o AS (
+         |  SELECT o_orderstatus,
+         |         ${hash48Sql("CAST(o_orderkey AS VARCHAR)")} % 2 = 0 AS is_v1,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev_cents
+         |  FROM orders)
+         |SELECT o_orderstatus, COUNT(*) AS n,
+         |       SUM(CASE WHEN is_v1 THEN 1 ELSE 0 END) AS n_legacy,
+         |       SUM(CASE WHEN is_v1 THEN 0 ELSE rev_cents END) / 100.0 AS sum_v2_price
+         |FROM o GROUP BY 1""".stripMargin,
+
     "s10_json_roundtrip" ->
       """SELECT event_id, user_id, event_type, value,
         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')
