@@ -651,6 +651,46 @@ object Analytics {
       .select($"duration", $"n_risk", $"n_churn", $"n_censored")
   }
 
+  // ---- ev_changepoint: CUSUM changepoint detection on the daily
+  // revenue series — "when did the level shift?", the retrospective
+  // twin of the ev_anomaly monitor and the a19/a21 drift gates.
+  // CUSUM_k = Σ_{i≤k}(x_i − x̄) peaks (in absolute value) at the last
+  // day of the old regime; the mean makes it a rational, so the
+  // statistic is CROSS-MULTIPLIED into pure integers:
+  //   C'_k = n·prefix_k − k·S   (= n·CUSUM_k, exact in cents·n —
+  //   |C'| ≤ n·S ≈ 9e16 at sf10, two orders inside int64).
+  // The series is dimension-sized (one row per calendar day), so the
+  // prefix window and argmax run in the documented-safe global-window
+  // regime (forecast/a21). Output: the changepoint day (argmax |C'|,
+  // earliest on ties via max_by on (|C'|, −day)), the CUSUM magnitude
+  // in dollars (exact floor-ratio), and the day count.
+  private val changepoint: Q = (spark, dir) => {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "orders")
+      .select(to_date($"o_orderdate").as("day"),
+        (dec2($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+    val spine = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("day"))
+    val series = spine.join(daily, Seq("day"), "left")
+      .select($"day", coalesce($"rev", lit(0L)).as("rev"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = series.agg(sum($"rev").as("s"), count(lit(1)).as("n"))
+    series
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("prefix", sum($"rev").over(w))
+      .crossJoin(broadcast(tot))
+      .select($"day", $"n",
+        abs($"n" * $"prefix" - $"k" * $"s").as("c"))
+      .agg(max_by(struct($"day", $"n"),
+        struct($"c", -unix_date($"day"))).as("m"),
+        max($"c").as("cmax"))
+      .select($"m.day".as("cp_day"), $"m.n".as("n_days"),
+        (floor(($"cmax" * 2 + $"m.n") / ($"m.n" * 2)) / 100.0)
+          .as("cusum_dollars"))
+  }
+
   // ---- g3_communities: label propagation (2 synchronous rounds) over
   // the co-purchase graph — community detection, completing the graph
   // suite (g1 centrality, g2 cohesion, CC reachability): "which parts
@@ -705,6 +745,7 @@ object Analytics {
     "a21_ks_drift"        -> ksDrift,
     "ev_forecast_naive"   -> forecastNaive,
     "ev_survival_table"   -> survivalTable,
+    "ev_changepoint"      -> changepoint,
     "ev_attribution"      -> attribution,
     "g1_pagerank"         -> pagerank,
     "g2_triangles"        -> triangles,
@@ -757,6 +798,28 @@ object Analytics {
         |       abs(CAST(floor((n_cur * 10000 * 2 + t_cur) / (t_cur * 2)) AS BIGINT)
         |         - CAST(floor((n_ref * 10000 * 2 + t_ref) / (t_ref * 2)) AS BIGINT)) > 100 AS drifted
         |FROM g, t""".stripMargin,
+
+    "ev_changepoint" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev
+        |  FROM orders GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series((SELECT MIN(day) FROM d),
+        |                                (SELECT MAX(day) FROM d),
+        |                                INTERVAL 1 DAY))::DATE AS day),
+        |s AS (SELECT spine.day, COALESCE(d.rev, 0) AS rev
+        |      FROM spine LEFT JOIN d USING (day)),
+        |t AS (SELECT SUM(rev) AS sm, COUNT(*) AS n FROM s),
+        |c AS (
+        |  SELECT day, n,
+        |         abs(n * SUM(rev) OVER (ORDER BY day)
+        |             - (ROW_NUMBER() OVER (ORDER BY day)) * sm) AS c
+        |  FROM s, t)
+        |SELECT MIN(day) AS cp_day, MAX(n) AS n_days,
+        |       floor((MAX(cm) * 2 + MAX(n)) / (MAX(n) * 2)) / 100.0 AS cusum_dollars
+        |FROM (SELECT day, n, c, MAX(c) OVER () AS cm FROM c)
+        |WHERE c = cm""".stripMargin,
 
     "ev_survival_table" ->
       """WITH u AS (

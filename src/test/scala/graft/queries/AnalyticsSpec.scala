@@ -385,6 +385,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq((0L, 4L, 0L, 1L), (2L, 3L, 1L, 0L), (4L, 2L, 1L, 1L)))
   }
 
+  test("changepoint: CUSUM peaks on the last day of the old regime, exact magnitude") {
+    import spark.implicits._
+    // days 1-5 at $1.00, days 6-10 at $2.00: mean 150 cents; CUSUM_k =
+    // prefix − k·mean bottoms at day 5 (−250 cents). Cross-multiplied
+    // C' = 10·prefix − k·1500 → |C'|max = 2500 at day 5; magnitude
+    // round(2500/10)/100 = $2.50.
+    val rows = (1 to 10).map { d =>
+      val price = if (d <= 5) 1.0 else 2.0
+      (d.toLong, 1L, "O", price, ts(f"1997-03-$d%02d 00:00:00"), "1-URGENT")
+    }
+    val d = Files.createTempDirectory("an-cp").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Analytics.queries("ev_changepoint")(spark, d)
+      .select($"cp_day".cast("string"), $"n_days", $"cusum_dollars")
+      .as[(String, Long, Double)].collect()
+    assert(out.toSeq == Seq(("1997-03-05", 10L, 2.5)))
+  }
+
   test("communities: two cliques each converge to their min id, no mixing") {
     import spark.implicits._
     // Two disjoint K3s (orders 1 and 2). Round 1 under (mode, tie→min):
