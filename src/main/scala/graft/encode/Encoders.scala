@@ -84,9 +84,47 @@ object Encoders {
           .as("te_smooth"))
   }
 
+  /** m13: weight-of-evidence encoding + information value — the credit-
+    * scoring standard for categorical features against a binary label
+    * (label = order fell through, status 'F'; feature = priority).
+    * WOE_i = ln((good_i/G)/(bad_i/B)) with +0.5/Laplace smoothing;
+    * IV = Σ (good_i/G − bad_i/B)·WOE_i ranks the feature's separating
+    * power. Cross-engine exactness uses the d_lm_score technique: the
+    * ln of an EXACT integer rational is quantized to integer micro-nats
+    * per category row (dimension-sized — ≤ |values| quantizations, not
+    * per-row), and the IV contribution is assembled from integers only:
+    * d_numer = good_i·B − bad_i·G (exact), iv_milli =
+    * round(d_numer·woe_milli / (G·B)) via the floor-ratio — products
+    * stay two orders inside int64 at sf10 because WOE rides at milli
+    * resolution inside the product. Scale shape: ONE scan, one
+    * dimension-sized aggregate, a 1-row totals attach; the encoder
+    * artifact is the emitted table and applying it is a broadcast
+    * map-side join. */
+  private val woeIv: Q = (spark, dir) => {
+    import spark.implicits._
+    val byVal = Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority",
+        ($"o_orderstatus" === "F").as("is_bad"))
+      .groupBy($"o_orderpriority")
+      .agg(sum(when($"is_bad", 0L).otherwise(1L)).as("n_good"),
+        sum(when($"is_bad", 1L).otherwise(0L)).as("n_bad"))
+    val tot = byVal.agg(sum($"n_good").as("g"), sum($"n_bad").as("b"))
+    byVal.crossJoin(broadcast(tot))
+      .withColumn("woe_micro",
+        round(log((($"n_good" + 0.5) * ($"b" + 2.5)) /
+          (($"n_bad" + 0.5) * ($"g" + 2.5))) * 1e6).cast("long"))
+      .withColumn("woe_milli",
+        floor(($"woe_micro" * 2 + signum($"woe_micro") * 1000) / 2000)
+          .cast("long"))
+      .select($"o_orderpriority", $"n_good", $"n_bad", $"woe_micro",
+        floor((($"n_good" * $"b" - $"n_bad" * $"g") * $"woe_milli" * 2
+          + $"g" * $"b") / ($"g" * $"b" * 2)).cast("long").as("iv_milli"))
+  }
+
   val queries: Map[String, Q] = Map(
     "enc_feature_hash"  -> featureHash,
-    "m12_target_encode" -> targetEncode)
+    "m12_target_encode" -> targetEncode,
+    "m13_woe_iv"        -> woeIv)
 
   val oracles: Map[String, String] = Map(
     "enc_feature_hash" ->
@@ -97,6 +135,27 @@ object Encoders {
          |    ${hash48Sql("'uk:' || CAST(user_id % 64 AS VARCHAR)")} % 1024])) AS idx
          |  FROM events)
          |SELECT event_id, unnest(idx) AS feature_idx FROM f""".stripMargin,
+
+    "m13_woe_iv" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority,
+        |         SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS n_good,
+        |         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_bad
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT SUM(n_good) AS g, SUM(n_bad) AS b FROM v),
+        |w AS (
+        |  SELECT v.*, t.g, t.b,
+        |         CAST(round(ln(((n_good + 0.5) * (b + 2.5)) /
+        |           ((n_bad + 0.5) * (g + 2.5))) * 1e6) AS BIGINT) AS woe_micro
+        |  FROM v, t),
+        |m AS (
+        |  SELECT *, CAST(floor((woe_micro * 2 + sign(woe_micro) * 1000)
+        |    / 2000) AS BIGINT) AS woe_milli
+        |  FROM w)
+        |SELECT o_orderpriority, n_good, n_bad, woe_micro,
+        |       CAST(floor(((n_good * b - n_bad * g) * woe_milli * 2 + g * b)
+        |         / (g * b * 2)) AS BIGINT) AS iv_milli
+        |FROM m""".stripMargin,
 
     "m12_target_encode" ->
       s"""WITH lab AS (

@@ -76,4 +76,30 @@ class EncodersSpec extends SparkSpec {
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(out2 == out)
   }
+
+  test("woe/iv: hand-computed micro-nat weights and milli IV contributions") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // value X: 3 good ('O') + 1 bad ('F'); Y mirrored. G = B = 4.
+    // woe_X = ln((3.5*6.5)/(1.5*6.5)) = ln(7/3) = 0.8472979 ->
+    // woe_micro 847298; woe_milli floor((1694596+1000)/2000) = 847;
+    // iv_milli_X = floor((8*847*2+16)/32) = 424. Y: woe_micro -847298,
+    // woe_milli floor(-847.798) = -848, iv_milli = floor((13568+16)/32)
+    // = 424 (floor asymmetry is deterministic and mirrored in the
+    // oracle - the contract is cross-engine equality, not symmetry).
+    val rows = Seq(
+      ("X", "O"), ("X", "O"), ("X", "O"), ("X", "F"),
+      ("Y", "O"), ("Y", "F"), ("Y", "F"), ("Y", "F"))
+      .zipWithIndex.map { case ((pri, st), i) =>
+        (i.toLong, 1L, st, 10.0, Timestamp.valueOf("1997-01-01 00:00:00"), pri) }
+    val d = java.nio.file.Files.createTempDirectory("enc-woe").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Encoders.queries("m13_woe_iv")(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("X", 3L, 1L, 847298L, 424L),
+      ("Y", 1L, 3L, -847298L, 424L)))
+  }
 }
