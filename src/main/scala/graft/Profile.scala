@@ -398,6 +398,10 @@ object Profile {
       // `Profile <sfDir> explain <query>`: the declared query's
       // formatted physical plan against that sf — the dev loop for
       // "is this the plan I'd want at this scale".
+      if (args.length < 3) {
+        System.err.println("usage: Profile <sfDir> explain <queryName>")
+        spark.stop(); return
+      }
       println(SparkEntry.queries(args(2))(spark, dir)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))

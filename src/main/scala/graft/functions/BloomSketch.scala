@@ -37,7 +37,10 @@ object BloomSketch {
     ext.injectFunction((
       new FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
-      (children: Seq[Expression]) =>
-        BloomFilterMightContain(children.head, children(1))))
+      (children: Seq[Expression]) => children match {
+        case Seq(bf, v) => BloomFilterMightContain(bf, v)
+        case other => throw new IllegalArgumentException(
+          s"graft_might_contain expects 2 arguments, got ${other.size}")
+      }))
   }
 }

@@ -66,6 +66,25 @@ object Bpe {
       .groupBy($"word").agg(count(lit(1)).as("n_word"))
   }
 
+  /** Greedy rank-order selection of pairwise-INDEPENDENT merges. A
+    * pair is selectable only if its left, right, AND minted symbol
+    * (l+r) are all unused by earlier picks — the minted-symbol clause
+    * closes a cascade hole symbol-disjointness alone leaves open: with
+    * picks 1:(ab,c), 2:(a,b) (string-disjoint sides!), the one-pass
+    * fold on [a,b,c] would merge (a,b)→ab and then (ab,c)→abc, where
+    * sequential rank order gives [ab,c] ((ab,c) is a no-op before 'ab'
+    * exists). Reserving l+r means no later pick can consume a symbol
+    * this round mints, so the fold can never chain two batch merges at
+    * one position — batch == sequential holds unconditionally. */
+  def selectDisjoint(cand: Seq[(String, String, Long)], batchK: Int)
+      : Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    cand.iterator.filter { case (l, r, _) =>
+      if (used(l) || used(r) || used(l + r)) false
+      else { used += l; used += r; used += (l + r); true }
+    }.take(batchK).toSeq
+  }
+
   /** One batch-greedy training round over the type table. Returns the
     * updated table and this round's merges (rank-ordered). The type
     * table must carry (word, n_word, syms). */
@@ -89,11 +108,7 @@ object Bpe {
       .orderBy($"n_pairs".desc, $"l".asc, $"r".asc)
       .limit(8 * batchK)
       .as[(String, String, Long)].collect()
-    val used = scala.collection.mutable.Set.empty[String]
-    val picked = cand.iterator.filter { case (l, r, _) =>
-      if (used(l) || used(r)) false
-      else { used += l; used += r; true }
-    }.take(batchK).toSeq
+    val picked = selectDisjoint(cand.toSeq, batchK)
     if (picked.isEmpty) (types, Seq.empty)
     else {
       val mlit = map(picked.flatMap { case (l, r, _) =>

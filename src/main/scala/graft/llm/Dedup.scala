@@ -107,6 +107,10 @@ object Dedup {
       .select($"doc_id".as("eval_id"), explode(shingles(toks($"text"))).as("s0"))
       .select($"eval_id", TextOps.hash48($"s0").as("tok"))
       .distinct()
+      // three consumers (count, bloom aggregate, exact-verify join) —
+      // materialize the eval side once instead of re-running the eval
+      // scan+shingle+distinct per consumer
+      .localCheckpoint(false)
     val nEval = math.max(evalSh.count(), 1L)
     val bfBytes = evalSh
       .agg(call_function("graft_bloom_agg", $"tok", lit(nEval)).as("bf"))

@@ -224,8 +224,13 @@ object Multimodal {
 
   private def withLuminance(df: DataFrame, lumSum: String, w: String, h: String,
                             out: String): DataFrame =
+    // 6-dp mean luminance via the exact floor-ratio (round(double, 6)
+    // is the documented cross-engine boundary hazard — d_lm_score
+    // lesson, TextOps.scala): round(lum_sum·1000/(w·h)) as a pure
+    // integer, then ONE IEEE division by 1e6 on identical longs.
     df.withColumn(out,
-        round(col(lumSum) / (lit(1000.0) * col(w) * col(h)), 6))
+        floor((col(lumSum) * 1000L * 2 + col(w) * col(h)) /
+          (col(w) * col(h) * 2)) / 1e6)
       .drop(lumSum)
 
   private val decodeQ: Q = (spark, dir) =>
@@ -284,7 +289,7 @@ object Multimodal {
          |SELECT id AS media_id, CAST(w AS INT) AS width,
          |  CAST(h AS INT) AS height,
          |  $fp AS fp48,
-         |  round(($lum) / (1000.0 * w * h), 6) AS luminance
+         |  floor((($lum) * 1000 * 2 + w * h) / (w * h * 2)) / 1e6 AS luminance
          |FROM d""".stripMargin
     },
     "mm_resize" -> {
@@ -298,7 +303,7 @@ object Multimodal {
          |SELECT id AS media_id, CAST(w AS INT) AS width,
          |  CAST(h AS INT) AS height, ow AS out_width, oh AS out_height,
          |  $fp AS fp48_out,
-         |  round(($lum) / (1000.0 * ow * oh), 6) AS lum_out
+         |  floor((($lum) * 1000 * 2 + ow * oh) / (ow * oh * 2)) / 1e6 AS lum_out
          |FROM o""".stripMargin
     },
     "mm_frame_sample" ->

@@ -306,7 +306,7 @@ object Similarity {
     * ‖q_s − c_{s,j}‖² driver-side; approximate L2² = Σ_s dt_s[code_s]
     * is m array lookups per candidate (broadcast probe × corpus codes,
     * the sim_topk_brute shape but over 4-byte codes instead of 256-B
-    * vectors), followed by an exact re-rank of the 10k ADC shortlist
+    * vectors), followed by an exact re-rank of the 10·k ADC shortlist
     * only. Per-query top-k via the two-phase window (WindowGroupLimit).
     *
     * No DuckDB oracle (KMeans codebooks are engine-internal, like
@@ -372,8 +372,8 @@ object Similarity {
       .withColumn("adc_l2sq", adc)
     // ADC is a SHORTLIST stage, not the final ranking (the standard
     // ADC+refine layout): quantization error makes code distances too
-    // coarse to order the head exactly, so take a 10k-candidate
-    // shortlist by ADC, then re-rank JUST the shortlist against raw
+    // coarse to order the head exactly, so take a 10·k-candidate
+    // shortlist by ADC (50 here), then re-rank JUST the shortlist against raw
     // vectors — per query that is shortlist-many exact dots, not
     // corpus-many, which is the whole economy of PQ at scale.
     val wAdc = Window.partitionBy($"query_id")

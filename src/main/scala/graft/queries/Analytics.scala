@@ -591,6 +591,9 @@ object Analytics {
       .select(to_date($"o_orderdate").as("day"),
         (dec2($"o_totalprice") * 100).cast("long").as("cents"))
       .groupBy($"day").agg(sum($"cents").as("rev"))
+      // two consumers (spine min/max + the join) — dimension-sized,
+      // materialize once instead of re-scanning orders per consumer
+      .localCheckpoint(false)
     val spine = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
       .select(explode(sequence($"lo", $"hi")).as("day"))
     val series = spine.join(daily, Seq("day"), "left")
@@ -630,11 +633,15 @@ object Analytics {
   // forecast/a21 documented-safe global window regime).
   private val survivalTable: Q = (spark, dir) => {
     import spark.implicits._
-    val ev = Tables.load(spark, dir, "events")
-      .select($"user_id", $"ts")
-    val maxTs = ev.agg(max($"ts").as("max_ts"))
-    val users = ev.groupBy($"user_id")
+    // ONE user-keyed pass over the fact feeds both max_ts and the
+    // duration build (max of per-user maxes == global max — the
+    // re-aggregation is monoid-cheap and saves a second events scan)
+    val perUser = Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
       .agg(min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+      .localCheckpoint(false)
+    val maxTs = perUser.agg(max($"last_ts").as("max_ts"))
+    val users = perUser
       .crossJoin(broadcast(maxTs))
       .select(
         datediff(to_date($"last_ts"), to_date($"first_ts")).cast("long")
@@ -670,6 +677,9 @@ object Analytics {
       .select(to_date($"o_orderdate").as("day"),
         (dec2($"o_totalprice") * 100).cast("long").as("cents"))
       .groupBy($"day").agg(sum($"cents").as("rev"))
+      // two consumers (spine min/max + the join) — dimension-sized,
+      // materialize once instead of re-scanning orders per consumer
+      .localCheckpoint(false)
     val spine = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
       .select(explode(sequence($"lo", $"hi")).as("day"))
     val series = spine.join(daily, Seq("day"), "left")

@@ -26,14 +26,20 @@ import org.apache.spark.storage.StorageLevel
 object Storage {
 
   def adaptiveLevel(dir: String, fact: String = "lineitem"): StorageLevel = {
-    val bytes = {
-      val p = java.nio.file.Paths.get(dir, s"$fact.parquet")
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).mapToLong(f =>
+    val p = java.nio.file.Paths.get(dir, s"$fact.parquet")
+    val bytes =
+      if (java.nio.file.Files.isDirectory(p)) {
+        // Files.list holds an open directory FD until closed — callers
+        // run once per query, so an unclosed stream leaks an FD per
+        // bench iteration
+        val st = java.nio.file.Files.list(p)
+        try st.mapToLong(f =>
           try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
           .sum()
-      else java.nio.file.Files.size(p)
-    }
+        finally st.close()
+      } else if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.size(p)
+      else 0L // unknown layout → the memory-first default is the safe bet
     if (bytes > (512L << 20)) StorageLevel.DISK_ONLY
     else StorageLevel.MEMORY_AND_DISK_SER
   }

@@ -99,4 +99,18 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.train(docs.repartition(7), 3, 4)._1
     assert(a == b && a.nonEmpty)
   }
+
+  test("selectDisjoint: a pick's minted symbol blocks later picks (no fold cascade)") {
+    // (ab,c) and (a,b) are string-disjoint on their SIDES, but applying
+    // both in one fold pass would chain a→ab→abc at a single position;
+    // the minted-symbol reservation must reject the second.
+    val picked = Bpe.selectDisjoint(
+      Seq(("ab", "c", 10L), ("a", "b", 9L), ("d", "e", 8L)), 8)
+    assert(picked == Seq(("ab", "c", 10L), ("d", "e", 8L)))
+    // and symmetrically: a later pair whose sides are fine but whose
+    // minted symbol collides with an earlier pick's side is rejected
+    val picked2 = Bpe.selectDisjoint(
+      Seq(("ab", "c", 10L), ("a", "bc", 9L)), 8)
+    assert(picked2 == Seq(("ab", "c", 10L)))
+  }
 }
