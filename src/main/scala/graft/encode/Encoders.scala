@@ -94,9 +94,12 @@ object Encoders {
     * per category row (dimension-sized — ≤ |values| quantizations, not
     * per-row), and the IV contribution is assembled from integers only:
     * d_numer = good_i·B − bad_i·G (exact), iv_milli =
-    * round(d_numer·woe_milli / (G·B)) via the floor-ratio — products
-    * stay two orders inside int64 at sf10 because WOE rides at milli
-    * resolution inside the product. Scale shape: ONE scan, one
+    * round(d_numer·woe_milli / (G·B)) via the floor-ratio. The product
+    * d_numer·woe_milli is ~(N²/4)·|woe_milli| — only ~4× inside int64
+    * at sf10 and PAST it around sf30 — so it is carried in
+    * DECIMAL(38,0) (HUGEINT on the oracle side) with an exact
+    * pmod-floor division: no silent int64 wraparound at any corpus
+    * size, and no double anywhere. Scale shape: ONE scan, one
     * dimension-sized aggregate, a 1-row totals attach; the encoder
     * artifact is the emitted table and applying it is a broadcast
     * map-side join. */
@@ -116,9 +119,14 @@ object Encoders {
       .withColumn("woe_milli",
         floor(($"woe_micro" * 2 + signum($"woe_micro") * 1000) / 2000)
           .cast("long"))
+      .withColumn("iv_num",
+        ($"n_good".cast("decimal(38,0)") * $"b"
+          - $"n_bad".cast("decimal(38,0)") * $"g") * $"woe_milli" * 2
+          + $"g".cast("decimal(38,0)") * $"b")
+      .withColumn("iv_den", $"g".cast("decimal(38,0)") * $"b" * 2)
       .select($"o_orderpriority", $"n_good", $"n_bad", $"woe_micro",
-        floor((($"n_good" * $"b" - $"n_bad" * $"g") * $"woe_milli" * 2
-          + $"g" * $"b") / ($"g" * $"b" * 2)).cast("long").as("iv_milli"))
+        (($"iv_num" - pmod($"iv_num", $"iv_den")) / $"iv_den")
+          .cast("long").as("iv_milli"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -139,8 +147,8 @@ object Encoders {
     "m13_woe_iv" ->
       """WITH v AS (
         |  SELECT o_orderpriority,
-        |         SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS n_good,
-        |         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_bad
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
         |  FROM orders GROUP BY 1),
         |t AS (SELECT SUM(n_good) AS g, SUM(n_bad) AS b FROM v),
         |w AS (
@@ -151,11 +159,17 @@ object Encoders {
         |m AS (
         |  SELECT *, CAST(floor((woe_micro * 2 + sign(woe_micro) * 1000)
         |    / 2000) AS BIGINT) AS woe_milli
-        |  FROM w)
+        |  FROM w),
+        |x AS (
+        |  SELECT *,
+        |    (CAST(n_good AS HUGEINT) * b - CAST(n_bad AS HUGEINT) * g)
+        |      * woe_milli * 2 + CAST(g AS HUGEINT) * b AS iv_num,
+        |    CAST(g AS HUGEINT) * b * 2 AS iv_den
+        |  FROM m)
         |SELECT o_orderpriority, n_good, n_bad, woe_micro,
-        |       CAST(floor(((n_good * b - n_bad * g) * woe_milli * 2 + g * b)
-        |         / (g * b * 2)) AS BIGINT) AS iv_milli
-        |FROM m""".stripMargin,
+        |       CAST((iv_num - (((iv_num % iv_den) + iv_den) % iv_den))
+        |         // iv_den AS BIGINT) AS iv_milli
+        |FROM x""".stripMargin,
 
     "m12_target_encode" ->
       s"""WITH lab AS (
@@ -167,7 +181,7 @@ object Encoders {
          |  FROM customer LEFT JOIN lab ON c_custkey = o_custkey
          |  WHERE ${hash48Sql("CAST(c_custkey AS VARCHAR)")} % 100 < 80),
          |seg AS (
-         |  SELECT c_mktsegment, COUNT(*) AS n_train, SUM(pos) AS n_pos
+         |  SELECT c_mktsegment, COUNT(*) AS n_train, CAST(SUM(pos) AS BIGINT) AS n_pos
          |  FROM train GROUP BY 1),
          |p AS (SELECT CAST(SUM(n_pos) AS DOUBLE) / SUM(n_train) AS prior FROM seg)
          |SELECT c_mktsegment, n_train, n_pos,

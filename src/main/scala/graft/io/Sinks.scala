@@ -22,6 +22,16 @@ object Sinks {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Fixed per-query scratch dir (overwritten on every invocation, not
+    * re-created): repeated bench/verify iterations reuse one directory
+    * instead of leaking a fresh createTempDirectory copy each run. */
+  private def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-scratch-$name")
+    Files.createDirectories(p)
+    p.toString
+  }
+
   /** S2: CSV with header + inferSchema + na.drop
     * (GBDT/spark/churn_xgb4j_spark.scala:19). Parquet→CSV→parquet
     * round-trip: inference must recover bigint/double/string. */
@@ -30,13 +40,16 @@ object Sinks {
     val src = Tables.load(spark, dir, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_totalprice",
         to_date($"o_orderdate").as("order_date"), $"o_orderpriority")
-    val tmp = Files.createTempDirectory("graft-csv").toString
+    val tmp = scratchDir("csv")
     src.write.mode("overwrite").option("header", "true").csv(s"$tmp/orders_csv")
     spark.read
       .options(Map("header" -> "true", "inferSchema" -> "true"))
       .csv(s"$tmp/orders_csv")
       .na.drop()
-      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+      // inferSchema narrows int-valued keys to INT at small SF (and would
+      // flip to BIGINT once keys pass 2^31) — pin the widths explicitly
+      .select($"o_orderkey".cast("long").as("o_orderkey"),
+        $"o_custkey".cast("long").as("o_custkey"), $"o_totalprice",
         to_date($"order_date").as("order_date"), $"o_orderpriority")
   }
 
@@ -52,7 +65,7 @@ object Sinks {
     val src = Tables.load(spark, dir, "events")
       .select($"event_id", $"user_id", $"event_type", $"value",
         date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_iso"))
-    val tmp = Files.createTempDirectory("graft-json").toString
+    val tmp = scratchDir("json")
     src.write.mode("overwrite").json(s"$tmp/events_json")
     spark.read
       .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
@@ -78,7 +91,7 @@ object Sinks {
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
         (graft.llm.TextOps.hash48($"o_orderkey".cast("string")) % 2 === 0)
           .as("is_v1"))
-    val tmp = Files.createTempDirectory("graft-evolve").toString
+    val tmp = scratchDir("evolve")
     o.filter($"is_v1")
       .select($"o_orderkey", $"o_orderstatus")
       .write.mode("overwrite").parquet(s"$tmp/t/v=1")
@@ -86,7 +99,13 @@ object Sinks {
       .select($"o_orderkey", $"o_orderstatus",
         (dec2($"o_totalprice") * 100).cast("long").as("rev_cents"))
       .write.mode("overwrite").parquet(s"$tmp/t/v=2")
-    spark.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+    // Tiny-corpus guard: if the hash split left one side empty its file
+    // never contributes rev_cents to the merged footer schema.
+    val withV2 =
+      if (merged.columns.contains("rev_cents")) merged
+      else merged.withColumn("rev_cents", lit(null).cast("long"))
+    withV2
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("n"),
         sum(when($"rev_cents".isNull, 1L).otherwise(0L)).as("n_legacy"),
@@ -115,7 +134,7 @@ object Sinks {
     val model = new StringIndexer()
       .setInputCol("o_orderpriority").setOutputCol("idx")
       .setStringOrderType("frequencyDesc").fit(df)
-    val path = Files.createTempDirectory("graft-sidx").toString + "/model"
+    val path = scratchDir("sidx") + "/model"
     model.write.overwrite().save(path)
     val loaded = org.apache.spark.ml.feature.StringIndexerModel.load(path)
     loaded.labelsArray(0).zipWithIndex.toSeq.toDF("value", "idx")
@@ -154,7 +173,7 @@ object Sinks {
         concat(substring(md5($"o_custkey".cast("string")), 1, 5), lit("_"),
           $"o_custkey".cast("string")).as("rowkey"),
         concat(lit("["), concat_ws(",", $"items"), lit("]")).as("recommend"))
-    val tmp = Files.createTempDirectory("graft-k4").toString
+    val tmp = scratchDir("k4")
     kv.write.mode("overwrite").parquet(s"$tmp/kv")
     spark.read.parquet(s"$tmp/kv")
   }
@@ -169,7 +188,7 @@ object Sinks {
         expr("1.0 / (1.0 + exp(-( (o_orderkey % 13) - 6 )))").as("prob")) // F11
       .select(concat($"o_orderkey".cast("string"), lit(","),
         format_string("%.9f", $"prob")).as("value"))
-    val tmp = Files.createTempDirectory("graft-k7").toString
+    val tmp = scratchDir("k7")
     scored.write.mode("overwrite").text(s"$tmp/preds")
     spark.read.text(s"$tmp/preds")
   }
@@ -184,7 +203,7 @@ object Sinks {
     * data pages, and must survive bit-identically. */
   private val s9: Q = (spark, dir) => {
     import spark.implicits._
-    val tmp = Files.createTempDirectory("graft-part").toString
+    val tmp = scratchDir("part")
     Tables.load(spark, dir, "orders").write.mode("overwrite")
       .partitionBy("o_orderstatus").parquet(s"$tmp/orders_by_status")
     spark.read.parquet(s"$tmp/orders_by_status")
@@ -249,7 +268,7 @@ object Sinks {
          |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev_cents
          |  FROM orders)
          |SELECT o_orderstatus, COUNT(*) AS n,
-         |       SUM(CASE WHEN is_v1 THEN 1 ELSE 0 END) AS n_legacy,
+         |       CAST(SUM(CASE WHEN is_v1 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
          |       SUM(CASE WHEN is_v1 THEN 0 ELSE rev_cents END) / 100.0 AS sum_v2_price
          |FROM o GROUP BY 1""".stripMargin,
 

@@ -101,14 +101,27 @@ object Bpe {
       .groupBy($"p.l".as("l"), $"p.r".as("r"))
       .agg(sum($"n_word").as("n_pairs"))
       .filter($"n_pairs" >= 2)
-    // dimension-sized head of the candidate list → driver; greedy
-    // disjoint selection is a scan over ≤ 8·batchK rows (A7-style
-    // driver metadata, like the FeatIndex dict and the IVF centroids)
-    val cand = pairs
-      .orderBy($"n_pairs".desc, $"l".asc, $"r".asc)
-      .limit(8 * batchK)
-      .as[(String, String, Long)].collect()
-    val picked = selectDisjoint(cand.toSeq, batchK)
+    // dimension-sized head of the candidate list → driver (A7-style
+    // driver metadata, like the FeatIndex dict and the IVF centroids).
+    // A tie-dense round can exhaust a FIXED head before reaching batchK
+    // symbol-disjoint picks, silently shrinking the learned vocab — so
+    // the head grows (×2 per retry) until either batchK merges are
+    // selected or the head provably covers the whole candidate table
+    // (fetched < limit ⇒ nothing was truncated). Retries are rare and
+    // the candidate table is vocab-sized, so re-running its plan is
+    // cheap; ordering is total (n_pairs desc, l, r) so every head size
+    // yields the same deterministic prefix.
+    @annotation.tailrec
+    def pick(mult: Int): Seq[(String, String, Long)] = {
+      val cand = pairs
+        .orderBy($"n_pairs".desc, $"l".asc, $"r".asc)
+        .limit(mult * batchK)
+        .as[(String, String, Long)].collect()
+      val sel = selectDisjoint(cand.toSeq, batchK)
+      if (sel.size >= batchK || cand.length < mult * batchK) sel
+      else pick(mult * 2)
+    }
+    val picked = pick(8)
     if (picked.isEmpty) (types, Seq.empty)
     else {
       val mlit = map(picked.flatMap { case (l, r, _) =>

@@ -723,7 +723,7 @@ object Dedup {
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
        |SELECT c.id_a, c.id_b,
-       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM cand c JOIN sim a ON a.doc_id = c.id_a JOIN sim b ON b.doc_id = c.id_b
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
   }

@@ -508,20 +508,25 @@ object TextOps {
     * (sources ≈ thousands → the plan frame broadcasts), then the keep
     * filter is MAP-SIDE on the doc stream (hash < rate, no shuffle of
     * the corpus), and only per-source partial counts shuffle. The rate
-    * arithmetic stays in one left-associated double chain so the DuckDB
-    * oracle replays it bit-for-bit. */
+    * arithmetic is a pure-integer floor chain (DECIMAL(38,0) `div`) so
+    * the DuckDB oracle replays it exactly with no double anywhere. */
   private val mixturePlan: Q = (spark, dir) => {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
       .select($"doc_id", $"source", size(toks($"text")).cast("long").as("n_tok"))
     val bySrc = docs.groupBy($"source").agg(sum($"n_tok").as("src_tokens"))
-    val stats = bySrc.agg(sum($"src_tokens").cast("double").as("tot"),
-      count(lit(1)).cast("double").as("nsrc"))
+    val stats = bySrc.agg(sum($"src_tokens").as("tot"),
+      count(lit(1)).as("nsrc"))
+    // Pure-integer rate: min(1e6, (3e6 * tot) div (10 * nsrc * T_s)) —
+    // 30% of corpus tokens split evenly, floored in exact DECIMAL(38,0)
+    // space (`div` is the integral quotient). No double anywhere in an
+    // oracle-compared column (the d_lm_score lesson); the 38-digit
+    // intermediate holds 3e6 * tot without overflow at any corpus size
+    // int64 can count.
     val planned = bySrc.crossJoin(broadcast(stats))
       .withColumn("rate_ppm",
         least(lit(1000000L),
-          floor(lit(0.3) * $"tot" / $"nsrc" * lit(1000000.0) /
-            $"src_tokens".cast("double"))))
+          expr("(CAST(tot AS DECIMAL(38,0)) * 3000000) div (10 * nsrc * src_tokens)")))
       .select($"source", $"src_tokens", $"rate_ppm")
     val kept = docs
       .join(broadcast(planned.select($"source", $"rate_ppm")), "source")
@@ -547,9 +552,9 @@ object TextOps {
     * (not one scan per snapshot); the vocab-sized counts frame is
     * lazily local-checkpointed so the totals row and the ranking reuse
     * it instead of re-scanning the corpus; the top-k plans as
-    * TakeOrderedAndProject (no global sort). The ratio is rounded to 6
-    * decimals and RANKED ON THE ROUNDED VALUE, so the top-k boundary
-    * cannot differ across engines on a last-ulp ln() disagreement. */
+    * TakeOrderedAndProject (no global sort). The ratio is quantized to
+    * INTEGER micro-nats and RANKED ON THE INTEGER, so both the emitted
+    * column and the top-k boundary are integer-exact across engines. */
   private val drift: Q = (spark, dir) => {
     import spark.implicits._
     val counts = Tables.load(spark, dir, "documents")
@@ -563,11 +568,15 @@ object TextOps {
       sum($"c_b").cast("double").as("tot_b"))
     counts.filter($"c_a" + $"c_b" >= 5)
       .crossJoin(broadcast(tot))
-      .withColumn("log_ratio", round(
-        log(($"c_a".cast("double") + 0.5) / ($"tot_a" + 1.0))
-          - log(($"c_b".cast("double") + 0.5) / ($"tot_b" + 1.0)), 6))
-      .select($"term", $"c_a", $"c_b", $"log_ratio")
-      .orderBy(abs($"log_ratio").desc, $"term".asc)
+      // Integer micro-nats (the d_lm_score canon): quantize the double
+      // log-ratio ONCE at 1e-6 and emit/rank the integer — the compared
+      // column and the top-k boundary are integer-exact across engines.
+      .withColumn("log_ratio_unat", round(
+        (log(($"c_a".cast("double") + 0.5) / ($"tot_a" + 1.0))
+          - log(($"c_b".cast("double") + 0.5) / ($"tot_b" + 1.0))) * 1e6)
+        .cast("long"))
+      .select($"term", $"c_a", $"c_b", $"log_ratio_unat")
+      .orderBy(abs($"log_ratio_unat").desc, $"term".asc)
       .limit(40)
   }
 
@@ -810,7 +819,7 @@ object TextOps {
          |  SELECT doc_id,
          |         ${hash48Sql(s"'w:' || CAST(${hash48Sql("feat")} % 4096 AS VARCHAR)")} % 2001 - 1000 AS wm
          |  FROM f)
-         |SELECT doc_id, COUNT(*) AS n_feat, SUM(wm) AS score_milli,
+         |SELECT doc_id, COUNT(*) AS n_feat, CAST(SUM(wm) AS BIGINT) AS score_milli,
          |       CAST(CASE WHEN SUM(wm) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS label
          |FROM wt GROUP BY doc_id""".stripMargin,
 
@@ -837,7 +846,7 @@ object TextOps {
          |p AS (SELECT doc_id, unnest(list_transform(sh, x -> ${hash48Sql("x")})) AS tok FROM s),
          |d AS (SELECT tok, COUNT(*) AS df FROM p GROUP BY 1)
          |SELECT doc_id, COUNT(*) AS n_shingles,
-         |       SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel,
+         |       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
          |       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |         / COUNT(*) AS novelty
          |FROM p JOIN d USING (tok) GROUP BY doc_id""".stripMargin,
@@ -867,11 +876,13 @@ object TextOps {
          |tt AS (SELECT CAST(SUM(c_a) AS DOUBLE) AS tot_a,
          |              CAST(SUM(c_b) AS DOUBLE) AS tot_b FROM c)
          |SELECT term, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
-         |  ROUND(ln((CAST(c_a AS DOUBLE) + 0.5) / (tot_a + 1.0))
-         |      - ln((CAST(c_b AS DOUBLE) + 0.5) / (tot_b + 1.0)), 6) AS log_ratio
+         |  CAST(ROUND((ln((CAST(c_a AS DOUBLE) + 0.5) / (tot_a + 1.0))
+         |      - ln((CAST(c_b AS DOUBLE) + 0.5) / (tot_b + 1.0))) * 1e6)
+         |    AS BIGINT) AS log_ratio_unat
          |FROM c, tt WHERE c_a + c_b >= 5
-         |ORDER BY abs(ROUND(ln((CAST(c_a AS DOUBLE) + 0.5) / (tot_a + 1.0))
-         |      - ln((CAST(c_b AS DOUBLE) + 0.5) / (tot_b + 1.0)), 6)) DESC, term
+         |ORDER BY abs(CAST(ROUND((ln((CAST(c_a AS DOUBLE) + 0.5) / (tot_a + 1.0))
+         |      - ln((CAST(c_b AS DOUBLE) + 0.5) / (tot_b + 1.0))) * 1e6)
+         |    AS BIGINT)) DESC, term
          |LIMIT 40""".stripMargin,
 
     "d_mixture_plan" ->
@@ -879,15 +890,15 @@ object TextOps {
          |  SELECT doc_id, source,
          |    CAST(len($ToksSql) AS BIGINT) AS n_tok
          |  FROM documents),
-         |b AS (SELECT source, SUM(n_tok) AS src_tokens FROM d GROUP BY source),
-         |st AS (SELECT CAST(SUM(src_tokens) AS DOUBLE) AS tot,
-         |              CAST(COUNT(*) AS DOUBLE) AS nsrc FROM b),
+         |b AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens FROM d GROUP BY source),
+         |st AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS tot,
+         |              COUNT(*) AS nsrc FROM b),
          |p AS (SELECT source, src_tokens,
-         |  LEAST(1000000, CAST(FLOOR(
-         |    CAST(0.3 AS DOUBLE) * tot / nsrc * CAST(1000000.0 AS DOUBLE)
-         |      / CAST(src_tokens AS DOUBLE)) AS BIGINT)) AS rate_ppm
+         |  LEAST(CAST(1000000 AS BIGINT), CAST(
+         |    (CAST(tot AS HUGEINT) * 3000000) // (10 * nsrc * src_tokens)
+         |    AS BIGINT)) AS rate_ppm
          |  FROM b, st),
-         |k AS (SELECT d.source, COUNT(*) AS n_kept, SUM(d.n_tok) AS kept_tokens
+         |k AS (SELECT d.source, COUNT(*) AS n_kept, CAST(SUM(d.n_tok) AS BIGINT) AS kept_tokens
          |  FROM d JOIN p USING (source)
          |  WHERE ${hash48Sql("'mix' || CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm
          |  GROUP BY d.source)

@@ -433,6 +433,10 @@ object Analytics {
         coalesce(lag($"event_type", 1).over(w), lit("_start")))
       .groupBy($"prev_type", $"event_type".as("next_type"))
       .agg(count(lit(1)).as("n"))
+      // dimension-sized, consumed twice (totals + join): pin it so the
+      // "scanned once, shuffled once" claim doesn't ride on exchange
+      // reuse (the house pattern — forecast/survival/dedup do the same)
+      .localCheckpoint(false)
     val totals = pairs.groupBy($"prev_type").agg(sum($"n").as("n_prev"))
     pairs.join(broadcast(totals), "prev_type")
       .select($"prev_type", $"next_type", $"n", $"n_prev",
@@ -536,6 +540,9 @@ object Analytics {
       .agg(sum(when(!$"is_cur", 1L).otherwise(0L)).as("n_ref"),
         sum(when($"is_cur", 1L).otherwise(0L)).as("n_cur"))
       .withColumn("bucket", shiftright($"cents", 20))
+      // distinct-value-sized, consumed three times (byBucket / totals /
+      // cdf): pin it rather than rely on exchange reuse (house pattern)
+      .localCheckpoint(false)
     val byBucket = byVal.groupBy($"bucket")
       .agg(sum($"n_ref").as("b_ref"), sum($"n_cur").as("b_cur"))
     val wB = Window.orderBy($"bucket")
@@ -769,7 +776,7 @@ object Analytics {
         |         event_type AS next_type
         |  FROM events),
         |c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM p GROUP BY 1, 2),
-        |t AS (SELECT prev_type, SUM(n) AS n_prev FROM c GROUP BY 1)
+        |t AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_prev FROM c GROUP BY 1)
         |SELECT c.prev_type, c.next_type, c.n, t.n_prev,
         |       floor((c.n * 100 * 2 + t.n_prev) / (t.n_prev * 2)) / 100.0 AS p_pct
         |FROM c JOIN t USING (prev_type)""".stripMargin,
@@ -796,8 +803,8 @@ object Analytics {
         |  FROM orders),
         |g AS (
         |  SELECT bin,
-        |         SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) AS n_ref,
-        |         SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur
+        |         CAST(SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) AS BIGINT) AS n_ref,
+        |         CAST(SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
         |  FROM b GROUP BY 1),
         |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM g)
         |SELECT bin, n_ref, n_cur,
@@ -843,12 +850,12 @@ object Analytics {
         |  FROM u, m),
         |g AS (
         |  SELECT duration,
-        |         SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS n_churn,
-        |         SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS n_censored
+        |         CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS n_churn,
+        |         CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
         |  FROM d GROUP BY 1)
         |SELECT duration,
-        |       SUM(n_churn + n_censored) OVER (ORDER BY duration
-        |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk,
+        |       CAST(SUM(n_churn + n_censored) OVER (ORDER BY duration
+        |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk,
         |       n_churn, n_censored
         |FROM g""".stripMargin,
 
@@ -897,7 +904,7 @@ object Analytics {
         |  FROM c, t)
         |SELECT CAST(floor(MAX(d) * 10000 / (MAX(t_ref) * MAX(t_cur))) AS BIGINT) AS ks_bp,
         |       MIN(CASE WHEN d = (SELECT MAX(d) FROM d) THEN cents END) / 100.0 AS at_price,
-        |       MAX(t_ref) AS t_ref, MAX(t_cur) AS t_cur
+        |       CAST(MAX(t_ref) AS BIGINT) AS t_ref, CAST(MAX(t_cur) AS BIGINT) AS t_cur
         |FROM d""".stripMargin,
 
     // independent spelling: ROW_NUMBER picks the mode+tie-break that the
@@ -962,8 +969,8 @@ object Analytics {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |r AS (
         |  SELECT user_id, t, event_type,
-        |         SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
         |  FROM o),
         |g AS (
         |  SELECT user_id, version, MAX(event_type) AS channel,
@@ -1005,7 +1012,7 @@ object Analytics {
         |  FROM u),
         |d AS (
         |  SELECT CAST(FLOOR(10 * (rk - 1) / n_tot) AS BIGINT) AS decile,
-        |         COUNT(*) AS n_users, SUM(pos) AS n_pos,
+        |         COUNT(*) AS n_users, CAST(SUM(pos) AS BIGINT) AS n_pos,
         |         MAX(n_tot) AS n_tot, MAX(pos_tot) AS pos_tot
         |  FROM r GROUP BY 1),
         |c AS (
@@ -1047,7 +1054,7 @@ object Analytics {
         |       FROM d GROUP BY 1)
         |SELECT d.user_id, MAX(d.n_ev) AS n_ev, MAX(d.med2) AS med2,
         |       MAX(md.mad4) AS mad4,
-        |       SUM(CASE WHEN 2 * d.dev2 > 3 * md.mad4 THEN 1 ELSE 0 END) AS n_out
+        |       CAST(SUM(CASE WHEN 2 * d.dev2 > 3 * md.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_out
         |FROM d JOIN md USING (user_id)
         |GROUP BY 1""".stripMargin,
 
@@ -1105,6 +1112,6 @@ object Analytics {
         |  FROM deg d LEFT JOIN (SELECT e.dst, i.r, i.deg FROM edges e
         |                        JOIN it2 i ON e.src = i.node) p
         |    ON p.dst = d.node GROUP BY 1, 2)
-        |SELECT node AS p_partkey, r AS rank_ppb FROM it3
+        |SELECT node AS p_partkey, CAST(r AS BIGINT) AS rank_ppb FROM it3
         |ORDER BY r DESC, node ASC LIMIT 25""".stripMargin)
 }

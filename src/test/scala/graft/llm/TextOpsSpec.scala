@@ -145,7 +145,8 @@ class TextOpsSpec extends SparkSpec {
       coldKept == 10L && coldKeptTok == 100L) // under budget: keep all
     val (_, hotTok, hotRate, hotKept, hotKeptTok) = out("hot")
     assert(hotTok == 4000L)
-    assert(hotRate == math.floor(0.3 * 4100.0 / 2.0 * 1000000.0 / 4000.0).toLong)
+    // pure-integer plan: (3e6 * tot) div (10 * nsrc * T_s)
+    assert(hotRate == (3000000L * 4100L) / (10L * 2L * 4000L))
     // realized sample tracks the planned rate (hash threshold is uniform);
     // with 400 draws at p≈0.154 a ±3σ band is ~±22 docs
     assert(math.abs(hotKept - 400.0 * hotRate / 1e6) < 25)
@@ -235,13 +236,14 @@ class TextOpsSpec extends SparkSpec {
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     val out = TextOps.queries("d_drift")(spark, d)
-      .select($"term", $"log_ratio").as[(String, Double)].collect()
+      .select($"term", $"log_ratio_unat").as[(String, Long)].collect()
     val byTerm = out.toMap
     // the exclusive terms are the two extremes, in opposite directions
     assert(Set(out.head._1, out(1)._1) == Set("alpha", "beta"))
     assert(byTerm("alpha") > 0 && byTerm("beta") < 0)
-    assert(math.abs(byTerm("alpha") + byTerm("beta")) < 1e-6) // symmetric plant
-    assert(math.abs(byTerm("stable")) < 0.1) // balanced term ≈ no drift
+    // symmetric plant: HALF_UP rounding is odd-symmetric, so exact negation
+    assert(byTerm("alpha") + byTerm("beta") == 0L)
+    assert(math.abs(byTerm("stable")) < 100000L) // balanced ≈ no drift (µnats)
   }
 
   test("classifier score: driver-side hash replay matches the distributed sum exactly") {

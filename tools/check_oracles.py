@@ -5,9 +5,24 @@ Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir>
 
 Registers each testdata table as a DuckDB view, runs every oracle SQL from
 <verifyOutDir>/oracle_sql.json, and frame-compares (columns sorted by
-name, rows sorted, dtype-coerced) against the Spark parquet output.
+name, rows sorted) against the Spark parquet output.
+
+STRICT dtypes (the r8 lesson): the driver's hash is type-sensitive —
+DuckDB widening an uncast integer SUM to HUGEINT (rendered float64)
+red-flags a value-identical result. This tool therefore fails on any
+dtype FAMILY mismatch (int vs float vs bool vs object vs datetime) and
+only then value-compares after widening within the family (int64 /
+float64), mirroring the driver's observed tolerance for narrow-vs-wide
+ints and intolerance for everything else.
 """
 import sys, json, duckdb
+
+def family(dtype):
+    k = dtype.kind  # i/u int, f float, b bool, O object, M datetime, m timedelta
+    if k in ("i", "u"):
+        return "int"
+    return {"f": "float", "b": "bool", "O": "object",
+            "M": "datetime", "m": "timedelta"}.get(k, k)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -29,9 +44,23 @@ def main(sf, out):
                 print(f"FAIL {q}: schema {cols} vs {sorted(o.columns)}")
                 n_bad += 1
                 continue
+            bad_types = [
+                f"{c}: spark {s[c].dtype} vs oracle {o[c].dtype}"
+                for c in cols if family(s[c].dtype) != family(o[c].dtype)]
+            if bad_types:
+                print(f"FAIL {q}: dtype family mismatch — "
+                      + "; ".join(bad_types))
+                n_bad += 1
+                continue
+            # widen within-family only (int8/int32 → int64 etc.)
+            widen = {"int": "int64", "float": "float64"}
+            for c in cols:
+                w = widen.get(family(s[c].dtype))
+                if w:
+                    s[c] = s[c].astype(w)
+                    o[c] = o[c].astype(w)
             s = s[cols].sort_values(cols).reset_index(drop=True)
             o = o[cols].sort_values(cols).reset_index(drop=True)
-            o = o.astype(s.dtypes.to_dict())
             if s.equals(o):
                 print(f"ok   {q} ({len(s)} rows)")
                 n_ok += 1
