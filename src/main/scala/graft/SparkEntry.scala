@@ -33,7 +33,8 @@ object SparkEntry {
       graft.encode.Encoders.queries ++
       graft.io.Sinks.queries ++
       graft.io.Layout.queries ++
-      graft.llm.Multimodal.queries
+      graft.llm.Multimodal.queries ++
+      graft.streaming.StreamingWindows.queries
 
   val oracleSql: Map[String, String] =
     graft.queries.Analytics.oracles ++
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.encode.Encoders.oracles ++
       graft.io.Sinks.oracles ++
       graft.io.Layout.oracles ++
-      graft.llm.Multimodal.oracles
+      graft.llm.Multimodal.oracles ++
+      graft.streaming.StreamingWindows.oracles
 }

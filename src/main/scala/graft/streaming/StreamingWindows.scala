@@ -219,22 +219,44 @@ object StreamingWindows {
     * the watermark allows and gets dropped — so a closed session can
     * never need reopening. Run it with delay == gap (the default), not a
     * larger delay. */
-  case class SessState(start: Long, last: Long, n: Long, sum: Double)
+  /** State carries the value sum in integer CENTS (not a double): the
+    * batch twin sums DECIMAL(18,2) and casts once, so a double
+    * accumulator whose result depends on addition order would disagree
+    * with the batch/oracle sum in the last ulp on long sessions.
+    * Event times are held in MICROSECONDS (`start`/`last`): the events
+    * table carries µs precision, and a getTime-millis fold would emit
+    * ms-truncated s_start/s_end that diverge from the batch
+    * session_window (which aggregates the full µs value). Only the
+    * TIMEOUT registration narrows to ms — that is GroupState's own
+    * unit. */
+  case class SessState(start: Long, last: Long, n: Long, sumCents: Long)
+  case class SessRow(user_id: Long, ts: java.sql.Timestamp, cents: Long)
   case class SessionOut(user_id: Long, s_start: java.sql.Timestamp,
                         s_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
   def sessionize(spark: SparkSession, events: DataFrame,
                  gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+    // local defs: a method on the enclosing (non-serializable) object
+    // would drag StreamingWindows$ into the state-function closure
+    def toMicros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     def out(u: Long, s: SessState): SessionOut =
-      SessionOut(u, new java.sql.Timestamp(s.start),
-        new java.sql.Timestamp(s.last + gapMs), s.n, s.sum)
-    typedRows(spark, events.withWatermark("ts", s"$gapMinutes minutes"))
+      SessionOut(u, fromMicros(s.start),
+        fromMicros(s.last + gapUs), s.n, s.sumCents / 100.0)
+    events.withWatermark("ts", s"$gapMinutes minutes")
+      .select(col("user_id"), col("ts"),
+        (dec2(col("value")) * 100).cast("long").as("cents")).as[SessRow]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[EvRow], state: GroupState[SessState]) =>
+        (user: Long, rows: Iterator[SessRow], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
@@ -242,8 +264,8 @@ object StreamingWindows {
           } else {
             val closed = ArrayBuffer.empty[SessState]
             var cur = state.getOption
-            rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
-              val t = r.ts.getTime
+            rows.toSeq.sortBy(r => toMicros(r.ts)).foreach { r =>
+              val t = toMicros(r.ts)
               cur = cur match {
                 // Within gap of the OPEN INTERVAL on either side (strict
                 // <: session_window is half-open [start, last+gap)). The
@@ -254,12 +276,12 @@ object StreamingWindows {
                 // user's state lags, ADVICE r7): s.start must move back
                 // to t or the emitted s_start diverges from the batch
                 // semantics.
-                case Some(s) if t - s.last < gapMs && s.start - t < gapMs =>
+                case Some(s) if t - s.last < gapUs && s.start - t < gapUs =>
                   Some(SessState(math.min(s.start, t), math.max(s.last, t),
-                    s.n + 1, s.sum + r.value))
-                case Some(s) if t - s.last >= gapMs =>
+                    s.n + 1, s.sumCents + r.cents))
+                case Some(s) if t - s.last >= gapUs =>
                   closed += s
-                  Some(SessState(t, t, 1L, r.value))
+                  Some(SessState(t, t, 1L, r.cents))
                 case Some(s) =>
                   // t precedes the open session by ≥ gap: an earlier,
                   // already-complete session. Only reachable when t sits
@@ -267,14 +289,18 @@ object StreamingWindows {
                   // s.start ≥ t + gap ≥ prevMax forces equality
                   // throughout), so no still-admissible event can extend
                   // it — emit the singleton, keep the open session.
-                  closed += SessState(t, t, 1L, r.value)
+                  closed += SessState(t, t, 1L, r.cents)
                   cur
-                case None => Some(SessState(t, t, 1L, r.value))
+                case None => Some(SessState(t, t, 1L, r.cents))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // GroupState's unit is MILLIseconds; floor-µs→ms here is
+              // pinned (with the strict-< firing rule) by the boundary
+              // test in StreamingSpec and replayed by the st_sessionize
+              // oracle's emission predicate.
+              state.setTimeoutTimestamp((s.last + gapUs) / 1000L)
             }
             closed.iterator.map(out(user, _))
           }
@@ -296,4 +322,114 @@ object StreamingWindows {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  // ---- Declared queries -------------------------------------------
+
+  /** Declared-query reader: NO maxFilesPerTrigger, so AvailableNow takes
+    * every existing file in the FIRST micro-batch and then runs the
+    * no-data finalization batch that fires event-time timeouts. This
+    * makes the emitted set a pure function of the DATA, independent of
+    * how many part files the table happens to have — the per-file
+    * variant above stays the multi-batch/out-of-order test surface.
+    *
+    * FileStreamSource requires a DIRECTORY; the testdata tables are
+    * single parquet FILES — so a file target is surfaced through a
+    * fixed scratch directory via symlink (re-pointed each call, so a
+    * regenerated table is picked up). */
+  private def readAllEventStream(spark: SparkSession, path: String): DataFrame = {
+    val p = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isDirectory(p)) path
+      else {
+        val d = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft-stream-src",
+          Integer.toHexString(path.hashCode))
+        java.nio.file.Files.createDirectories(d)
+        val link = d.resolve(p.getFileName)
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.createSymbolicLink(link, p.toAbsolutePath)
+        d.toString
+      }
+    spark.readStream.schema(EventSchema).parquet(dir)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** st_sessionize: the flatMapGroupsWithState sessionizer run as a
+    * finite drain over the events table. With a single data batch the
+    * emitted set is exactly: every session CLOSED by in-batch gap
+    * evidence (all non-final sessions of each user) plus each user's
+    * final session IFF its event-time timeout fired —
+    * floor_ms(last+gap) STRICTLY below floor_ms(max_ts) − gap_ms, the
+    * boundary pinned µs-exactly by TimeoutBoundarySpec — which is what
+    * the DuckDB oracle spells. Proves the streaming twin end-to-end
+    * (state fold, timeout emission, watermark arithmetic), not just
+    * in a unit test. */
+  private val stSessionize: Q = (spark, dir) => {
+    spark.catalog.dropTempView("st_sess_mem")
+    runToCompletion(spark,
+      sessionize(spark, readAllEventStream(spark, s"$dir/events.parquet")),
+      "st_sess_mem", OutputMode.Append())
+  }
+
+  /** st_latest_state: the CDC compacting-changelog twin drained to its
+    * FINAL state per key: update-mode emissions are compacted to the
+    * per-user row with max (ts, event_id) — equal, by the latest-wins
+    * contract, to the batch "current row per user", which the oracle
+    * recomputes directly. */
+  private val stLatestState: Q = (spark, dir) => {
+    spark.catalog.dropTempView("st_latest_mem")
+    val emitted = runToCompletion(spark,
+      latestState(spark, readAllEventStream(spark, s"$dir/events.parquet")),
+      "st_latest_mem", OutputMode.Update())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    emitted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "st_sessionize"   -> stSessionize,
+    "st_latest_state" -> stLatestState)
+
+  val oracles: Map[String, String] = Map(
+    // ev_session's batch spelling, minus each user's final session when
+    // it is still inside the finalization watermark (s_end > max_ts − gap)
+    "st_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value,
+        |         CASE WHEN CAST(ts AS TIMESTAMP) -
+        |              lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL '30 minutes'
+        |              OR lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, t, value,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, sess, MIN(t) AS s_start,
+        |         MAX(t) + INTERVAL '30 minutes' AS s_end,
+        |         COUNT(*) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM s GROUP BY user_id, sess),
+        |mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events),
+        |r AS (
+        |  SELECT g.*, max_ts,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s_start DESC) AS rk
+        |  FROM g, mx)
+        |SELECT user_id, s_start, s_end, n_events, sum_value
+        |FROM r WHERE rk > 1
+        |   OR (epoch_us(s_end) // 1000) < (epoch_us(max_ts) // 1000) - 1800000""".stripMargin,
+
+    "st_latest_state" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts, event_type, value, event_id
+        |FROM r WHERE rn = 1""".stripMargin)
 }
