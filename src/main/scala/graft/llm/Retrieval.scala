@@ -27,8 +27,11 @@ import graft.Tables
   *    unpartitioned window would funnel every scored doc through one
   *    task; ranks are re-derived on the k surviving rows instead).
   *  - Scoring uses literal-for-literal the same arithmetic as the DuckDB
-  *    oracle; the score is rounded to 4 decimals BEFORE ranking so the
-  *    ordering is reproducible across engines (same guard as
+  *    oracle; each TERM's contribution is quantized to integer micro
+  *    BEFORE the per-doc sum (the d_lm_score canon, r9) — a double
+  *    accumulator's value depends on partial-agg order (varies across
+  *    runs, not just engines), while the integer sum is order-free —
+  *    and the rank key is the integer score (same guard as
   *    d_tfidf_topterms).
   *
   * BM25 (Robertson/Sparck-Jones, the Lucene-default flavor):
@@ -64,16 +67,17 @@ object Retrieval {
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .withColumn("contrib_u",
+        round(col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+          * lit(1e6)).cast("long"))
     val perDoc = scored.groupBy(col("doc_id"))
-      .agg(round(sum(col("contrib")), 4).as("score"),
+      .agg(sum(col("contrib_u")).as("score_micro"),
         count(lit(1)).as("n_terms"))
-    val top = perDoc.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    val top = perDoc.orderBy(col("score_micro").desc, col("doc_id").asc).limit(k)
     // Rank over the k survivors only (k rows — the window is trivial).
     top.withColumn("rk",
-      row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+      row_number().over(Window.orderBy(col("score_micro").desc, col("doc_id").asc))
         .cast("long"))
   }
 
@@ -102,16 +106,19 @@ object Retrieval {
          |      * (tf.tf * CAST(2.2 AS DOUBLE)) /
          |        (tf.tf + CAST(1.2 AS DOUBLE) *
          |          (CAST(0.25 AS DOUBLE) +
-         |           CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl)) AS contrib
+         |           CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))
+         |      * CAST(1e6 AS DOUBLE) AS contrib_x
          |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
          |  CROSS JOIN stats),
-         |per AS (SELECT doc_id, round(SUM(contrib), 4) AS score,
+         |per AS (SELECT doc_id,
+         |               CAST(SUM(CAST(round(contrib_x) AS BIGINT)) AS BIGINT)
+         |                 AS score_micro,
          |               COUNT(*) AS n_terms
          |        FROM scored GROUP BY 1),
-         |top AS (SELECT doc_id, score, n_terms FROM per
-         |        ORDER BY score DESC, doc_id LIMIT 10)
-         |SELECT doc_id, score, n_terms,
-         |       row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+         |top AS (SELECT doc_id, score_micro, n_terms FROM per
+         |        ORDER BY score_micro DESC, doc_id LIMIT 10)
+         |SELECT doc_id, score_micro, n_terms,
+         |       row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rk
          |FROM top""".stripMargin
     })
 }

@@ -306,8 +306,10 @@ object TextOps {
     * AQE broadcasts when the vocabulary is small. RANKING is float-free
     * (tf desc, df asc, term asc — all exact integers/binary strings, so
     * Spark and DuckDB can never disagree on order); the tf·ln(N/df)
-    * VALUE is rounded to 4 decimals, the same ulp-drift treatment as
-    * a8/a11. */
+    * VALUE is quantized to integer micro (r9 canon): round-to-integer
+    * is the same ties-away-from-zero operation in both engines, where
+    * round-to-4-decimals rides each engine's own decimal-representation
+    * path. */
   private val tfidf: Q = (spark, dir) => {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
@@ -327,7 +329,8 @@ object TextOps {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 3)
       .select($"doc_id", $"term", $"tf", $"df",
-        bround($"tf" * log(lit(nDocs) / $"df"), 4).as("tfidf"), $"rk")
+        round($"tf" * log(lit(nDocs) / $"df") * 1e6).cast("long")
+          .as("tfidf_micro"), $"rk")
   }
 
   /** Corpus vocabulary top-k: most frequent non-stopword terms — the
@@ -375,21 +378,30 @@ object TextOps {
     * quality signal (near-zero entropy = degenerate repetition, the
     * failure mode uniq_ratio catches only crudely). Two shuffles: term
     * frequencies by (doc, term), then the entropy fold by doc; both are
-    * plain partial-agg groupBys. Value rounded to 6 dp (double-sum
-    * order differs per engine — the a11 treatment). */
+    * plain partial-agg groupBys. The d_lm_score canon (r9): each
+    * tf·ln(tf) term is quantized to integer micro-nats BEFORE the
+    * per-doc sum — a double accumulator's value depends on partial-agg
+    * order, which varies not just across engines but across RUNS of the
+    * same engine, so a rounded double sum can flip at a round boundary
+    * between two executions of identical code. Integer sums are
+    * order-free; the emitted entropy is integer micro-nats. */
   private val entropy: Q = (spark, dir) => {
     import spark.implicits._
     val tf = Tables.load(spark, dir, "documents")
       .select($"doc_id", explode(toks($"text")).as("term"))
       .filter(length($"term") > 0)
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .withColumn("slog_u",
+        round($"tf".cast("double") * log($"tf".cast("double")) * 1e6)
+          .cast("long"))
     tf.groupBy($"doc_id")
-      .agg(sum($"tf").as("n"),
-        sum($"tf".cast("double") * log($"tf".cast("double"))).as("slog"))
+      .agg(sum($"tf").as("n"), sum($"slog_u").as("slog_u"))
       // H = ln n − (Σ tf·ln tf)/n  (algebraic form of −Σ p·ln p; one
-      // pass, no second join against the total)
+      // pass, no second join against the total), assembled in integer
+      // micro-nat space (slog_u ≥ 0, so div == floor on both engines)
       .select($"doc_id", $"n",
-        round(log($"n") - $"slog" / $"n", 6).as("entropy"))
+        (round(log($"n".cast("double")) * 1e6).cast("long")
+          - expr("slog_u div n")).as("entropy_unat"))
   }
 
   /** Gopher/RefinedWeb-style REPETITION signals — the quality family's
@@ -959,11 +971,16 @@ object TextOps {
       s"""WITH t AS (SELECT doc_id, unnest($ToksSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
          |       WHERE length(term) > 0 GROUP BY 1, 2),
+         |q AS (SELECT doc_id, tf,
+         |        CAST(round(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)) * 1e6)
+         |          AS BIGINT) AS slog_u
+         |      FROM tf),
          |agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n,
-         |          SUM(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))) AS slog
-         |        FROM tf GROUP BY 1)
+         |          CAST(SUM(slog_u) AS BIGINT) AS slog_u
+         |        FROM q GROUP BY 1)
          |SELECT doc_id, n,
-         |       round(ln(CAST(n AS DOUBLE)) - slog / n, 6) AS entropy
+         |       CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+         |         - slog_u // n AS entropy_unat
          |FROM agg""".stripMargin,
 
     "d_chunk" ->
@@ -1003,7 +1020,8 @@ object TextOps {
          |          ORDER BY tf.tf DESC, dft.df ASC, tf.term ASC) AS rk
          |      FROM tf JOIN dft USING (term) CROSS JOIN n)
          |SELECT doc_id, term, tf, df,
-         |       round(tf * ln(n_docs / df), 4) AS tfidf, rk
+         |       CAST(round(tf * ln(n_docs / df) * 1e6) AS BIGINT)
+         |         AS tfidf_micro, rk
          |FROM r WHERE rk <= 3""".stripMargin,
 
     "d_text_stats" ->

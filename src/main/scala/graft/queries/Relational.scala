@@ -636,7 +636,8 @@ object Relational {
   // oracle-checkable, none of which rand()-based weighted sampling
   // gives. Scale shape: key is map-side arithmetic ((h+1)/2^48 is a
   // power-of-two division — IEEE-exact in both engines; the ln/div is
-  // rounded to 9 dp with a doc_id tiebreak so a last-ulp libm
+  // quantized to INTEGER nano-keys (r9 canon) with a doc_id tiebreak,
+  // so the engines rank identical integers and a last-ulp libm
   // disagreement cannot flip the boundary), then the same two-phase
   // WindowGroupLimit top-K as d_source_cap: each map task keeps its
   // local top-K per source before the exchange.
@@ -645,7 +646,8 @@ object Relational {
     val K = 5
     val u = (graft.llm.TextOps.hash48(concat(lit("ws:"), $"doc_id".cast("string")))
       + 1).cast("double") / lit(281474976710656.0)
-    val key = round(log(u) / greatest($"n_chars", lit(1L)).cast("double"), 9)
+    val key = round(log(u) / greatest($"n_chars", lit(1L)).cast("double")
+      * lit(1e9)).cast("long")
     val w = Window.partitionBy($"source").orderBy($"key".desc, $"doc_id".asc)
     Tables.load(spark, dir, "documents")
       .select($"doc_id", $"source", $"n_chars", key.as("key"))
@@ -1225,9 +1227,10 @@ object Relational {
     "o6_weighted_sample" ->
       """WITH d AS (
         |  SELECT doc_id, source, n_chars,
-        |         round(ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |         CAST(round(ln((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12))
         |                     AS BIGINT) + 1) / 281474976710656.0)
-        |               / CAST(greatest(n_chars, 1) AS DOUBLE), 9) AS key
+        |               / CAST(greatest(n_chars, 1) AS DOUBLE) * 1e9)
+        |           AS BIGINT) AS key
         |  FROM documents),
         |r AS (
         |  SELECT source, doc_id, n_chars,

@@ -74,8 +74,9 @@ class RelationalLawsSpec extends SparkSpec {
       rows.toSeq.map { case (id, src, nc) =>
         val u = (graft.llm.TextOps.hash48Jvm(s"ws:$id") + 1).toDouble /
           281474976710656.0
-        val key = BigDecimal(math.log(u) / math.max(nc, 1L).toDouble)
-          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // integer nano-key, same HALF_UP quantization as the query
+        val key = BigDecimal(math.log(u) / math.max(nc, 1L).toDouble * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
         (src, id, key)
       }.sortBy { case (_, id, key) => (-key, id) }.take(5)
         .zipWithIndex.map { case ((s, id, _), i) => (s, id, i + 1L) }
