@@ -82,26 +82,34 @@ object EventWindows {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2""".stripMargin,
 
+    // Pre-aggregated by (user_id, ts) so the lag and cumulative-sum
+    // windows run over DISTINCT timestamps: with raw rows, two separate
+    // window operators could order tied timestamps differently and
+    // split a tie across sessions nondeterministically. Tied rows are
+    // always one session (gap 0), so the pre-agg is semantics-free.
     "ev_session" ->
-      """WITH o AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value,
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+        |         COUNT(*) AS nr, SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |o AS (
+        |  SELECT user_id, t, nr, v,
         |         -- >= not >: Spark session_window is end-exclusive
         |         -- ([start, max(ts)+gap)), so an event at exactly
         |         -- lastTs+30min opens a NEW session.
-        |         CASE WHEN CAST(ts AS TIMESTAMP) -
-        |              lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+        |         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
         |              >= INTERVAL '30 minutes'
-        |              OR lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
         |         THEN 1 ELSE 0 END AS new_session
-        |  FROM events),
+        |  FROM e),
         |s AS (
-        |  SELECT user_id, t, value,
+        |  SELECT user_id, t, nr, v,
         |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
         |  FROM o)
         |SELECT user_id, MIN(t) AS s_start,
         |       MAX(t) + INTERVAL '30 minutes' AS s_end,
-        |       COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |       CAST(SUM(nr) AS BIGINT) AS n_events,
+        |       CAST(SUM(v) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sess""".stripMargin)
 }

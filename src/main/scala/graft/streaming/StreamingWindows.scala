@@ -297,8 +297,8 @@ object StreamingWindows {
             cur.foreach { s =>
               state.update(s)
               // GroupState's unit is MILLIseconds; floor-µs→ms here is
-              // pinned (with the strict-< firing rule) by the boundary
-              // test in StreamingSpec and replayed by the st_sessionize
+              // pinned (with the strict-< firing rule) by
+              // TimeoutBoundarySpec and replayed by the st_sessionize
               // oracle's emission predicate.
               state.setTimeoutTimestamp((s.last + gapUs) / 1000L)
             }
@@ -342,7 +342,8 @@ object StreamingWindows {
       if (java.nio.file.Files.isDirectory(p)) path
       else {
         val d = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft-stream-src",
+          sys.props("java.io.tmpdir"),
+          s"graft-stream-src-${ProcessHandle.current().pid()}",
           Integer.toHexString(path.hashCode))
         java.nio.file.Files.createDirectories(d)
         val link = d.resolve(p.getFileName)
@@ -367,9 +368,16 @@ object StreamingWindows {
     * in a unit test. */
   private val stSessionize: Q = (spark, dir) => {
     spark.catalog.dropTempView("st_sess_mem")
-    runToCompletion(spark,
+    val out = runToCompletion(spark,
       sessionize(spark, readAllEventStream(spark, s"$dir/events.parquet")),
       "st_sess_mem", OutputMode.Append())
+      // copy out of the memory sink (block manager, spillable) and drop
+      // the view NOW: a memory sink pins its whole emitted row set on
+      // the driver heap, and clearCache() cannot free a temp view —
+      // without this every later bench entry runs against that ballast
+      .localCheckpoint(true)
+    spark.catalog.dropTempView("st_sess_mem")
+    out
   }
 
   /** st_latest_state: the CDC compacting-changelog twin drained to its
@@ -382,6 +390,8 @@ object StreamingWindows {
     val emitted = runToCompletion(spark,
       latestState(spark, readAllEventStream(spark, s"$dir/events.parquet")),
       "st_latest_mem", OutputMode.Update())
+      .localCheckpoint(true) // same memory-sink ballast relief as above
+    spark.catalog.dropTempView("st_latest_mem")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
     emitted.withColumn("rn", row_number().over(w))
@@ -394,26 +404,34 @@ object StreamingWindows {
 
   val oracles: Map[String, String] = Map(
     // ev_session's batch spelling, minus each user's final session when
-    // it is still inside the finalization watermark (s_end > max_ts − gap)
+    // it is still inside the finalization watermark. Events are
+    // PRE-AGGREGATED by (user_id, ts) first: with raw rows, the lag and
+    // cumulative-sum windows could order tied timestamps differently
+    // (unstable sorts in two separate window operators) and split a tie
+    // across sessions nondeterministically — on distinct timestamps both
+    // windows have a total order.
     "st_sessionize" ->
-      """WITH o AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value,
-        |         CASE WHEN CAST(ts AS TIMESTAMP) -
-        |              lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+        |         COUNT(*) AS nr, SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2),
+        |o AS (
+        |  SELECT user_id, t, nr, v,
+        |         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
         |              >= INTERVAL '30 minutes'
-        |              OR lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
         |         THEN 1 ELSE 0 END AS new_session
-        |  FROM events),
+        |  FROM e),
         |s AS (
-        |  SELECT user_id, t, value,
+        |  SELECT user_id, t, nr, v,
         |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
         |  FROM o),
         |g AS (
         |  SELECT user_id, sess, MIN(t) AS s_start,
         |         MAX(t) + INTERVAL '30 minutes' AS s_end,
-        |         COUNT(*) AS n_events,
-        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |         CAST(SUM(nr) AS BIGINT) AS n_events,
+        |         CAST(SUM(v) AS DOUBLE) AS sum_value
         |  FROM s GROUP BY user_id, sess),
         |mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events),
         |r AS (

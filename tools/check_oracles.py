@@ -24,6 +24,16 @@ def family(dtype):
     return {"f": "float", "b": "bool", "O": "object",
             "M": "datetime", "m": "timedelta"}.get(k, k)
 
+def widen_within_family(s, o, cols):
+    """In-place: widen narrow int/float columns to 64-bit in BOTH frames
+    (the driver's observed tolerance) so value-compare sees one width."""
+    widen = {"int": "int64", "float": "float64"}
+    for c in cols:
+        w = widen.get(family(s[c].dtype))
+        if w:
+            s[c] = s[c].astype(w)
+            o[c] = o[c].astype(w)
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -52,13 +62,7 @@ def main(sf, out):
                       + "; ".join(bad_types))
                 n_bad += 1
                 continue
-            # widen within-family only (int8/int32 → int64 etc.)
-            widen = {"int": "int64", "float": "float64"}
-            for c in cols:
-                w = widen.get(family(s[c].dtype))
-                if w:
-                    s[c] = s[c].astype(w)
-                    o[c] = o[c].astype(w)
+            widen_within_family(s, o, cols)
             s = s[cols].sort_values(cols).reset_index(drop=True)
             o = o[cols].sort_values(cols).reset_index(drop=True)
             if s.equals(o):

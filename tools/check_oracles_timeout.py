@@ -29,23 +29,15 @@ def one(sf, out, q, sql, conn):
         cols = sorted(s.columns)
         if sorted(o.columns) != cols:
             conn.send(("schema", f"{cols} vs {sorted(o.columns)}")); return
-        # STRICT dtypes, same as check_oracles.py (the r8 HUGEINT lesson):
-        # fail on dtype-family mismatch, widen only within a family.
-        def family(dtype):
-            k = dtype.kind
-            return "int" if k in ("i", "u") else \
-                {"f": "float", "b": "bool", "O": "object",
-                 "M": "datetime", "m": "timedelta"}.get(k, k)
+        # STRICT dtypes — ONE implementation, shared with check_oracles.py
+        # (the r8 HUGEINT escape was exactly a two-sites drift): fail on
+        # dtype-family mismatch, widen only within a family.
+        from check_oracles import family, widen_within_family
         bad = [f"{c}: spark {s[c].dtype} vs oracle {o[c].dtype}"
                for c in cols if family(s[c].dtype) != family(o[c].dtype)]
         if bad:
             conn.send(("dtype", "; ".join(bad))); return
-        widen = {"int": "int64", "float": "float64"}
-        for c in cols:
-            w = widen.get(family(s[c].dtype))
-            if w:
-                s[c] = s[c].astype(w)
-                o[c] = o[c].astype(w)
+        widen_within_family(s, o, cols)
         s = s[cols].sort_values(cols).reset_index(drop=True)
         o = o[cols].sort_values(cols).reset_index(drop=True)
         if s.equals(o):
