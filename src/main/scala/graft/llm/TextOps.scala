@@ -492,6 +492,42 @@ object TextOps {
     * (a plain row_number window would shuffle every row to sort whole
     * sources). Emits kept rows with their sample rank so downstream
     * mixture audits can re-derive per-source acceptance. */
+  /** Exact heavy hitters over the token stream — "which terms exceed
+    * 0.1% of the corpus" — via the canonical two-pass candidate/verify
+    * split, the bounded-memory pattern for frequent items at 100 TB:
+    *
+    *  - Pass 1 finds a candidate SUPERSET with `stat.freqItems`
+    *    (Karp/Misra-Gries one-pass counting: GUARANTEED to contain
+    *    every item with frequency > support, may add false positives;
+    *    state ≤ 1/support entries per partition, merged on the driver —
+    *    bounded regardless of vocabulary size).
+    *  - Pass 2 computes EXACT counts for the ≤ 1/support candidates
+    *    only: the token stream is filtered map-side against the
+    *    driver-sized candidate set, and partial aggregation means at
+    *    most |candidates| rows leave each partition — the full-
+    *    vocabulary shuffle of a plain groupBy(term) NEVER happens.
+    *    The exact threshold filter then discards the sketch's false
+    *    positives, so the OUTPUT is exactly the true heavy-hitter set
+    *    with exact counts — oracle-comparable even though pass 1 is
+    *    approximate and its candidate set is order-dependent.
+    *
+    * All comparisons integer (cnt·1000 > n; share in integer bp). */
+  private val heavyHitters: Q = (spark, dir) => {
+    import spark.implicits._
+    val tok = Tables.load(spark, dir, "documents")
+      .select(explode(toks($"text")).as("term"))
+      .filter(length($"term") > 0)
+    val n = tok.count()
+    // driver-sized by construction: ≤ 1/support = 1000 entries
+    val cand = tok.stat.freqItems(Seq("term"), 0.001)
+      .collect()(0).getSeq[String](0)
+    tok.filter($"term".isin(cand: _*))
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" * 1000L > lit(n))
+      .select($"term", $"cnt",
+        expr(s"cnt * 10000 div ${n}L").as("share_bp"))
+  }
+
   private val sourceCap: Q = (spark, dir) => {
     import spark.implicits._
     val CapK = 100
@@ -763,6 +799,7 @@ object TextOps {
     "d_lm_score"       -> lmScore,
     "d_pack_sequences" -> packSeq,
     "d_source_cap"     -> sourceCap,
+    "d_heavy_hitters"  -> heavyHitters,
     "d_mixture_plan"   -> mixturePlan,
     "d_drift"          -> drift,
     "d_winnow"         -> winnow,
@@ -918,6 +955,17 @@ object TextOps {
          |  COALESCE(k.n_kept, 0) AS n_kept,
          |  COALESCE(k.kept_tokens, 0) AS kept_tokens
          |FROM p LEFT JOIN k USING (source)""".stripMargin,
+
+    // exact truth: the candidate pass is a strict superset by the
+    // freqItems guarantee, so exact-verify == plain exact aggregation
+    "d_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($ToksSql) AS term FROM documents),
+         |t2 AS (SELECT term FROM t WHERE length(term) > 0),
+         |n AS (SELECT COUNT(*) AS n FROM t2),
+         |c AS (SELECT term, COUNT(*) AS cnt FROM t2 GROUP BY 1)
+         |SELECT term, cnt, CAST(cnt * 10000 // (SELECT n FROM n) AS BIGINT)
+         |         AS share_bp
+         |FROM c WHERE cnt * 1000 > (SELECT n FROM n)""".stripMargin,
 
     "d_source_cap" ->
       """WITH r AS (SELECT doc_id, source,

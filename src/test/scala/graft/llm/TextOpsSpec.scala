@@ -153,6 +153,25 @@ class TextOpsSpec extends SparkSpec {
     assert(hotKeptTok == hotKept * 10L) // every doc is exactly 10 tokens
   }
 
+  test("heavy hitters: exact set above the support boundary, sketch false positives discarded") {
+    import spark.implicits._
+    // corpus of exactly 1000 tokens: "hot" 600×, "warm" 2×, 398 unique
+    // fillers. Threshold cnt·1000 > n=1000 ⇔ cnt ≥ 2: hot and warm
+    // qualify; every unique filler (cnt=1, exactly ON the boundary
+    // after the strict >) must be excluded even though the freqItems
+    // candidate pass may surface it as a false positive.
+    val words = Seq.fill(600)("hot") ++ Seq.fill(2)("warm") ++
+      (0 until 398).map(i => s"u$i")
+    val docs = words.grouped(50).zipWithIndex.map { case (ws, i) =>
+      (i.toLong, ws.mkString(" "), "en", "s", 1L)
+    }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Files.createTempDirectory("hhspec").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.queries("d_heavy_hitters")(spark, d)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map("hot" -> (600L, 6000L), "warm" -> (2L, 20L)))
+  }
+
   test("novelty: cloned docs score 0, a unique doc scores 1, short docs absent") {
     import spark.implicits._
     val base = "alpha bravo charlie delta echo foxtrot golf hotel"
