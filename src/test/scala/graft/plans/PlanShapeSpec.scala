@@ -113,6 +113,10 @@ class PlanShapeSpec extends SparkSpec {
     ("ev_transitions", 8, 1),
     // monoid state-merge: partial + merge agg over ONE scan; observed 2
     ("t9_incremental_agg", 3, 0),
+    // heavy hitters exact-verify pass: map-side candidate filter + ONE
+    // partial+final count agg — the full-vocabulary shuffle must never
+    // appear (the candidate/sketch pass runs eagerly before this plan)
+    ("d_heavy_hitters", 2, 0),
     // collision-counting set-sim join: sizes attach + ONE token SMJ +
     // ONE pair aggregate; observed 7 (the small-sf size attaches
     // broadcast — AQE decides those by REAL aggregate stats; the
