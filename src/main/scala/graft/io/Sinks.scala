@@ -22,19 +22,10 @@ object Sinks {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Per-query scratch dir, fixed WITHIN a JVM (overwritten on every
-    * invocation, not re-created): repeated bench/verify iterations reuse
-    * one directory instead of leaking a fresh createTempDirectory copy
-    * each run. The path carries the JVM pid so two concurrent graft
-    * processes (e.g. a bench and a verify on the same host) can never
-    * read each other's half-overwritten files. */
-  private def scratchDir(name: String): String = {
-    val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      s"graft-scratch-${ProcessHandle.current().pid()}-$name")
-    Files.createDirectories(p)
-    p.toString
-  }
+  /** Per-query scratch dir — see [[graft.util.Scratch]] for the
+    * process-isolation + cleanup contract. */
+  private def scratchDir(name: String): String =
+    graft.util.Scratch.dir(name)
 
   /** S2: CSV with header + inferSchema + na.drop
     * (GBDT/spark/churn_xgb4j_spark.scala:19). Parquet→CSV→parquet

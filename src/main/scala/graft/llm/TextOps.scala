@@ -492,6 +492,17 @@ object TextOps {
     * (a plain row_number window would shuffle every row to sort whole
     * sources). Emits kept rows with their sample rank so downstream
     * mixture audits can re-derive per-source acceptance. */
+  private val sourceCap: Q = (spark, dir) => {
+    import spark.implicits._
+    val CapK = 100
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= CapK)
+  }
+
   /** Exact heavy hitters over the token stream — "which terms exceed
     * 0.1% of the corpus" — via the canonical two-pass candidate/verify
     * split, the bounded-memory pattern for frequent items at 100 TB:
@@ -502,14 +513,15 @@ object TextOps {
     *    state ≤ 1/support entries per partition, merged on the driver —
     *    bounded regardless of vocabulary size).
     *  - Pass 2 computes EXACT counts for the ≤ 1/support candidates
-    *    only: the token stream is filtered map-side against the
-    *    driver-sized candidate set, and partial aggregation means at
-    *    most |candidates| rows leave each partition — the full-
-    *    vocabulary shuffle of a plain groupBy(term) NEVER happens.
-    *    The exact threshold filter then discards the sketch's false
-    *    positives, so the OUTPUT is exactly the true heavy-hitter set
-    *    with exact counts — oracle-comparable even though pass 1 is
-    *    approximate and its candidate set is order-dependent.
+    *    only: every non-candidate token collapses map-side into one
+    *    NULL group, so at most |candidates|+1 rows leave each partition
+    *    — the full-vocabulary shuffle of a plain groupBy(term) NEVER
+    *    happens — and the null group completes the corpus total n in
+    *    the SAME pass (no third scan for the denominator). The exact
+    *    threshold filter then discards the sketch's false positives, so
+    *    the OUTPUT is exactly the true heavy-hitter set with exact
+    *    counts — oracle-comparable even though pass 1 is approximate
+    *    and its candidate set is order-dependent.
     *
     * All comparisons integer (cnt·1000 > n; share in integer bp). */
   private val heavyHitters: Q = (spark, dir) => {
@@ -517,26 +529,22 @@ object TextOps {
     val tok = Tables.load(spark, dir, "documents")
       .select(explode(toks($"text")).as("term"))
       .filter(length($"term") > 0)
-    val n = tok.count()
     // driver-sized by construction: ≤ 1/support = 1000 entries
     val cand = tok.stat.freqItems(Seq("term"), 0.001)
       .collect()(0).getSeq[String](0)
-    tok.filter($"term".isin(cand: _*))
-      .groupBy($"term").agg(count(lit(1)).as("cnt"))
-      .filter($"cnt" * 1000L > lit(n))
+    val counts =
+      if (cand.isEmpty) // empty corpus: no candidates, no output
+        tok.groupBy($"term").agg(count(lit(1)).as("cnt"))
+      else
+        tok.groupBy(when($"term".isin(cand: _*), $"term").as("term"))
+          .agg(count(lit(1)).as("cnt"))
+          // dimension-sized, consumed twice (total + filter): pin it
+          .localCheckpoint(false)
+    val n = counts.agg(coalesce(sum($"cnt"), lit(0L)).as("n"))
+      .first().getLong(0)
+    counts.filter($"term".isNotNull && $"cnt" * 1000L > lit(n))
       .select($"term", $"cnt",
-        expr(s"cnt * 10000 div ${n}L").as("share_bp"))
-  }
-
-  private val sourceCap: Q = (spark, dir) => {
-    import spark.implicits._
-    val CapK = 100
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy(md5($"doc_id".cast("string")), $"doc_id")
-    Tables.load(spark, dir, "documents")
-      .select($"doc_id", $"source")
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter($"rk" <= CapK)
+        expr(s"cnt * 10000 div ${math.max(n, 1L)}L").as("share_bp"))
   }
 
   /** Token-budget mixture PLAN + its deterministic execution audit — the

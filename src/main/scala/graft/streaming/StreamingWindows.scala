@@ -334,18 +334,16 @@ object StreamingWindows {
     *
     * FileStreamSource requires a DIRECTORY; the testdata tables are
     * single parquet FILES — so a file target is surfaced through a
-    * fixed scratch directory via symlink (re-pointed each call, so a
-    * regenerated table is picked up). */
+    * per-process scratch directory ([[graft.util.Scratch]]: pid-scoped,
+    * stale-cleaned, deleted at exit) via symlink, re-pointed each call
+    * so a regenerated table is picked up. */
   private def readAllEventStream(spark: SparkSession, path: String): DataFrame = {
     val p = java.nio.file.Paths.get(path)
     val dir =
       if (java.nio.file.Files.isDirectory(p)) path
       else {
-        val d = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"),
-          s"graft-stream-src-${ProcessHandle.current().pid()}",
-          Integer.toHexString(path.hashCode))
-        java.nio.file.Files.createDirectories(d)
+        val d = java.nio.file.Paths.get(graft.util.Scratch.dir(
+          s"stream-src-${Integer.toHexString(path.hashCode)}"))
         val link = d.resolve(p.getFileName)
         java.nio.file.Files.deleteIfExists(link)
         java.nio.file.Files.createSymbolicLink(link, p.toAbsolutePath)
