@@ -66,8 +66,9 @@ object Sessions {
       // saveAsTable (K1) writes through the in-memory catalog; use a
       // FRESH tmp warehouse per JVM — a fixed path fails on the next run
       // with LOCATION_ALREADY_EXISTS (catalog is per-session, dir isn't).
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      // Scratch.dir is pid-scoped + stale-cleaned + deleted at exit, so
+      // per-JVM freshness holds without leaking a dir per run.
+      .config("spark.sql.warehouse.dir", graft.util.Scratch.dir("warehouse"))
       // REAL metastore-backed catalog (r8, VERDICT r7 Next #4): K1's
       // saveAsTable and J4's bucketed tables persist through the Hive
       // external catalog — the reference's RF:225 semantics — backed by
@@ -76,8 +77,8 @@ object Sessions {
       // changes to the shared metastore service).
       .enableHiveSupport()
       .config("spark.hadoop.javax.jdo.option.ConnectionURL",
-        s"jdbc:derby:;databaseName=${java.nio.file.Files
-          .createTempDirectory("graft-metastore")}/metastore_db;create=true")
+        s"jdbc:derby:;databaseName=${graft.util.Scratch.dir("metastore")}" +
+          "/metastore_db;create=true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // ALWAYS have a checkpoint dir: MLlib's iterative fitters
@@ -88,8 +89,7 @@ object Sessions {
     // Graft callers that pass an explicit reliable dir (Dedup's
     // checkpointDir mode) override this per-application default.
     if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      spark.sparkContext.setCheckpointDir(graft.util.Scratch.dir("ckpt"))
     spark
   }
 }

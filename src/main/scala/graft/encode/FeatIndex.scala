@@ -205,7 +205,7 @@ object FeatIndex {
     val encoded = encode(
       orders.withColumn("label", ($"o_orderstatus" === "F").cast("int")),
       Fields, "label", dict)
-    val tmp = Files.createTempDirectory("graft-libsvm").toString
+    val tmp = graft.util.Scratch.dir("libsvm")
     writeLibsvmText(toLibsvmLines(encoded, oneBased = true), s"$tmp/data.svm")
     val parsed = readLibsvm(spark, s"$tmp/data.svm", dict.size) // S4
     import org.apache.spark.ml.functions.vector_to_array

@@ -141,7 +141,7 @@ object Sinks {
     * surface and the jar Spark already ships). */
   private val k3: Q = (spark, dir) => {
     import spark.implicits._
-    val url = s"jdbc:derby:${Files.createTempDirectory("graft-derby")}/db;create=true"
+    val url = s"jdbc:derby:${scratchDir("derby")}/db;create=true"
     val props = new Properties()
     val out = Tables.load(spark, dir, "region")
       .select($"r_regionkey".cast("long").as("r_regionkey"), $"r_name")

@@ -231,7 +231,7 @@ object ChurnML {
     val model = pipeline(family, gbtIter, lrIter, fmIter).fit(fitInput)
 
     // M7/K2: persist + reload, then score with the reloaded model.
-    val dir = Files.createTempDirectory(s"graft-$family-model").toString
+    val dir = graft.util.Scratch.dir(s"$family-model")
     model.write.overwrite().save(dir)
     val reloaded = PipelineModel.load(dir)
 

@@ -20,10 +20,17 @@ import java.nio.file.{Files, Path, Paths}
 object Scratch {
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
+    try {
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+      }
+    } catch {
+      // Shutdown hooks run concurrently with Spark's own (context stop,
+      // Derby shutdown); a file vanishing mid-walk is fine — leftover
+      // fragments are reclaimed by the next same-pid run's stale-clean.
+      case _: java.io.IOException | _: java.io.UncheckedIOException => ()
     }
 
   private lazy val root: Path = {
