@@ -1,6 +1,7 @@
 package graft.encode
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -129,12 +130,74 @@ object Encoders {
           .cast("long").as("iv_milli"))
   }
 
+  /** m14: equi-depth QUANTILE BINNING (Spark ML QuantileDiscretizer /
+    * pandas qcut semantics, made EXACT): 10 bins over the order price
+    * with balanced occupancy, emitted as the encoder artifact — bin id,
+    * occupancy, and inclusive cent edges — which downstream apply
+    * attaches as a broadcast range lookup (never a per-row join).
+    *
+    * The naive spelling is ntile(10) OVER (ORDER BY price) — a
+    * SINGLE-PARTITION global sort, the classic driver-shaped
+    * bottleneck. This is the a16 two-phase global rank generalized to a
+    * HIGH-CARDINALITY column (prices are ~all-distinct, so a16's
+    * per-value histogram would be fact-sized): phase 1 buckets cents
+    * coarsely ($10,000-wide value-range buckets — the histogram is
+    * RANGE-sized, not row-sized) and takes cum_below per bucket with a
+    * window over that tiny histogram; phase 2 ranks inside each bucket
+    * only (parallel partitions bounded by bucket occupancy — the same
+    * contract repartitionByRange's sampler gives a distributed sort,
+    * tunable via the bucket width) ordered by (cents, o_orderkey), so
+    * global_rank = cum_below + rank_in_bucket reproduces
+    * row_number(ORDER BY cents, key) exactly with NO global sort.
+    * bin = ⌊10·(rank−1)/N⌋; the key tiebreak makes the order total and
+    * the output deterministic, and every compared column is integer, so
+    * the DuckDB oracle — which spells the naive global ROW_NUMBER: same
+    * output, opposite scaling — hash-matches at any corpus size. */
+  private val quantileBins: Q = (spark, dir) => {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".as("ok"),
+        (dec2($"o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("bucket",
+        (($"cents" - pmod($"cents", lit(1000000L))) / 1000000L).cast("long"))
+      // feeds the bucket histogram, the rank join, and the total count —
+      // lazy checkpoint stops three re-scans of the fact
+      .localCheckpoint(false)
+    val hist = o.groupBy($"bucket").agg(count(lit(1)).as("n_b"))
+    val wHist = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select($"bucket",
+      coalesce(sum($"n_b").over(wHist), lit(0L)).as("cum_below"))
+    val tot = o.agg(count(lit(1)).as("n_tot"))
+    val wBucket = Window.partitionBy($"bucket").orderBy($"cents", $"ok")
+    o.join(broadcast(cum), "bucket")
+      .crossJoin(broadcast(tot))
+      .withColumn("rk", $"cum_below" + row_number().over(wBucket))
+      .groupBy(floor(lit(10) * ($"rk" - 1) / $"n_tot").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min($"cents").as("lo_cents"), max($"cents").as("hi_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
     "enc_feature_hash"  -> featureHash,
     "m12_target_encode" -> targetEncode,
-    "m13_woe_iv"        -> woeIv)
+    "m13_woe_iv"        -> woeIv,
+    "m14_quantile_bins" -> quantileBins)
 
   val oracles: Map[String, String] = Map(
+    "m14_quantile_bins" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS ok,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, ok) AS rk,
+        |         COUNT(*) OVER () AS n_tot
+        |  FROM o)
+        |SELECT CAST(FLOOR(10 * (rk - 1) / n_tot) AS BIGINT) AS bin,
+        |       COUNT(*) AS n, MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+        |FROM r GROUP BY 1""".stripMargin,
+
     "enc_feature_hash" ->
       s"""WITH f AS (
          |  SELECT event_id, list_sort(list_distinct([

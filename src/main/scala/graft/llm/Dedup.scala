@@ -680,7 +680,61 @@ object Dedup {
       .select($"id_a", $"id_b", $"cosine")
   }
 
+  /** Exact SUBSTRING-duplication audit — the character-level member of
+    * the dedup family (the granularity of Lee et al. 2022's exact-
+    * substring dedup, whose suffix-array spelling is single-machine):
+    * a 40-char window is sampled at every TOKEN BOUNDARY (position 1 or
+    * any position following a space), and a sampled span is DUPLICATED
+    * iff its exact 40 characters occur at a sampled position in ≥ 2
+    * distinct documents. Token-boundary anchoring is the content-
+    * defined-chunking idea made deterministic: window starts are a
+    * function of the CONTENT, not the offset, so every copy of a run
+    * anchors the same windows wherever it sits in its host document —
+    * a fixed-stride sample would only catch copies whose offsets agree
+    * mod the stride. Guarantee: any shared token-aligned run of ≥ 40
+    * chars yields at least one identical sampled window in both copies.
+    * Output is the per-document audit (sampled spans, duplicated spans)
+    * that a substring-cut pass or a boilerplate report consumes.
+    *
+    * Scale shape: span extraction is a per-row HOF chain (anchor filter
+    * over the position range, then one 48-bit hash per span — ~n_chars/
+    * avg_token work per doc, the same linear budget as tokenization);
+    * the duplicated-hash set is one groupBy on the span hash and the
+    * membership mark re-shuffles the SAME span relation on the SAME key
+    * (identical child plan → Catalyst's ReusedExchange serves the
+    * second consumer from the first shuffle's files), then one doc-
+    * keyed aggregate. No pair expansion anywhere: a boilerplate hash
+    * shared by a million docs is one group row and a million flags,
+    * never a million² join. */
+  private val substringSpans: Q = (spark, dir) => {
+    import spark.implicits._
+    val L = 40
+    val docs = Tables.load(spark, dir, "documents")
+    val spans = docs
+      .filter(length($"text") >= L)
+      .select($"doc_id", $"text",
+        explode(filter(sequence(lit(1), length($"text") - (L - 1)),
+          p => (p === 1) || ($"text".substr(p - 1, lit(1)) === " "))).as("p"))
+      .select($"doc_id", hash48($"text".substr($"p", lit(L))).as("h"))
+    // "≥ 2 distinct docs" spelled as min≠max — ONE exchange with
+    // map-side partial min/max, where COUNT(DISTINCT doc_id) would
+    // expand to a two-shuffle distinct aggregate
+    val dupSet = spans.groupBy($"h")
+      .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+      .filter($"mn" =!= $"mx")
+      .select($"h", lit(1L).as("isdup"))
+    val perDoc = spans.join(dupSet, Seq("h"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"isdup".isNotNull, 1L).otherwise(0L)).as("n_dup"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"n_dup", lit(0L)).as("n_dup"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_substring"     -> substringSpans,
     "dedup_exact"         -> exact,
     "dedup_stop_shingles" -> ((s, d) => stopShingles(s, d, maxShingleDf = 3L)),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
@@ -830,6 +884,27 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_substring" ->
+      s"""WITH sp0 AS (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(1, length(text) - 39)) AS p
+         |  FROM documents WHERE length(text) >= 40),
+         |sp AS (
+         |  SELECT doc_id,
+         |         ${hash48Sql("substr(text, CAST(p AS INT), 40)")} AS h
+         |  FROM sp0
+         |  WHERE p = 1 OR substr(text, CAST(p - 1 AS INT), 1) = ' '),
+         |d AS (SELECT h FROM sp GROUP BY h
+         |      HAVING COUNT(DISTINCT doc_id) >= 2),
+         |a AS (SELECT sp.doc_id, COUNT(*) AS n_spans,
+         |        CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_dup
+         |      FROM sp LEFT JOIN d ON d.h = sp.h GROUP BY 1)
+         |SELECT doc.doc_id,
+         |       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |       CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup
+         |FROM documents doc LEFT JOIN a ON a.doc_id = doc.doc_id""".stripMargin,
 
     "dedup_stop_shingles" ->
       s"""$shCte,

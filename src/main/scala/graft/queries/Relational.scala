@@ -473,6 +473,55 @@ object Relational {
       .filter($"support" >= 2)
   }
 
+  // ---- J9 (extension): association rules over the j6 frequent pairs —
+  // the classic market-basket output (Agrawal/Srikant Apriori at the
+  // 2-itemset level): for each frequent pair emit BOTH directed rules
+  // ante → cons with confidence = sup(pair)/sup(ante) and
+  // lift = N·sup(pair)/(sup(ante)·sup(cons)). Scale shape: candidate
+  // pairs come from the j6 order-key self-join (linear in the fact,
+  // never catalog²); item supports and the basket count are
+  // dimension-sized aggregates attached by broadcast, so the only fact
+  // shuffles are the distinct and the pair count. Both metrics are
+  // pure-integer ppm floors: the lift numerator sup·N·1e6 passes
+  // through DECIMAL(38,0) (HUGEINT on the oracle side — the m13
+  // headroom pattern) because it leaves int64 around sf100; the exact
+  // pmod-floor division means no double appears anywhere and the rule
+  // table hash-matches DuckDB at any corpus size. A 10% confidence
+  // floor bounds the output the way a rule miner's user would.
+  private val j9: Q = (spark, dir) => {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      // feeds the pair self-join (twice), the item supports, and the
+      // basket count — lazy checkpoint stops four re-scans of the fact
+      .localCheckpoint(false)
+    val pairSup = li.as("a").join(li.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("part_a"), $"b.pk".as("part_b"))
+      .agg(count(lit(1)).as("sup_pair"))
+      .filter($"sup_pair" >= 2)
+    val itemSup = li.groupBy($"pk").agg(count(lit(1)).as("sup_item"))
+    val baskets = li.select($"ok").distinct().agg(count(lit(1)).as("n_baskets"))
+    val rules = pairSup
+      .select($"part_a".as("ante"), $"part_b".as("cons"), $"sup_pair")
+      .union(pairSup
+        .select($"part_b".as("ante"), $"part_a".as("cons"), $"sup_pair"))
+    def floorDiv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    rules
+      .join(broadcast(itemSup.select($"pk".as("ante"), $"sup_item".as("sup_ante"))), "ante")
+      .join(broadcast(itemSup.select($"pk".as("cons"), $"sup_item".as("sup_cons"))), "cons")
+      .crossJoin(broadcast(baskets))
+      .withColumn("conf_ppm",
+        floorDiv($"sup_pair" * 1000000L, $"sup_ante"))
+      .withColumn("lift_ppm",
+        floorDiv($"sup_pair".cast("decimal(38,0)") * $"n_baskets" * 1000000L,
+          $"sup_ante".cast("decimal(38,0)") * $"sup_cons"))
+      .filter($"conf_ppm" >= 100000L)
+      .select($"ante", $"cons", $"sup_pair", $"sup_ante", $"sup_cons",
+        $"conf_ppm", $"lift_ppm")
+  }
+
   // ---- J7 (extension): blocked fuzzy match — entity resolution's
   // standard two-phase shape: a cheap BLOCKING key bounds the candidate
   // pairs, then the expensive verify (edit distance ≤ 2) runs on
@@ -950,6 +999,7 @@ object Relational {
     "o5_group_hash_split" -> o5,
     "o6_weighted_sample" -> o6,
     "j6_cooccurrence"    -> j6,
+    "j9_assoc_rules"     -> j9,
     "a15_histogram"      -> a15,
     "j7_fuzzy_block"     -> j7,
     "j8_setsim_join"     -> j8,
@@ -1200,6 +1250,27 @@ object Relational {
         |SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS support
         |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+
+    "j9_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |p AS (SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS sup_pair
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |i AS (SELECT pk, COUNT(*) AS sup_item FROM li GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM li),
+        |r AS (SELECT part_a AS ante, part_b AS cons, sup_pair FROM p
+        |      UNION ALL
+        |      SELECT part_b AS ante, part_a AS cons, sup_pair FROM p)
+        |SELECT r.ante, r.cons, CAST(r.sup_pair AS BIGINT) AS sup_pair,
+        |       CAST(ia.sup_item AS BIGINT) AS sup_ante,
+        |       CAST(ic.sup_item AS BIGINT) AS sup_cons,
+        |       CAST((r.sup_pair * 1000000) // ia.sup_item AS BIGINT) AS conf_ppm,
+        |       CAST((CAST(r.sup_pair AS HUGEINT) * n.n_baskets * 1000000)
+        |            // (CAST(ia.sup_item AS HUGEINT) * ic.sup_item) AS BIGINT)
+        |         AS lift_ppm
+        |FROM r JOIN i ia ON ia.pk = r.ante JOIN i ic ON ic.pk = r.cons, n
+        |WHERE (r.sup_pair * 1000000) // ia.sup_item >= 100000""".stripMargin,
 
     "a15_histogram" ->
       """SELECT CAST(least(floor((o_totalprice - 0.0) / 50000.0), 9)

@@ -102,4 +102,43 @@ class EncodersSpec extends SparkSpec {
       ("X", 3L, 1L, 847298L, 424L),
       ("Y", 1L, 3L, -847298L, 424L)))
   }
+
+  private def ordersAt(prices: Seq[Double]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    prices.zipWithIndex.map { case (p, i) =>
+      (i.toLong + 1L, 1L, "O", p,
+        java.sql.Timestamp.valueOf("1997-01-01 00:00:00"), "3-MEDIUM") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+  }
+
+  test("quantile bins: 20 spread prices land 2 per bin with exact cent edges") {
+    import spark.implicits._
+    // prices i·$2,500 (i = 1..20) straddle multiple $10,000 coarse
+    // buckets, so the two-phase rank must stitch cum_below across
+    // buckets to reproduce the global order. Bin k gets ranks
+    // 2k+1, 2k+2 → lo = 250000·(2k+1), hi = 250000·(2k+2) cents.
+    val d = java.nio.file.Files.createTempDirectory("enc-qb").toString
+    ordersAt((1 to 20).map(_ * 2500.0))
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Encoders.queries("m14_quantile_bins")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val expected = (0 until 10).map { k =>
+      (k.toLong, 2L, 250000L * (2 * k + 1), 250000L * (2 * k + 2)) }
+    assert(out == expected)
+  }
+
+  test("quantile bins: all-tied prices split deterministically by order key") {
+    import spark.implicits._
+    // 10 identical prices: ntile semantics demand ONE row per bin, and
+    // the (cents, o_orderkey) tiebreak pins which — the oracle replays
+    // the identical total order, so lo = hi = the shared cents value.
+    val d = java.nio.file.Files.createTempDirectory("enc-qb-tie").toString
+    ordersAt(Seq.fill(10)(99.99))
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Encoders.queries("m14_quantile_bins")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val expected = (0 until 10).map(k => (k.toLong, 1L, 9999L, 9999L))
+    assert(out == expected)
+  }
 }

@@ -364,4 +364,43 @@ class DedupSpec extends SparkSpec {
     assert(bloomOut == broadcastOut)
     assert(bloomOut.map { case (d2, e, _) => (d2, e) } == Seq((1L, 0L), (2L, 0L)))
   }
+
+  /** Exact JVM replication of the dedup_substring sampling rule: 40-char
+    * windows anchored at position 1 and after every space. */
+  private def sampledWindows(text: String): Seq[String] =
+    (1 to text.length - 39)
+      .filter(p => p == 1 || text.charAt(p - 2) == ' ')
+      .map(p => text.substring(p - 1, p - 1 + 40))
+
+  test("substring dedup: token-anchored windows catch a copy at a DIFFERENT offset") {
+    import spark.implicits._
+    // The shared run sits at char offset 12 in doc 10 and offset 3 in
+    // doc 11 — a difference of 9, NOT a multiple of any fixed stride —
+    // so a fixed-stride sampler would never align the two copies. The
+    // token-boundary anchor is content-defined: both copies anchor the
+    // same windows wherever they sit. Doc 12 shares nothing.
+    val run = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the corpus repeats itself verbatim"
+    val docs = Seq(
+      (10L, "aaa bbbbbbb " + run + " unique-tail-one padding words", "en", "sA", 0L),
+      (11L, "zz " + run + " other-tail-two entirely", "en", "sB", 0L),
+      (12L, "completely unrelated content about databases and query " +
+        "planners that shares no forty char span", "en", "sC", 0L))
+    val d = Files.createTempDirectory("substr-spec").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // planted truth, replayed exactly on the JVM
+    val byDoc = docs.map { case (id, t, _, _, _) => id -> sampledWindows(t) }
+    val dupSet = byDoc.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).collect { case (w, hits)
+        if hits.map(_._2).distinct.size >= 2 => w }.toSet
+    val expected = byDoc.map { case (id, ws) =>
+      (id, ws.size.toLong, ws.count(dupSet).toLong) }.toSet
+    val out = Dedup.queries("dedup_substring")(spark, d)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == expected)
+    // the planted truth is non-trivial: both copies detected, control clean
+    val dupOf = out.map(r => r._1 -> r._3).toMap
+    assert(dupOf(10L) > 0L && dupOf(11L) > 0L && dupOf(12L) == 0L)
+  }
 }

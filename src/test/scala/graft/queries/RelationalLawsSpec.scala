@@ -271,6 +271,28 @@ class RelationalLawsSpec extends SparkSpec {
     }
   }
 
+  test("J9 law: rules carry hand-computed ppm confidence/lift; sub-floor dropped") {
+    import spark.implicits._
+    // Baskets: {A,B}, {A,B}, {A,C}, {A}. sup A=4, B=2, C=1, N=4.
+    // Frequent pair (A,B): sup 2. Rules: A→B conf 2/4 = 500000 ppm;
+    // B→A conf 2/2 = 1000000 ppm; lift both = 4·2/(4·2) = 1000000 ppm.
+    // (A,C) sup 1 < 2 never becomes a rule.
+    val li = Seq(
+      (1L, 101L), (1L, 102L), (2L, 101L), (2L, 102L),
+      (3L, 101L), (3L, 103L), (4L, 101L))
+      .map { case (ok, pk) => (ok, pk, "N", 1.0, 1.0,
+        java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) }
+      .toDF("l_orderkey", "l_partkey", "l_returnflag", "l_quantity",
+        "l_extendedprice", "l_shipdate")
+    val d = java.nio.file.Files.createTempDirectory("j9-spec").toString
+    li.write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = Relational.queries("j9_assoc_rules")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (101L, 102L, 2L, 4L, 2L, 500000L, 1000000L),
+      (102L, 101L, 2L, 2L, 4L, 1000000L, 1000000L)))
+  }
+
   test("U1 shopchannel udf reproduces the reference's quirky 4-way mapping") {
     import spark.implicits._
     val cases = Seq(
