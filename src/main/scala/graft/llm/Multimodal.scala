@@ -214,6 +214,80 @@ object Multimodal {
       }(enc)
   }
 
+  /** Perceptual average-hash (aHash) of a decoded image: nearest-
+    * neighbor sample to the 8×8 grid (the SAME integer index
+    * arithmetic as the resize kernel, so the oracle replays it
+    * exactly), integer luminance 299R+587G+114B per cell, bit = 1 iff
+    * cell luminance strictly exceeds the 64-cell mean (spelled
+    * lum·64 > total — no division anywhere). Emitted as the 64-char
+    * bit string: portable, exact, and band-sliceable downstream the
+    * way the simhash family slices its 48 bits. */
+  private[llm] def phashKernel(w: Int, h: Int, px: Array[Array[Int]]): String = {
+    val lums = new Array[Long](64)
+    var tot = 0L
+    var i = 0
+    var yo = 0
+    while (yo < 8) {
+      var xo = 0
+      while (xo < 8) {
+        val p = px((yo * h / 8) * w + (xo * w / 8))
+        val l = 299L * p(0) + 587L * p(1) + 114L * p(2)
+        lums(i) = l
+        tot += l
+        i += 1; xo += 1
+      }
+      yo += 1
+    }
+    val sb = new StringBuilder(64)
+    var j = 0
+    while (j < 64) { sb.append(if (lums(j) * 64 > tot) '1' else '0'); j += 1 }
+    sb.toString
+  }
+
+  private val phashSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("phash", StringType)))
+
+  /** media_id → aHash over the REALLY-decoded payload (codec in the
+    * loop, like decode/resize — never the metadata shortcut). */
+  def phashTable(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(spark, dir)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(phashSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        rows.map { r =>
+          val (w, h, px) = decodeKernel(r.getAs[Array[Byte]]("payload"))
+          Row(r.getAs[Long]("media_id"), phashKernel(w, h, px))
+        }
+      }(enc)
+  }
+
+  /** mm_phash_dedup: IMAGE near-dup grouping by perceptual hash — the
+    * multimodal member of the dedup family (dedup_exact groups on a
+    * content hash that flips on any byte; aHash groups on a perceptual
+    * signature that survives re-encoding and resampling, which is how
+    * image corpora actually duplicate). Each image carries its group's
+    * occupancy and canonical (min) id — the same contract as
+    * dedup_exact/dedup_canonical.
+    *
+    * Scale shape: the kernel is map-side per-partition batch decode
+    * (zero exchanges); the group stats and the mark join re-shuffle the
+    * SAME phash relation on the SAME key, so Catalyst serves the second
+    * consumer from the first shuffle's files (ReusedExchange — the
+    * dedup_substring pattern), or AQE broadcasts the group table when
+    * it is small. No pair expansion: a thousand-copy image is one group
+    * row, never a thousand² join. */
+  private val phashQ: Q = (spark, dir) => {
+    import spark.implicits._
+    val p = phashTable(spark, dir)
+    val groups = p.groupBy($"phash")
+      .agg(count(lit(1)).as("n_same"), min($"media_id").as("canonical_id"))
+    p.join(groups, "phash")
+      .select($"media_id", $"phash", $"n_same", $"canonical_id")
+  }
+
   /** Frame sampling: k evenly spaced frame indices from n_frames —
     * the video-side planning step (which frames to decode). Metadata
     * only: the plan must never pay for payloads it doesn't read. */
@@ -252,7 +326,8 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     "mm_decode"        -> decodeQ,
     "mm_resize"        -> resizeQ,
-    "mm_frame_sample"  -> framesQ)
+    "mm_frame_sample"  -> framesQ,
+    "mm_phash_dedup"   -> phashQ)
 
   /** Shared oracle fragment: the pixel-pattern CTE (id, w, h). */
   private val dimsCte =
@@ -312,5 +387,30 @@ object Multimodal {
         |  array_to_string(list_transform(generate_series(0, 3),
         |    i -> CAST(CAST(floor(i * ((doc_id % 24) + 1) / 4.0) AS BIGINT) AS VARCHAR)), ',')
         |    AS frame_ids
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    "mm_phash_dedup" -> {
+      val (r, g, b) = chanSql("xs", "ys")
+      s"""$dimsCte,
+         |grid AS (
+         |  SELECT id, xo, yo,
+         |         ((yo * h) // 8) AS ys, ((xo * w) // 8) AS xs
+         |  FROM d,
+         |       (SELECT unnest(range(0, 8)) AS xo) tx,
+         |       (SELECT unnest(range(0, 8)) AS yo) ty),
+         |l AS (SELECT id, xo, yo,
+         |        299*($r) + 587*($g) + 114*($b) AS lum
+         |      FROM grid),
+         |bt AS (SELECT id, xo, yo, lum,
+         |         SUM(lum) OVER (PARTITION BY id) AS tot FROM l),
+         |p AS (SELECT id,
+         |        string_agg(CASE WHEN lum * 64 > tot THEN '1' ELSE '0' END,
+         |          '' ORDER BY yo, xo) AS phash
+         |      FROM bt GROUP BY id),
+         |grp AS (SELECT phash, COUNT(*) AS n_same, MIN(id) AS canonical_id
+         |        FROM p GROUP BY 1)
+         |SELECT p.id AS media_id, p.phash,
+         |       CAST(grp.n_same AS BIGINT) AS n_same, grp.canonical_id
+         |FROM p JOIN grp USING (phash)""".stripMargin
+    })
 }

@@ -42,4 +42,36 @@ class MultimodalSpec extends SparkSpec {
     assert(fp == want)
     assert(lum == 299L * 10 + 587L * 11 + 114L * 12)
   }
+
+  test("phashKernel equals an independent aHash recomputation from the formulas") {
+    for (id <- Seq(0L, 7L, 123L, 9999L)) {
+      val (w, h, px) = Multimodal.decodeKernel(Multimodal.encodeKernel(id))
+      val got = Multimodal.phashKernel(w, h, px)
+      // independent spelling: materialize the 8×8 grid, mean test
+      val lums = for (yo <- 0 until 8; xo <- 0 until 8) yield {
+        val (xs, ys) = (xo * w / 8, yo * h / 8)
+        299L * Multimodal.chanR(id, xs, ys) +
+          587L * Multimodal.chanG(id, xs, ys) +
+          114L * Multimodal.chanB(id, xs, ys)
+      }
+      val tot = lums.sum
+      val want = lums.map(l => if (l * 64 > tot) '1' else '0').mkString
+      assert(got == want, s"id=$id")
+      assert(got.length == 64 && got.exists(_ == '1') && got.exists(_ == '0'))
+    }
+  }
+
+  test("phash dedup groups the planted identical-image pair under one canonical id") {
+    import spark.implicits._
+    // ids congruent mod lcm(16,12,256) = 768 generate IDENTICAL images
+    // (same dims, same channel pattern) → same PNG → same aHash.
+    val docs = Seq(5L, 773L, 9L).map(id => (id, "x", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = java.nio.file.Files.createTempDirectory("phash-spec").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Multimodal.queries("mm_phash_dedup")(spark, d)
+      .select($"media_id", $"n_same", $"canonical_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((5L, 2L, 5L), (773L, 2L, 5L), (9L, 1L, 9L)))
+  }
 }
