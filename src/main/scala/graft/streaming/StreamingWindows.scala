@@ -396,9 +396,30 @@ object StreamingWindows {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** st_tumbling: the watermarked tumbling-window aggregate drained in
+    * APPEND mode — the streaming twin of batch ev_tumbling, restricted
+    * to the windows the watermark has FINALIZED when the drain ends:
+    * with one data batch and the AvailableNow no-data final batch, the
+    * watermark lands at floor_ms(max_ts) − 1h and append emits exactly
+    * the windows with floor_ms(w_end) ≤ that boundary (non-strict —
+    * pinned by the oracle and exercised whenever an hour-aligned max_ts
+    * makes the boundary land ON a window end). The still-open windows
+    * are withheld state, not lost rows — the same finalization contract
+    * st_sessionize pins for session windows. */
+  private val stTumbling: Q = (spark, dir) => {
+    spark.catalog.dropTempView("st_tumb_mem")
+    val out = runToCompletion(spark,
+      tumbling(readAllEventStream(spark, s"$dir/events.parquet")),
+      "st_tumb_mem", OutputMode.Append())
+      .localCheckpoint(true) // same memory-sink ballast relief as above
+    spark.catalog.dropTempView("st_tumb_mem")
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "st_sessionize"   -> stSessionize,
-    "st_latest_state" -> stLatestState)
+    "st_latest_state" -> stLatestState,
+    "st_tumbling"     -> stTumbling)
 
   val oracles: Map[String, String] = Map(
     // ev_session's batch spelling, minus each user's final session when
@@ -439,6 +460,18 @@ object StreamingWindows {
         |SELECT user_id, s_start, s_end, n_events, sum_value
         |FROM r WHERE rk > 1
         |   OR (epoch_us(s_end) // 1000) < (epoch_us(max_ts) // 1000) - 1800000""".stripMargin,
+
+    "st_tumbling" ->
+      """WITH g AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
+        |         time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS w_end,
+        |         event_type, COUNT(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2, 3),
+        |mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events)
+        |SELECT w_start, w_end, event_type, n, sum_value
+        |FROM g, mx
+        |WHERE (epoch_us(w_end) // 1000) <= (epoch_us(max_ts) // 1000) - 3600000""".stripMargin,
 
     "st_latest_state" ->
       """WITH r AS (
