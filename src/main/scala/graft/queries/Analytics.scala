@@ -750,6 +750,51 @@ object Analytics {
     lbl.select($"n".as("p_partkey"), $"lbl".as("community"))
   }
 
+  // ---- g4_kcore: k-core peeling (k = 3, 4 synchronous rounds) over
+  // the co-purchase graph — the density filter completing the graph
+  // suite (g1 centrality, g2 cohesion, g3 communities, CC
+  // reachability): "which parts sit in a densely co-bought backbone?".
+  // Each round drops every node of degree < k and the edges it
+  // touches; removals cascade (a node can fall under k only after its
+  // neighbors leave), so rounds iterate — FIXED synchronous rounds
+  // keep the result deterministic and oracle-able exactly like g3
+  // (the true core is the fixpoint; GraphSpec proves round 5 changes
+  // nothing at the declared scale, so the 4-round output IS the
+  // 3-core there; at corpus sizes where the cascade runs deeper the
+  // output is the documented bounded-round over-approximation,
+  // converging from above). Scale shape per round: one node-sized
+  // degree aggregate + two semi-join edge filters on the (broadcast-
+  // able) survivor set — the g1/g3 Pregel-round shape, lineage
+  // truncated per round, edges pinned at the size-adaptive level.
+  private[queries] def kcorePeel(spark: SparkSession, dir: String,
+                                 rounds: Int): DataFrame = {
+    import spark.implicits._
+    val ser = adaptiveLevel(dir)
+    val items = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .localCheckpoint(true, ser)
+    val und = items.as("a").join(items.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .distinct()
+    var bi = und.union(und.select($"v".as("u"), $"u".as("v")))
+      .localCheckpoint(true, ser)
+    for (_ <- 1 to rounds) {
+      val keep = bi.groupBy($"u").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= 3)
+        .select($"u".as("n"))
+      bi = bi.join(keep.select($"n".as("u")), "u")
+        .join(keep.select($"n".as("v")), "v")
+        .select($"u", $"v")
+        .localCheckpoint(true)
+    }
+    bi.groupBy($"u").agg(count(lit(1)).as("degree"))
+      .select($"u".as("p_partkey"), $"degree")
+  }
+
+  private val kcore: Q = (spark, dir) => kcorePeel(spark, dir, rounds = 4)
+
   val queries: Map[String, Q] = Map(
     "t7_scd2"             -> scd2,
     "t8_merge_upsert"     -> mergeUpsert,
@@ -766,7 +811,8 @@ object Analytics {
     "ev_attribution"      -> attribution,
     "g1_pagerank"         -> pagerank,
     "g2_triangles"        -> triangles,
-    "g3_communities"      -> communities)
+    "g3_communities"      -> communities,
+    "g4_kcore"            -> kcore)
 
   val oracles: Map[String, String] = Map(
     "ev_transitions" ->
@@ -930,6 +976,27 @@ object Analytics {
         |            ORDER BY cnt DESC, lbl ASC) AS rn FROM c2)
         |        WHERE rn = 1)
         |SELECT n AS p_partkey, lbl AS community FROM it2""".stripMargin,
+
+    "g4_kcore" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |b0 AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |k1 AS (SELECT u FROM b0 GROUP BY u HAVING COUNT(*) >= 3),
+        |b1 AS (SELECT b.u, b.v FROM b0 b
+        |       JOIN k1 x ON b.u = x.u JOIN k1 y ON b.v = y.u),
+        |k2 AS (SELECT u FROM b1 GROUP BY u HAVING COUNT(*) >= 3),
+        |b2 AS (SELECT b.u, b.v FROM b1 b
+        |       JOIN k2 x ON b.u = x.u JOIN k2 y ON b.v = y.u),
+        |k3 AS (SELECT u FROM b2 GROUP BY u HAVING COUNT(*) >= 3),
+        |b3 AS (SELECT b.u, b.v FROM b2 b
+        |       JOIN k3 x ON b.u = x.u JOIN k3 y ON b.v = y.u),
+        |k4 AS (SELECT u FROM b3 GROUP BY u HAVING COUNT(*) >= 3),
+        |b4 AS (SELECT b.u, b.v FROM b3 b
+        |       JOIN k4 x ON b.u = x.u JOIN k4 y ON b.v = y.u)
+        |SELECT u AS p_partkey, COUNT(*) AS degree FROM b4 GROUP BY 1""".stripMargin,
 
     // same merge semantics, independently spelled as FULL OUTER JOIN
     "t8_merge_upsert" ->

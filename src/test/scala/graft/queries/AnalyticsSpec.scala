@@ -421,6 +421,31 @@ class AnalyticsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("kcore: cascading peel strips the propped tail, keeps K4; round 5 is a no-op") {
+    import spark.implicits._
+    // K4 {1,2,3,4} + triangle {5,6,7} bridged by 4–5. Degrees: 4→4,
+    // 5→3, 6/7→2. Round 1 drops 6,7 (deg 2); round 2 drops 5 (its
+    // triangle support died — the CASCADE a one-shot degree filter
+    // misses); round 3 is stable: the 3-core is exactly the K4.
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 5L), (2L, 6L), (2L, 7L), (3L, 4L), (3L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+    val d = Files.createTempDirectory("an-kcore").toString
+    li.write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = Analytics.queries("g4_kcore")(spark, d)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kcore: 4 rounds reach the fixpoint on testdata (round 5 changes nothing)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val r4 = Analytics.kcorePeel(spark, dir, 4).as[(Long, Long)].collect().toSet
+    val r5 = Analytics.kcorePeel(spark, dir, 5).as[(Long, Long)].collect().toSet
+    assert(r4.nonEmpty && r4 == r5,
+      s"4-round peel not converged: ${r4.size} vs ${r5.size} nodes")
+  }
+
   private implicit class PairMap(rows: Array[(String, Long, Double)]) {
     def toMap2: Map[String, (Long, Double)] =
       rows.map(r => r._1 -> (r._2, r._3)).toMap
