@@ -780,14 +780,24 @@ object Analytics {
       .distinct()
     var bi = und.union(und.select($"v".as("u"), $"u".as("v")))
       .localCheckpoint(true, ser)
-    for (_ <- 1 to rounds) {
-      val keep = bi.groupBy($"u").agg(count(lit(1)).as("deg"))
-        .filter($"deg" >= 3)
-        .select($"u".as("n"))
-      bi = bi.join(keep.select($"n".as("u")), "u")
-        .join(keep.select($"n".as("v")), "v")
-        .select($"u", $"v")
-        .localCheckpoint(true)
+    // Early exit: a round that drops nobody is the fixpoint — every
+    // later round is an identity re-join over the full edge list (the
+    // declared-scale graph is dense enough that round 1 often already
+    // converges, so this is most of the operator's wall). The per-round
+    // degree table is node-sized; counting it is a driver-side scalar,
+    // the same loop-control shape as the CC convergence check.
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
+      val degs = bi.groupBy($"u").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(false) // feeds the drop-count and the filter
+      if (degs.filter($"deg" < 3).limit(1).isEmpty) converged = true
+      else {
+        val keep = degs.filter($"deg" >= 3).select($"u".as("n"))
+        bi = bi.join(keep.select($"n".as("u")), "u")
+          .join(keep.select($"n".as("v")), "v")
+          .select($"u", $"v")
+          .localCheckpoint(true)
+      }
     }
     bi.groupBy($"u").agg(count(lit(1)).as("degree"))
       .select($"u".as("p_partkey"), $"degree")
