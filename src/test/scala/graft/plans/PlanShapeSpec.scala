@@ -164,6 +164,50 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  // r9 third wave: the new operators' scale contracts, pinned.
+  test("j9_assoc_rules: dimension supports broadcast, one 1-row basket attach") {
+    val p = planOf("j9_assoc_rules")
+    assert(count(p, "Expand") == 0 && count(p, "CartesianProduct") == 0)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1,
+      s"j9: more than the single 1-row basket-count attach:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"j9 lost a broadcast item-support join:\n$p")
+    assert(count(p, "Exchange") <= 12, s"j9 exchange budget:\n$p")
+  }
+
+  test("m14_quantile_bins: no global-sort ntile; one 1-row total attach") {
+    val p = planOf("m14_quantile_bins")
+    assert(count(p, "Expand") == 0 && count(p, "CartesianProduct") == 0)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1,
+      s"m14: more than the single 1-row n_tot attach:\n$p")
+    // the FACT-side rank window must stay keyed by bucket — an empty
+    // partitionBy here is the single-partition ntile this op exists to
+    // avoid; the histogram cum window is dimension-sized by design.
+    assert(!p.contains("row_number() windowspecdefinition(cents"),
+      s"m14 fact rank window lost its bucket partitioning:\n$p")
+    assert(count(p, "Exchange") <= 9, s"m14 exchange budget:\n$p")
+  }
+
+  test("dedup_substring: inverted-index mark join, no pair expansion") {
+    val p = planOf("dedup_substring")
+    assert(count(p, "Expand") == 0 && count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0,
+      s"dedup_substring unbounded join crept in:\n$p")
+    assert(count(p, "Exchange") <= 7, s"dedup_substring exchange budget:\n$p")
+  }
+
+  test("d_retrieval_eval: both top-10s stay TakeOrdered; 1-row metric attaches only") {
+    val p = planOf("d_retrieval_eval")
+    assert(count(p, "TakeOrderedAndProject") >= 2,
+      s"d_retrieval_eval lost a distributed top-10 (ranking or ideal):\n$p")
+    assert(count(p, "Expand") == 0 && count(p, "CartesianProduct") == 0)
+    // four 1-row attaches total: bm25's own two (n_docs×avgdl, stats)
+    // plus the metric row's idcg and n_rel_total cross joins
+    assert(count(p, "BroadcastNestedLoopJoin") <= 4,
+      s"d_retrieval_eval: more than the four 1-row attaches:\n$p")
+    assert(count(p, "Exchange") <= 22, s"d_retrieval_eval exchange budget:\n$p")
+  }
+
   test("j7_fuzzy_block: catalog-scaling key joins stay SORT-MERGE, never broadcast") {
     // The blocking-key tables are ~12 rows PER PART — they grow with
     // the catalog, so broadcasting them can never be scale-safe (the
