@@ -34,6 +34,7 @@ object SparkEntry {
       graft.io.Sinks.queries ++
       graft.io.Layout.queries ++
       graft.llm.Multimodal.queries ++
+      graft.eval.Metrics.queries ++
       graft.streaming.StreamingWindows.queries
 
   val oracleSql: Map[String, String] =
@@ -54,5 +55,6 @@ object SparkEntry {
       graft.io.Sinks.oracles ++
       graft.io.Layout.oracles ++
       graft.llm.Multimodal.oracles ++
+      graft.eval.Metrics.oracles ++
       graft.streaming.StreamingWindows.oracles
 }

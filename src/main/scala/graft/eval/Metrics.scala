@@ -79,4 +79,83 @@ object Metrics {
         avg(col(labelCol).cast("double")).as("frac_pos"))
       .orderBy(col("bin"))
   }
+
+  type Q = (org.apache.spark.sql.SparkSession, String) => DataFrame
+
+  /** e5_pr_curve: the threshold-sweep confusion table behind every PR /
+    * ROC curve, as a DECLARED oracle-checked query — E2 gives one
+    * operating point at 0.5; a model review reads the whole sweep.
+    * Score = a deterministic hash-derived milli-probability per
+    * customer (the engine-parity stand-in with the exact compute shape
+    * of a scored batch — swapping in real model scores is a column
+    * substitution); label = customer has a fallen-through ('F') order.
+    * All four confusion counts at ALL 11 thresholds come from ONE
+    * aggregate pass (44 conditional sums — partial agg applies, no
+    * row multiplication), then a 1-row stack unpivots to the curve
+    * rows; precision/recall/F1 are exact integer ppm floors
+    * (F1 = 2tp/(2tp+fp+fn) — the division-free identity). The oracle
+    * spells the sweep as an explode×GROUP BY — independent spelling,
+    * same table. */
+  private val prCurve: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.llm.TextOps.hash48
+    val thresholds = 0 to 1000 by 100
+    val lab = graft.Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(max(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("y"))
+    val scored = graft.Tables.load(spark, dir, "customer")
+      .select($"c_custkey",
+        (hash48(concat(lit("sc:"), $"c_custkey".cast("string"))) % 1000)
+          .as("s"))
+      .join(lab, $"c_custkey" === $"o_custkey", "left")
+      .select($"s", coalesce($"y", lit(0L)).as("y"))
+    val aggs = thresholds.flatMap { t => Seq(
+      sum(when($"s" >= t && $"y" === 1L, 1L).otherwise(0L)).as(s"tp_$t"),
+      sum(when($"s" >= t && $"y" === 0L, 1L).otherwise(0L)).as(s"fp_$t"),
+      sum(when($"s" < t && $"y" === 1L, 1L).otherwise(0L)).as(s"fn_$t"),
+      sum(when($"s" < t && $"y" === 0L, 1L).otherwise(0L)).as(s"tn_$t")) }
+    val one = scored.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = thresholds
+      .map(t => s"${t}L, tp_$t, fp_$t, fn_$t, tn_$t").mkString(", ")
+    def ratioPpm(num: Column, den: Column): Column =
+      when(den > 0, ((num - pmod(num, den)) / den).cast("long")).otherwise(0L)
+    one.selectExpr(s"stack(${thresholds.size}, $stackArgs)" +
+        " as (thresh_milli, tp, fp, fn, tn)")
+      .select($"thresh_milli", $"tp", $"fp", $"fn", $"tn",
+        ratioPpm($"tp" * 1000000L, $"tp" + $"fp").as("prec_ppm"),
+        ratioPpm($"tp" * 1000000L, $"tp" + $"fn").as("rec_ppm"),
+        ratioPpm($"tp" * 2000000L, $"tp" * 2 + $"fp" + $"fn").as("f1_ppm"))
+  }
+
+  val queries: Map[String, Q] = Map("e5_pr_curve" -> prCurve)
+
+  val oracles: Map[String, String] = Map(
+    "e5_pr_curve" -> {
+      val h = graft.llm.TextOps.hash48Sql("'sc:' || CAST(c_custkey AS VARCHAR)")
+      s"""WITH lab AS (
+         |  SELECT o_custkey,
+         |         MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS y
+         |  FROM orders GROUP BY 1),
+         |sc AS (SELECT c_custkey, $h % 1000 AS s FROM customer),
+         |j AS (SELECT s, COALESCE(y, 0) AS y
+         |      FROM sc LEFT JOIN lab ON o_custkey = c_custkey),
+         |th AS (SELECT unnest(generate_series(0, 1000, 100)) AS t),
+         |c AS (SELECT t,
+         |        CAST(SUM(CASE WHEN s >= t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |        CAST(SUM(CASE WHEN s >= t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |        CAST(SUM(CASE WHEN s < t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |        CAST(SUM(CASE WHEN s < t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |      FROM j, th GROUP BY t)
+         |SELECT CAST(t AS BIGINT) AS thresh_milli, tp, fp, fn, tn,
+         |       CASE WHEN tp + fp > 0
+         |            THEN CAST((tp * 1000000) // (tp + fp) AS BIGINT)
+         |            ELSE 0 END AS prec_ppm,
+         |       CASE WHEN tp + fn > 0
+         |            THEN CAST((tp * 1000000) // (tp + fn) AS BIGINT)
+         |            ELSE 0 END AS rec_ppm,
+         |       CASE WHEN 2 * tp + fp + fn > 0
+         |            THEN CAST((tp * 2000000) // (2 * tp + fp + fn) AS BIGINT)
+         |            ELSE 0 END AS f1_ppm
+         |FROM c""".stripMargin
+    })
 }

@@ -61,4 +61,48 @@ class MetricsSpec extends SparkSpec {
     val p = df.select(Metrics.positiveProb($"probability")).head().getDouble(0)
     assert(p == 0.7)
   }
+
+  test("e5 pr curve equals a plain-Scala threshold sweep; curve laws hold") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 30 customers; labels: custkey % 3 == 0 has an 'F' order. Scores
+    // are the op's own hash-derived millis, replayed via hash48Jvm.
+    val keys = (1L to 30L)
+    val customers = keys.map(k => (k, s"c$k", "SEG")).toDF(
+      "c_custkey", "c_name", "c_mktsegment")
+    val orders = keys.filter(_ % 3 == 0).zipWithIndex.map { case (k, i) =>
+      (i.toLong, k, "F", 10.0, Timestamp.valueOf("1997-01-01 00:00:00"), "3-X")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val d = java.nio.file.Files.createTempDirectory("e5-spec").toString
+    customers.write.mode("overwrite").parquet(s"$d/customer.parquet")
+    orders.write.mode("overwrite").parquet(s"$d/orders.parquet")
+
+    val score = keys.map(k =>
+      k -> graft.llm.TextOps.hash48Jvm(s"sc:$k") % 1000).toMap
+    val label = keys.map(k => k -> (if (k % 3 == 0) 1L else 0L)).toMap
+    def conf(t: Int): (Long, Long, Long, Long) = (
+      keys.count(k => score(k) >= t && label(k) == 1L).toLong,
+      keys.count(k => score(k) >= t && label(k) == 0L).toLong,
+      keys.count(k => score(k) < t && label(k) == 1L).toLong,
+      keys.count(k => score(k) < t && label(k) == 0L).toLong)
+
+    val out = Metrics.queries("e5_pr_curve")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out.length == 11)
+    out.foreach { case (t, tp, fp, fn, tn, prec, rec, f1) =>
+      val (etp, efp, efn, etn) = conf(t.toInt)
+      assert((tp, fp, fn, tn) == (etp, efp, efn, etn), s"t=$t")
+      assert(prec == (if (tp + fp > 0) tp * 1000000L / (tp + fp) else 0L))
+      assert(rec == (if (tp + fn > 0) tp * 1000000L / (tp + fn) else 0L))
+      assert(f1 == (if (2 * tp + fp + fn > 0)
+        tp * 2000000L / (2 * tp + fp + fn) else 0L))
+    }
+    // curve laws: predicted-positive count and recall are non-increasing
+    // in the threshold; the t=0 row classifies everything positive
+    val byT = out.map(r => (r._2 + r._3, r._7)) // (tp+fp, rec_ppm)
+    assert(byT.sliding(2).forall { case Array(a, b) => b._1 <= a._1 && b._2 <= a._2 })
+    assert(out.head._2 + out.head._3 == 30L && out.head._7 == 1000000L)
+  }
 }
