@@ -708,6 +708,52 @@ object Analytics {
           .as("cusum_dollars"))
   }
 
+  // ---- ev_ewma: exponentially-weighted moving average of the daily
+  // revenue series (α = 1/2, 20-term window) — the smoother every
+  // monitoring dashboard layers under the ev_anomaly/ev_changepoint
+  // detectors (EWMA control charts). The recurrence s_t = x_t/2 +
+  // s_{t-1}/2 can't hash-match cross-engine in float space and its
+  // exact integer unrolling needs 2^t headroom — so the OPERATOR is
+  // the K-term truncated EMA, defined exactly: with α = 1/2 the
+  // weights are powers of two, so over the K = 20 newest days
+  //   ema_t = ⌊ Σ_{i=1..m} x_i·2^(i−1) / (2^m − 1) ⌋
+  // (x_1 oldest … x_m newest, m = min(t, K)) — an integer weighted
+  // mean with exponential weights (truncation differs from the
+  // unbounded EMA by < 2^−20 of scale, but nothing here APPROXIMATES:
+  // both engines compute the same exact sum). The weighted sum runs in
+  // DECIMAL(38,0) (HUGEINT in DuckDB) — cents·2^19 leaves int64
+  // headroom thin past sf10 (the m13/j9 pattern). Series is the
+  // zero-filled calendar spine (forecast/changepoint precedent), so
+  // the window list is dimension-sized and the global window sits in
+  // the documented-safe regime. The list is MATERIALIZED in its own
+  // projection before the HOF touches it (the d_winnow lesson).
+  private val ewma: Q = (spark, dir) => {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "orders")
+      .select(to_date($"o_orderdate").as("day"),
+        (dec2($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"day").agg(sum($"cents").as("rev"))
+      .localCheckpoint(false) // spine min/max + the join
+    val spine = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("day"))
+    val series = spine.join(daily, Seq("day"), "left")
+      .select($"day", coalesce($"rev", lit(0L)).as("rev"))
+    val w = Window.orderBy($"day").rowsBetween(-19, 0)
+    val arr = col("arr")
+    // shiftleft's Scala wrapper takes a literal Int shift; the SQL
+    // function itself accepts a column — call it by name
+    def shl(x: Column, by: Column): Column = call_function("shiftleft", x, by)
+    val numer = aggregate(
+      zip_with(arr, sequence(lit(1), size(arr)),
+        (x, i) => x.cast("decimal(38,0)") * shl(lit(1L), i - 1)),
+      lit(0).cast("decimal(38,0)"), (acc, v) => acc + v)
+    val denom = (shl(lit(1L), size(arr)) - 1L).cast("decimal(38,0)")
+    series
+      .select($"day", collect_list($"rev").over(w).as("arr"))
+      .select($"day", size(arr).cast("long").as("n_terms"),
+        ((numer - pmod(numer, denom)) / denom).cast("long").as("ema_cents"))
+  }
+
   // ---- g3_communities: label propagation (2 synchronous rounds) over
   // the co-purchase graph — community detection, completing the graph
   // suite (g1 centrality, g2 cohesion, CC reachability): "which parts
@@ -816,6 +862,7 @@ object Analytics {
     "a19_drift_bins"      -> driftBins,
     "a21_ks_drift"        -> ksDrift,
     "ev_forecast_naive"   -> forecastNaive,
+    "ev_ewma"             -> ewma,
     "ev_survival_table"   -> survivalTable,
     "ev_changepoint"      -> changepoint,
     "ev_attribution"      -> attribution,
@@ -934,6 +981,34 @@ object Analytics {
         |       floor((SUM(abs_err) * 2 + COUNT(*)) / (COUNT(*) * 2)) / 100.0 AS mae,
         |       CAST(floor((SUM(abs_err) * 10000 * 2 + SUM(rev)) / (SUM(rev) * 2)) AS BIGINT) AS wape_bp
         |FROM e""".stripMargin,
+
+    "ev_ewma" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev
+        |  FROM orders GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series((SELECT MIN(day) FROM d),
+        |                                (SELECT MAX(day) FROM d),
+        |                                INTERVAL 1 DAY))::DATE AS day),
+        |s AS (
+        |  SELECT spine.day, COALESCE(d.rev, 0) AS rev
+        |  FROM spine LEFT JOIN d USING (day)),
+        |l AS (
+        |  SELECT day, list(rev) OVER
+        |           (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |           AS arr
+        |  FROM s),
+        |m AS (
+        |  SELECT day, len(arr) AS m,
+        |         list_sum(list_transform(generate_series(1, len(arr)),
+        |           i -> CAST(arr[i] AS HUGEINT) * ((1::BIGINT) << (i - 1))))
+        |           AS numer
+        |  FROM l)
+        |SELECT day, CAST(m AS BIGINT) AS n_terms,
+        |       CAST(numer // CAST(((1::BIGINT) << m) - 1 AS HUGEINT)
+        |         AS BIGINT) AS ema_cents
+        |FROM m""".stripMargin,
 
     // independent spelling: the naive GLOBAL window cumsum the Spark
     // side deliberately avoids — DuckDB is single-node, so its global

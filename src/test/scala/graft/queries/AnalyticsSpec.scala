@@ -421,6 +421,31 @@ class AnalyticsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("ewma: hand-computed power-of-two weighted means, zero-filled gap day") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // Daily revenue 100, 200, 400, (gap→0), 800 cents. With weights
+    // 2^(i-1)/(2^m - 1):
+    //   d1 [100]                → 100/1        = 100
+    //   d2 [100,200]            → 500/3        = 166
+    //   d3 [100,200,400]        → 2100/7       = 300
+    //   d4 [100,200,400,0]      → 2100/15      = 140
+    //   d5 [100,200,400,0,800]  → 14900/31     = 480
+    val rows = Seq(("1997-01-01", 1.00), ("1997-01-02", 2.00),
+      ("1997-01-03", 4.00), ("1997-01-05", 8.00))
+      .zipWithIndex.map { case ((day, p), i) =>
+        (i.toLong, 1L, "O", p, Timestamp.valueOf(s"$day 00:00:00"), "3-X") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val d = Files.createTempDirectory("an-ewma").toString
+    rows.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Analytics.queries("ev_ewma")(spark, d)
+      .select($"n_terms", $"ema_cents")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 100L), (2L, 166L), (3L, 300L),
+      (4L, 140L), (5L, 480L)))
+  }
+
   test("kcore: cascading peel strips the propped tail, keeps K4; round 5 is a no-op") {
     import spark.implicits._
     // K4 {1,2,3,4} + triangle {5,6,7} bridged by 4–5. Degrees: 4→4,
