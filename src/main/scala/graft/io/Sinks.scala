@@ -55,6 +55,28 @@ object Sinks {
     * a declared schema makes the scan single-pass and deterministic.
     * Timestamps round-trip as ISO-8601 strings (written then re-cast) so
     * the comparison is timezone-stable. */
+  /** s13: ORC round-trip — the third columnar interchange format after
+    * parquet and JSON-lines (warehouses that standardized on Hive
+    * commonly hand ORC over). Same contract as s10: write the typed
+    * projection to ORC in scratch, read it back with an explicit
+    * schema, and the declared output must equal the parquet-sourced
+    * oracle row-for-row — which fails if the codec drops precision
+    * (timestamps via the ISO string, the s10 lesson), reorders fields,
+    * or loses nullability. Spark-native ORC, zero extra dependencies;
+    * the write+read is per-partition parallel at any scale. */
+  private val s13: Q = (spark, dir) => {
+    import spark.implicits._
+    val src = Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_iso"))
+    val tmp = scratchDir("orc")
+    src.write.mode("overwrite").orc(s"$tmp/events_orc")
+    spark.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, ts_iso STRING")
+      .orc(s"$tmp/events_orc")
+  }
+
   private val s10: Q = (spark, dir) => {
     import spark.implicits._
     val src = Tables.load(spark, dir, "events")
@@ -241,6 +263,7 @@ object Sinks {
   val queries: Map[String, Q] = Map(
     "s2_csv_scan"      -> s2,
     "s10_json_roundtrip" -> s10,
+    "s13_orc_roundtrip"  -> s13,
     "s11_schema_merge" -> s11,
     "k1_save_as_table" -> k1,
     "k2_model_persist" -> k2,
@@ -268,6 +291,11 @@ object Sinks {
          |FROM o GROUP BY 1""".stripMargin,
 
     "s10_json_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')
+        |         AS ts_iso
+        |FROM events""".stripMargin,
+    "s13_orc_roundtrip" ->
       """SELECT event_id, user_id, event_type, value,
         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')
         |         AS ts_iso

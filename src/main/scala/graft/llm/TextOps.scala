@@ -801,7 +801,43 @@ object TextOps {
           .as("avg_nll"))
   }
 
+  /** d_dataset_card: the one-row corpus summary a dataset release ships
+    * (the "dataset card" numbers): volume (docs/tokens/chars), language
+    * mix (pinned-value conditional sums — the a9_pivot spelling, plus
+    * an n_other catch-all so an unexpected language is COUNTED, never
+    * silently dropped), source count, exact-duplicate mass (Σ copies −
+    * distinct texts, the dedup_exact grouping reduced to one number),
+    * and mean tokens/doc as an exact milli floor. Scale shape: one
+    * corpus scan feeding a single aggregate (the lone countDistinct
+    * plans as a two-phase agg, no Expand) plus the content-hash
+    * grouping, joined as 1-row broadcasts. */
+  private val datasetCard: Q = (spark, dir) => {
+    import spark.implicits._
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val d = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"source", $"text",
+        size(toks($"text")).cast("long").as("nt"),
+        length($"text").cast("long").as("nc"))
+    val langAggs = langs.map(l =>
+      sum(when($"lang" === l, 1L).otherwise(0L)).as(s"n_$l")) :+
+      sum(when(!$"lang".isin(langs: _*), 1L).otherwise(0L)).as("n_other")
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum($"nt").as("n_tokens"),
+      sum($"nc").as("n_chars"),
+      countDistinct($"source").as("n_sources")) ++ langAggs
+    val base = d.agg(aggs.head, aggs.tail: _*)
+    val dup = d.groupBy(md5($"text")).agg(count(lit(1)).as("c"))
+      .agg((sum($"c") - count(lit(1))).as("n_exact_dup_docs"))
+    base
+      .crossJoin(broadcast(dup))
+      .withColumn("mean_doc_tokens_milli",
+        (($"n_tokens" * 1000L - pmod($"n_tokens" * 1000L, $"n_docs")) /
+          $"n_docs").cast("long"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d_dataset_card"   -> datasetCard,
     "d_repetition"     -> repetition,
     "d_novelty"        -> novelty,
     "d_lm_score"       -> lmScore,
@@ -1079,6 +1115,30 @@ object TextOps {
          |       CAST(round(tf * ln(n_docs / df) * 1e6) AS BIGINT)
          |         AS tfidf_micro, rk
          |FROM r WHERE rk <= 3""".stripMargin,
+
+    "d_dataset_card" ->
+      s"""WITH d AS (SELECT lang, source, text,
+         |             CAST(len($ToksSql) AS BIGINT) AS nt,
+         |             CAST(length(text) AS BIGINT) AS nc
+         |           FROM documents),
+         |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |        CAST(SUM(nc) AS BIGINT) AS n_chars,
+         |        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |        CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |        CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+         |        CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+         |        CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+         |        CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+         |        CAST(SUM(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
+         |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+         |      FROM d),
+         |dup AS (SELECT CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_exact_dup_docs
+         |        FROM (SELECT COUNT(*) AS c FROM d GROUP BY md5(text)))
+         |SELECT b.*, dup.n_exact_dup_docs,
+         |       CAST((n_tokens * 1000) // n_docs AS BIGINT)
+         |         AS mean_doc_tokens_milli
+         |FROM b, dup""".stripMargin,
 
     "d_text_stats" ->
       s"""WITH t AS (SELECT doc_id, lang, n_chars, text, $ToksSql AS w FROM documents)

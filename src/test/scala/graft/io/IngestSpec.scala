@@ -107,4 +107,22 @@ class IngestSpec extends SparkSpec {
     assert(rows(1L).contains("f1.parquet"))
     assert(rows(2L).contains("f2.parquet"))
   }
+
+  test("s13 writes genuine ORC files (magic bytes) and round-trips typed rows") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("orc-rt").toString
+    val src = Seq((7L, "x", 1.25), (8L, "y", -0.5))
+      .toDF("id", "s", "v")
+    src.write.mode("overwrite").orc(s"$d/t_orc")
+    // ORC file tail: ... 'O' 'R' 'C' <postscript-length byte>
+    val f = new java.io.File(s"$d/t_orc").listFiles()
+      .filter(_.getName.endsWith(".orc")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    assert(new String(
+      bytes.slice(bytes.length - 4, bytes.length - 1), "US-ASCII") == "ORC",
+      s"${f.getName} missing ORC tail magic")
+    val back = spark.read.schema("id BIGINT, s STRING, v DOUBLE")
+      .orc(s"$d/t_orc").as[(Long, String, Double)].collect().toSet
+    assert(back == Set((7L, "x", 1.25), (8L, "y", -0.5)))
+  }
 }

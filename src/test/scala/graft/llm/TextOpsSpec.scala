@@ -288,4 +288,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L) == ((1L, 1L, s1, if (s1 >= 0) 1L else 0L)))
     assert(!out.contains(2L))
   }
+
+  test("dataset card: hand-counted volume, lang mix with other-bucket, dup mass") {
+    import spark.implicits._
+    // 5 docs: en×2 (one exact dup pair), de×1, unknown lang 'xx'×1 →
+    // n_other counts it instead of dropping it; 2 sources.
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en", "sA"),
+      (1L, "alpha beta gamma", "en", "sA"), // exact dup of 0
+      (2L, "delta epsilon", "de", "sB"),
+      (3L, "zeta", "xx", "sB"),
+      (4L, "eta theta iota kappa", "en", "sA"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Files.createTempDirectory("cardspec").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.queries("d_dataset_card")(spark, d).collect().head
+    def g(c: String): Long = out.getAs[Long](c)
+    assert(g("n_docs") == 5L && g("n_tokens") == 13L)
+    assert(g("n_chars") == Seq("alpha beta gamma", "alpha beta gamma",
+      "delta epsilon", "zeta", "eta theta iota kappa").map(_.length).sum)
+    assert(g("n_sources") == 2L)
+    assert(g("n_en") == 3L && g("n_de") == 1L && g("n_other") == 1L &&
+      g("n_fr") == 0L && g("n_es") == 0L && g("n_zh") == 0L)
+    assert(g("n_exact_dup_docs") == 1L) // 2 copies - 1 distinct
+    assert(g("mean_doc_tokens_milli") == 13L * 1000 / 5) // 2600
+  }
 }
