@@ -473,6 +473,62 @@ object Relational {
       .filter($"support" >= 2)
   }
 
+  // ---- J11 (extension): SALTED skew join — the two-sided companion of
+  // a1_salted_agg. The fact's join key here is l_returnflag: THREE
+  // values over the whole fact, so a plain hash join funnels the entire
+  // table through 3 reducers — the canonical skew meltdown (AQE's
+  // skew-join split helps storage-skewed partitions but not a
+  // 3-value key space). The salted spelling: the fact key gains a
+  // deterministic hash salt (key, h%S); the dimension is REPLICATED
+  // ×S map-side (explode of a literal range — S rows per dim row,
+  // never a shuffle) so every salted fact key finds its dim row; the
+  // post-join aggregate re-combines over (key) exactly like a1's
+  // final pass. S=8 turns 3 live reducers into 24 — at 1000 executors
+  // you'd size S to the cluster, a config knob, not a plan change.
+  // Salt is hash-of-row-key (o4/o5 determinism canon), so the result
+  // is partition-invariant and the oracle spells the UNSALTED join —
+  // same table, opposite reducer occupancy.
+  private val j11: Q = (spark, dir) => {
+    import spark.implicits._
+    val S = 8
+    val fact = Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag".as("rf"), $"l_quantity",
+        (graft.llm.TextOps.hash48($"l_orderkey".cast("string")) % S)
+          .as("salt"))
+    val dim = Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag".as("rf")).distinct()
+      .select($"rf", concat(lit("flag_"), $"rf").as("label"))
+      .select($"rf", $"label",
+        explode(sequence(lit(0), lit(S - 1))).as("salt_i"))
+      .select($"rf", $"label", $"salt_i".cast("long").as("salt"))
+    fact.join(broadcast(dim), Seq("rf", "salt"))
+      .groupBy($"rf", $"label")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2($"l_quantity")).cast("long").as("sum_qty"))
+  }
+
+  // ---- W18 (extension): the relative-rank window suite —
+  // percent_rank / cume_dist / ntile(4) per priority class over the
+  // order cents, the analytics trio w14-w17 don't cover. The order is
+  // TOTAL ((cents, o_orderkey)), so every rank function is
+  // deterministic and ntile's tie placement is pinned; partitions are
+  // priority classes (bounded count, each ~N/5 — per-key windows, the
+  // safe axis). percent_rank/cume_dist are IEEE divisions of identical
+  // integers in both engines — exact cross-engine without quantization
+  // (the a16 rate precedent).
+  private val w18: Q = (spark, dir) => {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"cents", $"o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority",
+        (dec2($"o_totalprice") * 100).cast("long").as("cents"))
+      .select($"o_orderkey", $"o_orderpriority", $"cents",
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ntile(4).over(w).cast("long").as("quartile"))
+  }
+
   // ---- J9 (extension): association rules over the j6 frequent pairs —
   // the classic market-basket output (Agrawal/Srikant Apriori at the
   // 2-itemset level): for each frequent pair emit BOTH directed rules
@@ -1000,6 +1056,8 @@ object Relational {
     "o6_weighted_sample" -> o6,
     "j6_cooccurrence"    -> j6,
     "j9_assoc_rules"     -> j9,
+    "j11_salted_join"    -> j11,
+    "w18_rank_suite"     -> w18,
     "a15_histogram"      -> a15,
     "j7_fuzzy_block"     -> j7,
     "j8_setsim_join"     -> j8,
@@ -1250,6 +1308,29 @@ object Relational {
         |SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS support
         |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+
+    "j11_salted_join" ->
+      """WITH dim AS (SELECT DISTINCT l_returnflag AS rf FROM lineitem)
+        |SELECT f.l_returnflag AS rf, 'flag_' || d.rf AS label,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT)
+        |         AS sum_qty
+        |FROM lineitem f JOIN dim d ON f.l_returnflag = d.rf
+        |GROUP BY 1, 2""".stripMargin,
+
+    "w18_rank_suite" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority, cents,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY cents, o_orderkey)""".stripMargin,
 
     "j9_assoc_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -208,6 +208,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Exchange") <= 22, s"d_retrieval_eval exchange budget:\n$p")
   }
 
+  test("j11_salted_join: the join key really carries the salt; dim replication is map-side") {
+    val p = planOf("j11_salted_join")
+    // the whole point: the physical join key must be (rf, salt) — if a
+    // refactor drops the salt from the key the query still returns the
+    // same rows but re-melts to 3 live reducers at scale
+    assert(p.contains("BroadcastHashJoin [rf"), s"j11 lost its broadcast join:\n$p")
+    assert("BroadcastHashJoin \\[rf[^\\]]*salt".r.findFirstIn(p).isDefined,
+      s"j11 join key lost the salt column:\n$p")
+    assert(count(p, "Generate") >= 1,
+      s"j11 dim replication (explode) disappeared:\n$p")
+    assert(count(p, "CartesianProduct") == 0 && count(p, "Expand") == 0)
+  }
+
   test("j7_fuzzy_block: catalog-scaling key joins stay SORT-MERGE, never broadcast") {
     // The blocking-key tables are ~12 rows PER PART — they grow with
     // the catalog, so broadcasting them can never be scale-safe (the

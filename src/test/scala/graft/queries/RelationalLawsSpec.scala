@@ -293,6 +293,25 @@ class RelationalLawsSpec extends SparkSpec {
       (102L, 101L, 2L, 2L, 4L, 1000000L, 1000000L)))
   }
 
+  test("W18 law: all-tied prices rank deterministically by key; quartiles balanced") {
+    import spark.implicits._
+    // 8 orders, one priority, identical price: percent_rank spreads
+    // 0..1 by the KEY tiebreak, ntile(4) puts exactly 2 per quartile
+    // in key order — the total-order contract the oracle replays.
+    val rows = (1L to 8L).map(k =>
+      (k, 1L, "O", 50.0,
+        java.sql.Timestamp.valueOf("1997-01-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val d = java.nio.file.Files.createTempDirectory("w18-spec").toString
+    rows.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Relational.queries("w18_rank_suite")(spark, d)
+      .select($"o_orderkey", $"pct_rank", $"quartile")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._2) == (0 to 7).map(_ / 7.0))
+    assert(out.map(_._3) == Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L))
+  }
+
   test("U1 shopchannel udf reproduces the reference's quirky 4-way mapping") {
     import spark.implicits._
     val cases = Seq(
