@@ -178,11 +178,39 @@ object Encoders {
         min($"cents").as("lo_cents"), max($"cents").as("hi_cents"))
   }
 
+  /** m15: MIN-MAX SCALING (Spark ML MinMaxScaler semantics on the
+    * default [0,1] range) made integer-EXACT: the account balance in
+    * cents maps to scaled_ppm = ⌊(cents − lo)·10⁶ / (hi − lo)⌋. The
+    * library scaler emits doubles ((x−min)/(max−min) is not
+    * cross-engine bit-stable when max−min is not a power of two); the
+    * ppm floor is the same information, exactly comparable, and what a
+    * feature store would materialize anyway. Scale shape: one 1-row
+    * global (min,max) aggregate attached as a broadcast, then a pure
+    * map-side projection — ZERO row-wise shuffles; the fit artifact is
+    * the 1-row stats table. Headroom is value-bounded, not row-bounded:
+    * (cents − lo) ≤ 2·10⁶ so the ·10⁶ product stays ≤ 2·10¹² at ANY
+    * corpus size. Degenerate hi = lo (constant column) pins 0, matching
+    * Spark ML's 0.5·(min+max) convention being irrelevant here. */
+  private val minmaxScaler: Q = (spark, dir) => {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", (dec2($"c_acctbal") * 100).cast("long").as("cents"))
+    val stats = c.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+    c.crossJoin(broadcast(stats))
+      .select($"c_custkey", $"cents",
+        when($"hi" > $"lo", {
+          val num = ($"cents" - $"lo") * 1000000L
+          val den = $"hi" - $"lo"
+          ((num - pmod(num, den)) / den).cast("long")
+        }).otherwise(0L).as("scaled_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "enc_feature_hash"  -> featureHash,
     "m12_target_encode" -> targetEncode,
     "m13_woe_iv"        -> woeIv,
-    "m14_quantile_bins" -> quantileBins)
+    "m14_quantile_bins" -> quantileBins,
+    "m15_minmax_scaler" -> minmaxScaler)
 
   val oracles: Map[String, String] = Map(
     "m14_quantile_bins" ->
@@ -250,5 +278,17 @@ object Encoders {
          |SELECT c_mktsegment, n_train, n_pos,
          |       ${roundRatio2Sql("n_pos * 100", "n_train")} AS rate,
          |       (n_pos + 20.0 * prior) / (n_train + 20.0) AS te_smooth
-         |FROM seg, p""".stripMargin)
+         |FROM seg, p""".stripMargin,
+
+    "m15_minmax_scaler" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |t AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c)
+        |SELECT c_custkey, cents,
+        |       CASE WHEN hi > lo
+        |            THEN CAST(((cents - lo) * 1000000) // (hi - lo) AS BIGINT)
+        |            ELSE CAST(0 AS BIGINT) END AS scaled_ppm
+        |FROM c, t""".stripMargin)
 }

@@ -96,19 +96,30 @@ object Metrics {
     * (F1 = 2tp/(2tp+fp+fn) — the division-free identity). The oracle
     * spells the sweep as an explode×GROUP BY — independent spelling,
     * same table. */
-  private val prCurve: Q = (spark, dir) => {
+  /** The shared scored-batch stand-in behind e5/e6: a deterministic
+    * hash-derived milli-probability per customer (`s` ∈ [0,1000)) and
+    * the fallen-through-order label (`y`). Exactly the compute shape of
+    * a scored eval batch — swapping in real model scores is a column
+    * substitution. */
+  private def scoredLabels(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
     import spark.implicits._
     import graft.llm.TextOps.hash48
-    val thresholds = 0 to 1000 by 100
     val lab = graft.Tables.load(spark, dir, "orders")
       .groupBy($"o_custkey")
       .agg(max(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("y"))
-    val scored = graft.Tables.load(spark, dir, "customer")
+    graft.Tables.load(spark, dir, "customer")
       .select($"c_custkey",
         (hash48(concat(lit("sc:"), $"c_custkey".cast("string"))) % 1000)
           .as("s"))
       .join(lab, $"c_custkey" === $"o_custkey", "left")
       .select($"s", coalesce($"y", lit(0L)).as("y"))
+  }
+
+  private val prCurve: Q = (spark, dir) => {
+    import spark.implicits._
+    val thresholds = 0 to 1000 by 100
+    val scored = scoredLabels(spark, dir)
     val aggs = thresholds.flatMap { t => Seq(
       sum(when($"s" >= t && $"y" === 1L, 1L).otherwise(0L)).as(s"tp_$t"),
       sum(when($"s" >= t && $"y" === 0L, 1L).otherwise(0L)).as(s"fp_$t"),
@@ -127,7 +138,37 @@ object Metrics {
         ratioPpm($"tp" * 2000000L, $"tp" * 2 + $"fp" + $"fn").as("f1_ppm"))
   }
 
-  val queries: Map[String, Q] = Map("e5_pr_curve" -> prCurve)
+  /** e6_calibration: the reliability table as a DECLARED oracle-checked
+    * query over the e5 scored shape — deciles of the milli-score, and
+    * per bin the expected rate (mean predicted score, in ppm) next to
+    * the observed positive rate (ppm). AUC is rank-only; THIS is the
+    * table that catches an uncalibrated model. ONE aggregate pass (bin
+    * is a floor of the score column — partial agg applies at any
+    * scale); the two rates are exact integer ppm floors assembled from
+    * the bin's integer sums, carried in DECIMAL(38,0) so sum_s·1000 and
+    * n_pos·10⁶ cannot wrap int64 even at a 10¹²-row eval batch (the
+    * m13 headroom lesson). */
+  private val calibrationTable: Q = (spark, dir) => {
+    import spark.implicits._
+    // The scale-up happens in DECIMAL (cast BEFORE the multiply): a
+    // long·long product would wrap first and cast the wreckage after.
+    def ppm(base: Column, factor: Long, den: Column): Column = {
+      val n = base.cast("decimal(38,0)") * factor
+      ((n - pmod(n, den)) / den).cast("long")
+    }
+    scoredLabels(spark, dir)
+      .groupBy((($"s" - pmod($"s", lit(100L))) / 100L).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"),
+        sum($"s").as("sum_s"))
+      .select($"bin", $"n", $"n_pos",
+        ppm($"sum_s", 1000L, $"n").as("exp_ppm"),
+        ppm($"n_pos", 1000000L, $"n").as("obs_ppm"))
+      .withColumn("gap_ppm", abs($"exp_ppm" - $"obs_ppm"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "e5_pr_curve"    -> prCurve,
+    "e6_calibration" -> calibrationTable)
 
   val oracles: Map[String, String] = Map(
     "e5_pr_curve" -> {
@@ -157,5 +198,25 @@ object Metrics {
          |            THEN CAST((tp * 2000000) // (2 * tp + fp + fn) AS BIGINT)
          |            ELSE 0 END AS f1_ppm
          |FROM c""".stripMargin
+    },
+
+    "e6_calibration" -> {
+      val h = graft.llm.TextOps.hash48Sql("'sc:' || CAST(c_custkey AS VARCHAR)")
+      s"""WITH lab AS (
+         |  SELECT o_custkey,
+         |         MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS y
+         |  FROM orders GROUP BY 1),
+         |j AS (SELECT $h % 1000 AS s, COALESCE(y, 0) AS y
+         |      FROM customer LEFT JOIN lab ON o_custkey = c_custkey),
+         |g AS (SELECT CAST(s // 100 AS BIGINT) AS bin, COUNT(*) AS n,
+         |             CAST(SUM(y) AS BIGINT) AS n_pos,
+         |             SUM(s) AS sum_s
+         |      FROM j GROUP BY 1)
+         |SELECT bin, n, n_pos,
+         |       CAST((sum_s * 1000) // n AS BIGINT) AS exp_ppm,
+         |       CAST((n_pos * 1000000) // n AS BIGINT) AS obs_ppm,
+         |       CAST(abs((sum_s * 1000) // n - (n_pos * 1000000) // n)
+         |         AS BIGINT) AS gap_ppm
+         |FROM g""".stripMargin
     })
 }

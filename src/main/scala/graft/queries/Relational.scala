@@ -482,6 +482,46 @@ object Relational {
   // deterministic hash salt (key, h%S); the dimension is REPLICATED
   // ×S map-side (explode of a literal range — S rows per dim row,
   // never a shuffle) so every salted fact key finds its dim row; the
+  // ---- j12_minmax_prune: the MANUAL RUNTIME FILTER — the dimension
+  // side's join keys, reduced to driver-side stats, become a pushable
+  // predicate on the FACT SCAN before the join ever runs. This is the
+  // hand-rolled twin of dynamic partition pruning / Catalyst's
+  // InjectRuntimeFilter (whose thresholds — 10 GB application side —
+  // never trigger at test scale), and the single biggest scan saver at
+  // 100 TB: a selective dim filter should never pay a full fact scan.
+  // Two tiers by dim-key count: ≤ 1000 keys → an IN-list (parquet
+  // row-group dictionary/stats prune on exact keys); above → the
+  // (min,max) range (2 longs of driver state at ANY dim size). Both
+  // reach the parquet reader as PushedFilters (PlanShapeSpec pins the
+  // In-list + the BroadcastHashJoin above it); both are REDUNDANT with
+  // the join, so the oracle spells the plain join — same rows, and the
+  // scan-side pruning composes with the k8_zorder layout, which is
+  // what turns the pushed range into actual skipped row groups on a
+  // clustered warehouse table. The stats collect is a 1-row aggregate
+  // (never the key list, unless it already passed the ≤1000 cap) —
+  // bounded driver metadata, the Similarity-centroid contract.
+  private val j12: Q = (spark, dir) => {
+    import spark.implicits._
+    val dim = Tables.load(spark, dir, "part")
+      .filter($"p_size" === 1)
+      .select($"p_partkey", $"p_brand")
+    val st = dim.agg(min($"p_partkey").as("lo"), max($"p_partkey").as("hi"),
+      count(lit(1)).as("nk")).head()
+    val fact = Tables.load(spark, dir, "lineitem")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+    val pruned =
+      if (st.getLong(2) == 0L) fact.filter(lit(false))
+      else if (st.getLong(2) <= 1000L)
+        fact.filter($"l_partkey".isin(
+          dim.select($"p_partkey").as[Long].collect().sorted.map(Long.box): _*))
+      else fact.filter($"l_partkey".between(st.getLong(0), st.getLong(1)))
+    pruned.join(broadcast(dim), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2($"l_quantity")).cast("long").as("sum_qty"),
+        dsum($"l_extendedprice").as("revenue"))
+  }
+
   // post-join aggregate re-combines over (key) exactly like a1's
   // final pass. S=8 turns 3 live reducers into 24 — at 1000 executors
   // you'd size S to the cluster, a config knob, not a plan change.
@@ -1057,6 +1097,7 @@ object Relational {
     "j6_cooccurrence"    -> j6,
     "j9_assoc_rules"     -> j9,
     "j11_salted_join"    -> j11,
+    "j12_minmax_prune"   -> j12,
     "w18_rank_suite"     -> w18,
     "a15_histogram"      -> a15,
     "j7_fuzzy_block"     -> j7,
@@ -1317,6 +1358,16 @@ object Relational {
         |         AS sum_qty
         |FROM lineitem f JOIN dim d ON f.l_returnflag = d.rf
         |GROUP BY 1, 2""".stripMargin,
+
+    "j12_minmax_prune" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT)
+        |         AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
+        |GROUP BY 1""".stripMargin,
 
     "w18_rank_suite" ->
       """WITH o AS (

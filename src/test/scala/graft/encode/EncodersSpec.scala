@@ -141,4 +141,28 @@ class EncodersSpec extends SparkSpec {
     val expected = (0 until 10).map(k => (k.toLong, 1L, 9999L, 9999L))
     assert(out == expected)
   }
+
+  test("m15 minmax: planted endpoints map to 0 and 10^6 ppm; midpoint floors exactly") {
+    import spark.implicits._
+    val customers = Seq((1L, 0.00), (2L, 5.00), (3L, 10.00), (4L, 3.33))
+      .toDF("c_custkey", "c_acctbal")
+    val d = Files.createTempDirectory("enc-mm").toString
+    customers.write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val out = Encoders.queries("m15_minmax_scaler")(spark, d)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // 333 cents of [0,1000] → floor(333·10⁶/1000) = 333000 ppm exactly
+    assert(out == Seq((1L, 0L, 0L), (2L, 500L, 500000L),
+      (3L, 1000L, 1000000L), (4L, 333L, 333000L)))
+  }
+
+  test("m15 minmax: a constant column degenerates to 0 instead of dividing by zero") {
+    import spark.implicits._
+    val customers = Seq((1L, 7.77), (2L, 7.77))
+      .toDF("c_custkey", "c_acctbal")
+    val d = Files.createTempDirectory("enc-mm2").toString
+    customers.write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val out = Encoders.queries("m15_minmax_scaler")(spark, d)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 777L, 0L), (2L, 777L, 0L)))
+  }
 }

@@ -105,4 +105,42 @@ class MetricsSpec extends SparkSpec {
     assert(byT.sliding(2).forall { case Array(a, b) => b._1 <= a._1 && b._2 <= a._2 })
     assert(out.head._2 + out.head._3 == 30L && out.head._7 == 1000000L)
   }
+
+  test("e6 calibration equals a plain-Scala per-bin recompute; bins partition the batch") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // Same 30-customer planted batch as e5; expected table replayed
+    // via hash48Jvm, integer-exactly.
+    val keys = (1L to 30L)
+    val customers = keys.map(k => (k, s"c$k", "SEG")).toDF(
+      "c_custkey", "c_name", "c_mktsegment")
+    val orders = keys.filter(_ % 3 == 0).zipWithIndex.map { case (k, i) =>
+      (i.toLong, k, "F", 10.0, Timestamp.valueOf("1997-01-01 00:00:00"), "3-X")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val d = java.nio.file.Files.createTempDirectory("e6-spec").toString
+    customers.write.mode("overwrite").parquet(s"$d/customer.parquet")
+    orders.write.mode("overwrite").parquet(s"$d/orders.parquet")
+
+    val score = keys.map(k =>
+      k -> graft.llm.TextOps.hash48Jvm(s"sc:$k") % 1000).toMap
+    val label = keys.map(k => k -> (if (k % 3 == 0) 1L else 0L)).toMap
+    val expected = keys.groupBy(k => score(k) / 100).map { case (bin, ks) =>
+      val n = ks.size.toLong
+      val nPos = ks.map(label).sum
+      val sumS = ks.map(score).sum
+      val exp = sumS * 1000L / n
+      val obs = nPos * 1000000L / n
+      (bin, (n, nPos, exp, obs, math.abs(exp - obs)))
+    }
+
+    val out = Metrics.queries("e6_calibration")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet.subsetOf((0L to 9L).toSet))
+    assert(out.map(_._2).sum == 30L, "bins must partition the batch")
+    out.foreach { case (bin, n, nPos, exp, obs, gap) =>
+      assert(expected(bin) == ((n, nPos, exp, obs, gap)), s"bin=$bin")
+    }
+    assert(out.length == expected.size)
+  }
 }

@@ -221,6 +221,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0 && count(p, "Expand") == 0)
   }
 
+  test("j12_minmax_prune: the runtime filter reaches the parquet scan; dim broadcasts") {
+    val p = planOf("j12_minmax_prune")
+    // the whole point: the dim-derived key predicate must be PUSHED —
+    // visible on the FileSourceScan — not evaluated post-scan. At the
+    // declared scale the dim passes the ≤1000-key cap, so the pushed
+    // form is the exact IN-list; dropping the pushdown (or the cap
+    // branch) returns identical rows but re-reads the full fact at
+    // 100 TB, exactly what a row-equality test cannot see.
+    assert("PushedFilters: \\[[^\\]]*In\\(l_partkey".r.findFirstIn(p).isDefined,
+      s"j12 lost the pushed IN-list on the fact scan:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      s"j12 dim join must broadcast:\n$p")
+    assert(count(p, "CartesianProduct") == 0 && count(p, "Expand") == 0)
+    assert(count(p, "Exchange") <= 2, s"j12 exchange budget:\n$p")
+  }
+
+  test("ev_paths: global top-20 stays TakeOrderedAndProject, never a global sort") {
+    val p = planOf("ev_paths")
+    assert(count(p, "TakeOrderedAndProject") >= 1,
+      s"ev_paths lost its TakeOrderedAndProject:\n$p")
+    assert(count(p, "CartesianProduct") == 0 && count(p, "Expand") == 0)
+    // one user-keyed window exchange + the bigram agg exchange
+    assert(count(p, "Exchange") <= 3, s"ev_paths exchange budget:\n$p")
+  }
+
   test("j7_fuzzy_block: catalog-scaling key joins stay SORT-MERGE, never broadcast") {
     // The blocking-key tables are ~12 rows PER PART — they grow with
     // the catalog, so broadcasting them can never be scale-safe (the

@@ -471,6 +471,60 @@ class AnalyticsSpec extends SparkSpec {
       s"4-round peel not converged: ${r4.size} vs ${r5.size} nodes")
   }
 
+  test("bfs: layered distances on a planted path; 5th hop and islands stay absent") {
+    import spark.implicits._
+    // Path 97–1–2–3–4–5 (each order = one co-purchase edge) plus an
+    // island {6,7}. Seed = 97 (≡ 0 mod 97). Bounded at 4 hops: node 5
+    // (dist 5) and the island must be ABSENT, not ∞.
+    val li = Seq((1L, 97L), (1L, 1L), (2L, 1L), (2L, 2L), (3L, 2L),
+      (3L, 3L), (4L, 3L), (4L, 4L), (5L, 4L), (5L, 5L), (6L, 6L), (6L, 7L))
+      .toDF("l_orderkey", "l_partkey")
+    val d = Files.createTempDirectory("an-bfs").toString
+    li.write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = Analytics.queries("g5_bfs")(spark, d)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(97L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("bfs: early exit — an exhausted frontier returns the same distances as 4 rounds") {
+    import spark.implicits._
+    // Star around seed 97: every node is reached in round 1; round 2's
+    // frontier is empty, so rounds 3–4 must be skipped no-ops and the
+    // distances still complete.
+    val li = Seq((1L, 97L), (1L, 1L), (2L, 97L), (2L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val d = Files.createTempDirectory("an-bfs2").toString
+    li.write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = Analytics.queries("g5_bfs")(spark, d)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(97L -> 0L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("paths: session boundary is exact to the microsecond; ties pair in event-id order") {
+    import spark.implicits._
+    // user 1: A→B inside 10 min (bigram), then an 80-min gap to C (no
+    // bigram). user 2: X→Y at EXACTLY 30 min (inclusive boundary).
+    // user 3: P→Q at 30 min + 1 µs (excluded — a seconds-floored gap
+    // test would wrongly include it). user 4: two events at the SAME
+    // timestamp pair in event_id order (M→N, gap 0).
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "B", 1.0, "{}"),
+      (3L, ts("2024-01-01 11:30:00"), 1L, "C", 1.0, "{}"),
+      (4L, ts("2024-01-01 09:00:00"), 2L, "X", 1.0, "{}"),
+      (5L, ts("2024-01-01 09:30:00"), 2L, "Y", 1.0, "{}"),
+      (6L, ts("2024-01-01 09:00:00"), 3L, "P", 1.0, "{}"),
+      (7L, Timestamp.valueOf("2024-01-01 09:30:00.000001"), 3L, "Q", 1.0, "{}"),
+      (8L, ts("2024-01-01 12:00:00"), 4L, "M", 1.0, "{}"),
+      (9L, ts("2024-01-01 12:00:00"), 4L, "N", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = Files.createTempDirectory("an-paths").toString
+    rows.write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = Analytics.queries("ev_paths")(spark, d)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("A", "B", 1L), ("M", "N", 1L), ("X", "Y", 1L)))
+  }
+
   private implicit class PairMap(rows: Array[(String, Long, Double)]) {
     def toMap2: Map[String, (Long, Double)] =
       rows.map(r => r._1 -> (r._2, r._3)).toMap

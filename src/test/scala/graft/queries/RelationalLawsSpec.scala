@@ -324,4 +324,52 @@ class RelationalLawsSpec extends SparkSpec {
       .as[Option[String]].collect().toSeq
     assert(out == Seq(Some("门店和小程序"), Some("仅小程序"), Some("仅门店"), None))
   }
+
+  private def j12Dir(nDimKeys: Int): String = {
+    import spark.implicits._
+    // nDimKeys parts with p_size=1 (brand alternates B1/B2) + one
+    // p_size=2 decoy that must never reach the output; lineitem holds
+    // two rows per selected part and one for the decoy.
+    val parts = ((1 to nDimKeys).map(k =>
+      (k.toLong, s"B${k % 2 + 1}", 1)) :+ (90000L, "BX", 2))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val li = (1 to nDimKeys).flatMap(k => Seq(
+      (k.toLong, 2.0, 10.00), (k.toLong, 3.0, 5.50))) :+ (90000L, 1.0, 99.99)
+    val d = java.nio.file.Files.createTempDirectory(s"j12-$nDimKeys").toString
+    parts.write.mode("overwrite").parquet(s"$d/part.parquet")
+    li.toDF("l_partkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("J12 law: pruned join equals the plain join on both key-count tiers") {
+    import spark.implicits._
+    // 4 keys → the IN-list tier; 1200 keys → the (min,max)-range tier.
+    // Both must emit exactly the unpruned join's aggregate (the pushed
+    // filter is redundant with the join — that's the contract).
+    for (nKeys <- Seq(4, 1200)) {
+      val d = j12Dir(nKeys)
+      val out = Relational.queries("j12_minmax_prune")(spark, d)
+        .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      val half = (nKeys / 2).toLong
+      val expect = Seq(
+        ("B1", 2 * half, 5 * half, 15.50 * half),
+        ("B2", 2 * half, 5 * half, 15.50 * half))
+      assert(out.map(r => (r._1, r._2, r._3)) ==
+        expect.map(r => (r._1, r._2, r._3)), s"nKeys=$nKeys")
+      out.zip(expect).foreach { case (o, e) =>
+        assert(math.abs(o._4 - e._4) < 1e-6, s"revenue nKeys=$nKeys") }
+    }
+  }
+
+  test("J12 law: an empty dimension yields an empty result, not a full-scan join") {
+    import spark.implicits._
+    val parts = Seq((1L, "B1", 2)).toDF("p_partkey", "p_brand", "p_size")
+    val li = Seq((1L, 2.0, 10.00)).toDF(
+      "l_partkey", "l_quantity", "l_extendedprice")
+    val d = java.nio.file.Files.createTempDirectory("j12-empty").toString
+    parts.write.mode("overwrite").parquet(s"$d/part.parquet")
+    li.write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    assert(Relational.queries("j12_minmax_prune")(spark, d).isEmpty)
+  }
 }
