@@ -801,6 +801,60 @@ object Relational {
       .select($"source", $"doc_id", $"n_chars", $"rk")
   }
 
+  // ---- O7 (extension): UNIFORM reservoir sampling, exactly K per
+  // group — the unweighted twin of o6 (classic Algorithm-R semantics
+  // made deterministic): every row of a group is equally likely under
+  // the hash-uniform key, and each group emits exactly min(K, |group|)
+  // rows no matter how skewed group sizes are — which a fraction-based
+  // sample (o4) cannot promise (its per-group yield varies with group
+  // size). Deterministic like o4/o5/o6: the sample is a pure function
+  // of the data — reproducible across reruns, re-ingests, and
+  // partition layouts, and therefore oracle-checkable. Scale shape:
+  // the rank key is map-side arithmetic; the top-K per group plans the
+  // same two-phase WindowGroupLimit as o6/d_source_cap (each map task
+  // keeps its local K per group before the exchange), so the shuffle
+  // carries at most K·|groups| rows per task, not the fact table.
+  private val o7: Q = (spark, dir) => {
+    import spark.implicits._
+    val K = 20
+    val key = graft.llm.TextOps.hash48(
+      concat(lit("rv:"), $"o_orderkey".cast("string")))
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"key".asc, $"o_orderkey".asc)
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority", $"o_orderkey", key.as("key"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= K)
+      .select($"o_orderpriority", $"o_orderkey", $"rk")
+  }
+
+  // ---- W19 (extension): running DISTINCT count per user — "how many
+  // distinct event types had this user touched as of each event", the
+  // engagement-breadth curve behind activation metrics (and the
+  // windowed cousin of a2's global NDV). Exact running distinct is
+  // hostile to one window (state = the seen-set); the standard exact
+  // spelling is FIRST-SEEN FLAG (row_number over (user, type) == 1)
+  // then a running SUM of flags over the user's timeline — two window
+  // operators over BOUNDED partitions (a user's events / a user's
+  // events of one type), never a global sort. Two exchanges ((user,
+  // type) then user) is the honest cost of exactness; the flags are
+  // 0/1 longs so the second pass carries no payload. Both windows
+  // order by the TOTAL (ts, event_id) key — tie placement is pinned,
+  // so the running values hash-compare bitwise.
+  private val w19: Q = (spark, dir) => {
+    import spark.implicits._
+    val wFirst = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    val wRun = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+      .withColumn("first_seen",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("n_types", sum($"first_seen").over(wRun))
+      .select($"event_id", $"user_id", $"n_types")
+  }
+
   // ---- A12 (extension): one-pass column profiling — the data-quality
   // summary every ingest pipeline runs before training. ONE aggregate
   // over ONE scan (no per-column passes): row count, null count, exact
@@ -1094,6 +1148,8 @@ object Relational {
     "a8_approx_percentiles" -> a8approx,
     "o5_group_hash_split" -> o5,
     "o6_weighted_sample" -> o6,
+    "o7_reservoir_sample" -> o7,
+    "w19_running_distinct" -> w19,
     "j6_cooccurrence"    -> j6,
     "j9_assoc_rules"     -> j9,
     "j11_salted_join"    -> j11,
@@ -1441,6 +1497,32 @@ object Relational {
         |                            ORDER BY key DESC, doc_id ASC) AS rk
         |  FROM d)
         |SELECT source, doc_id, n_chars, rk FROM r WHERE rk <= 5""".stripMargin,
+
+    "o7_reservoir_sample" -> {
+      val h = graft.llm.TextOps.hash48Sql("'rv:' || CAST(o_orderkey AS VARCHAR)")
+      s"""WITH r AS (
+         |  SELECT o_orderpriority, o_orderkey,
+         |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+         |                            ORDER BY $h ASC, o_orderkey ASC) AS rk
+         |  FROM orders)
+         |SELECT o_orderpriority, o_orderkey, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 20""".stripMargin
+    },
+
+    "w19_running_distinct" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, ts,
+        |         CASE WHEN ROW_NUMBER() OVER (
+        |                PARTITION BY user_id, event_type
+        |                ORDER BY ts, event_id) = 1
+        |              THEN 1 ELSE 0 END AS first_seen
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |       CAST(SUM(first_seen) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS n_types
+        |FROM f""".stripMargin,
 
     "w17_rolling_7d" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,

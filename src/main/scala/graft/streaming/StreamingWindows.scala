@@ -416,10 +416,36 @@ object StreamingWindows {
     out
   }
 
+  /** st_range_join: the stream-stream interval join drained over the
+    * events table — purchases stream ⋈ views stream, view within the 12
+    * hours before the purchase, BOTH sides watermarked and the time
+    * condition bounded in both directions (what lets Spark size and
+    * evict the two join-state stores). INNER stream-stream joins emit a
+    * pair the micro-batch it matches (only OUTER sides wait on the
+    * watermark), so the finite drain emits exactly the batch range
+    * join's pairs and the oracle is ev_range_join's spelling verbatim —
+    * same rows through a completely different executor (symmetric
+    * hash-join state stores vs the batch binned SMJ). Proves the
+    * third stateful-operator class (two-sided join state) end-to-end,
+    * after aggregation state (st_tumbling/st_sessionize) and keyed
+    * update state (st_latest_state). */
+  private val stRangeJoin: Q = (spark, dir) => {
+    val ev = readAllEventStream(spark, s"$dir/events.parquet")
+    val joined = streamStreamRangeJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "view"))
+    spark.catalog.dropTempView("st_rjoin_mem")
+    val out = runToCompletion(spark, joined, "st_rjoin_mem", OutputMode.Append())
+      .localCheckpoint(true) // same memory-sink ballast relief as above
+    spark.catalog.dropTempView("st_rjoin_mem")
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "st_sessionize"   -> stSessionize,
     "st_latest_state" -> stLatestState,
-    "st_tumbling"     -> stTumbling)
+    "st_tumbling"     -> stTumbling,
+    "st_range_join"   -> stRangeJoin)
 
   val oracles: Map[String, String] = Map(
     // ev_session's batch spelling, minus each user's final session when
@@ -472,6 +498,20 @@ object StreamingWindows {
         |SELECT w_start, w_end, event_type, n, sum_value
         |FROM g, mx
         |WHERE (epoch_us(w_end) // 1000) <= (epoch_us(max_ts) // 1000) - 3600000""".stripMargin,
+
+    // the batch range join's spelling verbatim (ev_range_join): inner
+    // stream-stream pairs emit on match, so the drained set is the full
+    // batch answer — no finalization predicate needed.
+    "st_range_join" ->
+      """SELECT p.event_id AS p_id, p.user_id AS user_id,
+        |       CAST(p.ts AS TIMESTAMP) AS p_ts,
+        |       v.event_id AS v_id, CAST(v.ts AS TIMESTAMP) AS v_ts,
+        |       v.value AS v_value
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id
+        | AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL '12 hours'
+        | AND CAST(v.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'""".stripMargin,
 
     "st_latest_state" ->
       """WITH r AS (

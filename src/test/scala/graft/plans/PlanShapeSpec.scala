@@ -274,6 +274,28 @@ class PlanShapeSpec extends SparkSpec {
       s"d_source_cap expected partial+final WindowGroupLimit:\n$p")
   }
 
+  test("o7_reservoir_sample: per-group K-sample plans two-phase WindowGroupLimit") {
+    // Uniform K-per-group is only fact-scale-feasible when each map
+    // task keeps its local K per group before the exchange; without the
+    // partial WindowGroupLimit the shuffle carries the whole fact table
+    // to rank it.
+    val p = planOf("o7_reservoir_sample")
+    assert(count(p, "WindowGroupLimit") == 2,
+      s"o7 expected partial+final WindowGroupLimit:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("w19_running_distinct: two bounded-key window passes, no global sort") {
+    // Exactness costs exactly two exchanges — (user, type) for the
+    // first-seen flag, user for the running sum. A third exchange (or
+    // an un-partitioned window) means the spelling regressed to a
+    // global sort.
+    val p = planOf("w19_running_distinct")
+    assert(count(p, "Exchange") <= 2, s"w19 exchange budget:\n$p")
+    assert(!p.contains("Sort [") || count(p, "Exchange SinglePartition") == 0,
+      s"w19 must never plan a single-partition window:\n$p")
+  }
+
   test("d_bm25_topk: distributed top-k via TakeOrderedAndProject, bounded exchanges") {
     // global top-k must stay a per-task k-heap + driver merge — if this
     // node disappears the query funnels every scored doc through one

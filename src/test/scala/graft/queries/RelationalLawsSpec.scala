@@ -362,6 +362,51 @@ class RelationalLawsSpec extends SparkSpec {
     }
   }
 
+  test("O7 law: exactly K rows per group; small groups emit whole; sample is deterministic") {
+    import spark.implicits._
+    // Priority A: 100 orders (must yield exactly 20); priority B: 7
+    // orders (smaller than K — all 7 emit, ranked 1..7).
+    val orders = ((1L to 100L).map(k => (k, "A")) ++
+      (101L to 107L).map(k => (k, "B")))
+      .toDF("o_orderkey", "o_orderpriority")
+    val d = java.nio.file.Files.createTempDirectory("o7-law").toString
+    orders.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val run1 = Relational.queries("o7_reservoir_sample")(spark, d)
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val byGroup = run1.groupBy(_._1)
+    assert(byGroup("A").size == 20 && byGroup("B").size == 7)
+    assert(byGroup("A").map(_._3) == (1L to 20L) &&
+      byGroup("B").map(_._3) == (1L to 7L))
+    // determinism: a reshuffled re-run selects the identical sample
+    val run2 = Relational.queries("o7_reservoir_sample")(spark, d)
+      .repartition(7)
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(run1 == run2)
+  }
+
+  test("W19 law: running distinct counts a planted type sequence exactly") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1 sees A, A, B, A, C → n_types 1,1,2,2,3; user 2 sees B → 1.
+    // Two events share a timestamp (ids 2,3) — the (ts, event_id) total
+    // order must place id=2 (repeat A) before id=3 (first B).
+    val rows = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "A", 1.0, "{}"),
+      (2L, t("2024-01-01 10:05:00"), 1L, "A", 1.0, "{}"),
+      (3L, t("2024-01-01 10:05:00"), 1L, "B", 1.0, "{}"),
+      (4L, t("2024-01-01 10:20:00"), 1L, "A", 1.0, "{}"),
+      (5L, t("2024-01-01 10:30:00"), 1L, "C", 1.0, "{}"),
+      (6L, t("2024-01-01 09:00:00"), 2L, "B", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = java.nio.file.Files.createTempDirectory("w19-law").toString
+    rows.write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = Relational.queries("w19_running_distinct")(spark, d)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 2L),
+      (4L, 1L, 2L), (5L, 1L, 3L), (6L, 2L, 1L)))
+  }
+
   test("J12 law: an empty dimension yields an empty result, not a full-scan join") {
     import spark.implicits._
     val parts = Seq((1L, "B1", 2)).toDF("p_partkey", "p_brand", "p_size")

@@ -152,6 +152,20 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("declared st_range_join equals the declared batch ev_range_join") {
+    import spark.implicits._
+    // The single-data-batch drain must emit exactly the batch range
+    // join's pairs (inner stream-stream joins emit on match; nothing
+    // waits on or is dropped by the watermark when all input arrives in
+    // batch 1) — the contract the DuckDB oracle spells.
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("st_range_join")(spark, sf)
+      .select($"p_id", $"v_id").as[(Long, Long)].collect().sorted.toSeq
+    val want = graft.SparkEntry.queries("ev_range_join")(spark, sf)
+      .select($"p_id", $"v_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionizer equals the batch session windows") {
     import spark.implicits._
     // One file → one data micro-batch (in-batch sort handles disorder),
