@@ -205,12 +205,60 @@ object Encoders {
         }).otherwise(0L).as("scaled_ppm"))
   }
 
+  /** m16: ROBUST SCALING ((x − median)/IQR — sklearn RobustScaler
+    * semantics) made integer-EXACT: scaled_ppm = ⌊(cents − p50)·10⁶ /
+    * (p75 − p25)⌋, the outlier-resistant sibling of m15 (a single whale
+    * balance shifts min-max scaling arbitrarily; it moves the median and
+    * IQR not at all). The quantiles are EXACT type-1 (value at global
+    * rank ⌈q·n⌉ under the total (cents, key) order), computed with the
+    * m14 two-phase machinery — coarse value-range buckets, a range-sized
+    * cumulative histogram, within-bucket windows — so no global sort
+    * ever happens; the fit artifact is the 1-row (p25,p50,p75) table and
+    * applying it is a broadcast map-side projection. The pmod-floor
+    * division is sign-correct for balances below the median (floor, not
+    * truncate — the two disagree exactly on the negative half, which a
+    * min-max twin never exercises). Degenerate IQR = 0 pins 0. */
+  private val robustScaler: Q = (spark, dir) => {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", (dec2($"c_acctbal") * 100).cast("long").as("cents"))
+      // feeds the histogram, the rank join, the totals, and the final
+      // scale map — pin it once (the m14 pattern)
+      .localCheckpoint(false)
+    val bucketed = c.withColumn("bucket",
+      (($"cents" - pmod($"cents", lit(100000L))) / 100000L).cast("long"))
+    val hist = bucketed.groupBy($"bucket").agg(count(lit(1)).as("n_b"))
+    val wHist = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select($"bucket",
+      coalesce(sum($"n_b").over(wHist), lit(0L)).as("cum_below"))
+    val tot = c.agg(count(lit(1)).as("n_tot"))
+    val wBucket = Window.partitionBy($"bucket").orderBy($"cents", $"c_custkey")
+    // ⌈x/100⌉ in pure integers (x ≥ 0): floor((x+99)/100)
+    def ceil100(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (((x + 99) - pmod(x + 99, lit(100L))) / 100L).cast("long")
+    val stats = bucketed.join(broadcast(cum), "bucket")
+      .crossJoin(broadcast(tot))
+      .withColumn("rk", $"cum_below" + row_number().over(wBucket))
+      .agg(max(when($"rk" === ceil100($"n_tot" * 25), $"cents")).as("p25"),
+        max(when($"rk" === ceil100($"n_tot" * 50), $"cents")).as("p50"),
+        max(when($"rk" === ceil100($"n_tot" * 75), $"cents")).as("p75"))
+    c.crossJoin(broadcast(stats))
+      .select($"c_custkey", $"cents",
+        when($"p75" > $"p25", {
+          val num = ($"cents" - $"p50") * 1000000L
+          val den = $"p75" - $"p25"
+          ((num - pmod(num, den)) / den).cast("long")
+        }).otherwise(0L).as("scaled_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "enc_feature_hash"  -> featureHash,
     "m12_target_encode" -> targetEncode,
     "m13_woe_iv"        -> woeIv,
     "m14_quantile_bins" -> quantileBins,
-    "m15_minmax_scaler" -> minmaxScaler)
+    "m15_minmax_scaler" -> minmaxScaler,
+    "m16_robust_scaler" -> robustScaler)
 
   val oracles: Map[String, String] = Map(
     "m14_quantile_bins" ->
@@ -279,6 +327,31 @@ object Encoders {
          |       ${roundRatio2Sql("n_pos * 100", "n_train")} AS rate,
          |       (n_pos + 20.0 * prior) / (n_train + 20.0) AS te_smooth
          |FROM seg, p""".stripMargin,
+
+    // naive truth: one global ROW_NUMBER (fine for an oracle); the
+    // positive-mod subtraction makes // exact so floor-vs-truncate
+    // cannot diverge on negative numerators
+    "m16_robust_scaler" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |r AS (SELECT cents,
+        |             ROW_NUMBER() OVER (ORDER BY cents, c_custkey) AS rk,
+        |             COUNT(*) OVER () AS n
+        |      FROM c),
+        |q AS (SELECT MAX(CASE WHEN rk = (n * 25 + 99) // 100 THEN cents END) AS p25,
+        |             MAX(CASE WHEN rk = (n * 50 + 99) // 100 THEN cents END) AS p50,
+        |             MAX(CASE WHEN rk = (n * 75 + 99) // 100 THEN cents END) AS p75
+        |      FROM r)
+        |SELECT c_custkey, cents,
+        |       CASE WHEN p75 > p25 THEN
+        |         CAST(((cents - p50) * 1000000
+        |               - ((((cents - p50) * 1000000) % (p75 - p25)) + (p75 - p25))
+        |                 % (p75 - p25))
+        |              // (p75 - p25) AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS scaled_ppm
+        |FROM c, q""".stripMargin,
 
     "m15_minmax_scaler" ->
       """WITH c AS (

@@ -733,7 +733,41 @@ object Dedup {
         coalesce($"n_dup", lit(0L)).as("n_dup"))
   }
 
+  /** dedup_sketch_eval: measured precision/recall of the banded MinHash
+    * pipeline against the exact n-gram-Jaccard ground truth at the same
+    * 0.8 threshold — the acceptance gate a production dedup run executes
+    * on a sample BEFORE trusting sketch parameters (bands/rows, df cap)
+    * at full corpus scale. The d_retrieval_eval pattern applied to
+    * dedup: FN counts banding loss (a true pair no band collided on),
+    * FP counts verification drift (the two spellings verify Jaccard on
+    * slightly different evidence — the truth side's df-capped postings
+    * vs the sketch side's full shingle sets — so the gap is itself a
+    * df-cap audit, the dedup_stop_shingles question answered as one
+    * number). One full-outer join of two pair tables keyed by the pair
+    * — each side reuses its production query unchanged; the metric
+    * aggregate is a 1-row reduce and both rates are integer ppm floors
+    * (n_pred/n_true-scaled, exact at any corpus size). */
+  private val sketchEval: Q = (spark, dir) => {
+    import spark.implicits._
+    val pred = minhashDedup(spark, dir)
+      .select($"id_a", $"id_b", lit(1L).as("p"))
+    val truth = ngramJaccard(spark, dir)
+      .select($"id_a", $"id_b", lit(1L).as("t"))
+    def ppm(num: Column, den: Column): Column =
+      when(den > 0, ((num * 1000000L - pmod(num * 1000000L, den)) / den)
+        .cast("long")).otherwise(0L)
+    pred.join(truth, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(coalesce($"p", lit(0L))).as("n_pred"),
+        sum(coalesce($"t", lit(0L))).as("n_true"),
+        sum(when($"p".isNotNull && $"t".isNotNull, 1L).otherwise(0L)).as("tp"))
+      .select($"n_pred", $"n_true", $"tp",
+        ($"n_pred" - $"tp").as("fp"), ($"n_true" - $"tp").as("fn"),
+        ppm($"tp", $"n_pred").as("prec_ppm"),
+        ppm($"tp", $"n_true").as("rec_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_sketch_eval"   -> sketchEval,
     "dedup_substring"     -> substringSpans,
     "dedup_exact"         -> exact,
     "dedup_stop_shingles" -> ((s, d) => stopShingles(s, d, maxShingleDf = 3L)),
@@ -877,6 +911,51 @@ object Dedup {
        |FROM c JOIN e USING (tok)
        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
 
+  /** The exact n-gram-Jaccard pair statement — the `dedup_ngram_jaccard`
+    * oracle, also nested (as the truth side) in `dedup_sketch_eval`. */
+  private val ngramPairsOracleSql: String =
+    s"""$shCte,
+       |inv AS (SELECT DISTINCT doc_id, tok FROM (
+       |  SELECT doc_id, unnest(list_transform(sh, s -> ${hash48Sql("s")})) AS tok FROM s)),
+       |keep AS (SELECT tok FROM inv GROUP BY tok HAVING COUNT(*) BETWEEN 2 AND 100),
+       |pair AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM inv x JOIN keep k ON k.tok = x.tok
+       |  JOIN inv y ON x.tok = y.tok AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS n FROM s)
+       |SELECT id_a, id_b,
+       |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |FROM pair JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin
+
+  /** The banded-MinHash pair statement — the `dedup_minhash` oracle, also
+    * nested (as the prediction side) in `dedup_sketch_eval`. */
+  private val minhashPairsOracleSql: String = {
+    val sigCols = (0 until MinHashK)
+      .map(j => s"${TextOps.minhashSigSql(j)} AS s$j").mkString(",\n    ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, s${2 * b} AS v1, s${2 * b + 1} AS v2 FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$shCte,
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM s WHERE len(sh) > 0),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.v1 = y.v1 AND x.v2 = y.v2
+       |   AND x.doc_id < y.doc_id),
+       |j AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+       |  FROM cand JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "d_contamination" -> contaminationSql,
     "d_contamination_bloom" -> contaminationSql,
@@ -914,21 +993,29 @@ object Dedup {
          |      FROM inv GROUP BY 1)
          |SELECT tok, shingle, df FROM g WHERE df > 3""".stripMargin,
 
-    "dedup_ngram_jaccard" ->
-      s"""$shCte,
-         |inv AS (SELECT DISTINCT doc_id, tok FROM (
-         |  SELECT doc_id, unnest(list_transform(sh, s -> ${hash48Sql("s")})) AS tok FROM s)),
-         |keep AS (SELECT tok FROM inv GROUP BY tok HAVING COUNT(*) BETWEEN 2 AND 100),
-         |pair AS (
-         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
-         |  FROM inv x JOIN keep k ON k.tok = x.tok
-         |  JOIN inv y ON x.tok = y.tok AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2),
-         |sz AS (SELECT doc_id, len(sh) AS n FROM s)
-         |SELECT id_a, id_b,
-         |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-         |FROM pair JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramPairsOracleSql,
+
+    // sketch quality gate: nest the two production pair oracles verbatim
+    // (prediction = banded MinHash, truth = exact n-gram Jaccard) and
+    // reduce their full-outer join to one integer metric row.
+    "dedup_sketch_eval" ->
+      s"""WITH pred AS (SELECT id_a, id_b FROM ($minhashPairsOracleSql) mp),
+         |truth AS (SELECT id_a, id_b FROM ($ngramPairsOracleSql) tp),
+         |m AS (
+         |  SELECT COUNT(p.id_a) AS n_pred, COUNT(t.id_a) AS n_true,
+         |         COUNT(CASE WHEN p.id_a IS NOT NULL
+         |                     AND t.id_a IS NOT NULL THEN 1 END) AS tp
+         |  FROM pred p FULL OUTER JOIN truth t
+         |    ON p.id_a = t.id_a AND p.id_b = t.id_b)
+         |SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_true AS BIGINT) AS n_true,
+         |       CAST(tp AS BIGINT) AS tp,
+         |       CAST(n_pred - tp AS BIGINT) AS fp,
+         |       CAST(n_true - tp AS BIGINT) AS fn,
+         |       CAST(CASE WHEN n_pred > 0 THEN tp * 1000000 // n_pred
+         |                 ELSE 0 END AS BIGINT) AS prec_ppm,
+         |       CAST(CASE WHEN n_true > 0 THEN tp * 1000000 // n_true
+         |                 ELSE 0 END AS BIGINT) AS rec_ppm
+         |FROM m""".stripMargin,
 
     "dedup_containment" ->
       s"""$shCte,
@@ -1002,30 +1089,7 @@ object Dedup {
          |  FROM lab) WHERE rk = 1""".stripMargin
     },
 
-    "dedup_minhash" -> {
-      val sigCols = (0 until MinHashK)
-        .map(j => s"${TextOps.minhashSigSql(j)} AS s$j").mkString(",\n    ")
-      val bandSelects = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS band, s${2 * b} AS v1, s${2 * b + 1} AS v2 FROM sig"
-      }.mkString("\n  UNION ALL ")
-      s"""$shCte,
-         |sig AS (SELECT doc_id,
-         |    $sigCols
-         |  FROM s WHERE len(sh) > 0),
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.v1 = y.v1 AND x.v2 = y.v2
-         |   AND x.doc_id < y.doc_id),
-         |j AS (
-         |  SELECT id_a, id_b,
-         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-         |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-         |  FROM cand JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b)
-         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin
-    },
+    "dedup_minhash" -> minhashPairsOracleSql,
 
     "dedup_embedding_lsh" -> embeddingLshPairsSql,
 

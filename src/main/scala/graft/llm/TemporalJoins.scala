@@ -173,9 +173,50 @@ object TemporalJoins {
         $"r_event_id".as("v_id"), $"r_ts".as("v_ts"), $"r_value".as("v_value"))
   }
 
+  /** j13_nearest_event: NEAREST-in-time join — each purchase gets the
+    * single view by the same user that minimizes |Δt|, searched BOTH
+    * directions within ±12 h (sensor-fusion / feature-attachment
+    * semantics when the best context can follow the anchor; the asof
+    * join is the backward-only specialization). Candidate generation is
+    * the same µs-bucket trick as [[boundedRangeJoin]] made symmetric:
+    * the view side explodes into its bucket and both neighbors, so a
+    * candidate pair always shares an equi-join bucket key — an
+    * equi-join + bounded dedupe, never a true inequality join. The
+    * per-purchase winner is a rank-1 filter under the TOTAL order
+    * (|Δt| asc, v_ts asc, v_id asc) — ties (equidistant before/after)
+    * deterministically prefer the earlier view — which plans the
+    * two-phase WindowGroupLimit (partitions are per-purchase candidate
+    * sets, bounded by the ±12 h window). Purchases with no view in
+    * range are absent, not null-padded (compose with a left join for
+    * the padded variant). Δt is emitted as signed integer µs — exact in
+    * both engines. */
+  private val nearest: Q = (spark, dir) => {
+    import spark.implicits._
+    val lagUs = 12L * 3600 * 1000000L
+    val ev = Tables.load(spark, dir, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"),
+        unix_micros($"ts").as("pus"))
+      .withColumn("pb", floor($"pus" / lagUs))
+    val v = ev.filter($"event_type" === "view")
+      .select($"event_id".as("v_id"), $"user_id".as("v_user"),
+        $"ts".as("v_ts"), unix_micros($"ts").as("vus"))
+      .withColumn("vb0", floor($"vus" / lagUs))
+      .withColumn("vb", explode(array($"vb0" - 1, $"vb0", $"vb0" + 1)))
+    val w = Window.partitionBy($"p_id")
+      .orderBy(abs($"vus" - $"pus").asc, $"vus".asc, $"v_id".asc)
+    p.join(v, $"user_id" === $"v_user" && $"pb" === $"vb" &&
+        abs($"vus" - $"pus") <= lagUs)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"p_id", $"user_id", $"p_ts", $"v_id", $"v_ts",
+        ($"vus" - $"pus").as("dt_us"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_asof_join" -> asof,
-    "ev_range_join" -> range)
+    "ev_range_join" -> range,
+    "j13_nearest_event" -> nearest)
 
   val oracles: Map[String, String] = Map(
     // DuckDB has a native ASOF JOIN — the strongest possible oracle for
@@ -191,6 +232,26 @@ object TemporalJoins {
         |       v.value AS v_value
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND v.ts < p.ts""".stripMargin,
+
+    // the naive truth: all in-range pairs ranked per purchase under the
+    // same total order; epoch_us keeps Δt exact integer µs
+    "j13_nearest_event" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id,
+        |             CAST(ts AS TIMESTAMP) AS p_ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id,
+        |        CAST(ts AS TIMESTAMP) AS v_ts FROM events
+        |      WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT p.p_id, p.user_id, p.p_ts, v.v_id, v.v_ts,
+        |         epoch_us(v.v_ts) - epoch_us(p.p_ts) AS dt_us,
+        |         ROW_NUMBER() OVER (PARTITION BY p.p_id
+        |           ORDER BY abs(epoch_us(v.v_ts) - epoch_us(p.p_ts)),
+        |                    v.v_ts, v.v_id) AS rk
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |   AND abs(epoch_us(v.v_ts) - epoch_us(p.p_ts)) <= 43200000000)
+        |SELECT p_id, user_id, p_ts, v_id, v_ts, CAST(dt_us AS BIGINT) AS dt_us
+        |FROM c WHERE rk = 1""".stripMargin,
 
     "ev_range_join" ->
       """SELECT p.event_id AS p_id, p.user_id AS user_id,

@@ -155,6 +155,36 @@ class EncodersSpec extends SparkSpec {
       (3L, 1000L, 1000000L), (4L, 333L, 333000L)))
   }
 
+  test("m16 robust: planted deciles hit the exact type-1 quantiles; negatives floor correctly") {
+    import spark.implicits._
+    // cents 0,100,...,900 (n=10): p25 = rank ⌈2.5⌉=3 → 200, p50 = rank
+    // 5 → 400, p75 = rank ⌈7.5⌉=8 → 700, IQR 500. scaled_ppm =
+    // ⌊(c−400)·10⁶/500⌋ — the 0-cent row lands at −800000 (floor, not
+    // truncate, on the negative half).
+    val customers = (0 until 10).map(k => ((k + 1).toLong, k * 1.00))
+      .toDF("c_custkey", "c_acctbal")
+    val d = Files.createTempDirectory("enc-rb").toString
+    customers.write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val out = Encoders.queries("m16_robust_scaler")(spark, d)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val expect = (0 until 10).map(k =>
+      ((k + 1).toLong, k * 100L,
+        Math.floorDiv((k * 100L - 400L) * 1000000L, 500L)))
+    assert(out == expect)
+    assert(out.head._3 == -800000L && out.last._3 == 1000000L)
+  }
+
+  test("m16 robust: zero IQR degenerates to 0") {
+    import spark.implicits._
+    val customers = Seq((1L, 5.00), (2L, 5.00), (3L, 5.00))
+      .toDF("c_custkey", "c_acctbal")
+    val d = Files.createTempDirectory("enc-rb2").toString
+    customers.write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val out = Encoders.queries("m16_robust_scaler")(spark, d)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 500L, 0L), (2L, 500L, 0L), (3L, 500L, 0L)))
+  }
+
   test("m15 minmax: a constant column degenerates to 0 instead of dividing by zero") {
     import spark.implicits._
     val customers = Seq((1L, 7.77), (2L, 7.77))

@@ -403,4 +403,22 @@ class DedupSpec extends SparkSpec {
     val dupOf = out.map(r => r._1 -> r._3).toMap
     assert(dupOf(10L) > 0L && dupOf(11L) > 0L && dupOf(12L) == 0L)
   }
+
+  test("sketch eval: the metric row is consistent with its two underlying pair queries") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val pred = Dedup.queries("dedup_minhash")(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val truth = Dedup.queries("dedup_ngram_jaccard")(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val Seq((nPred, nTrue, tp, fp, fn, prec, rec)) =
+      Dedup.queries("dedup_sketch_eval")(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(nPred == pred.size && nTrue == truth.size)
+    assert(tp == (pred intersect truth).size)
+    assert(fp == nPred - tp && fn == nTrue - tp)
+    assert(prec == (if (nPred > 0) tp * 1000000L / nPred else 0L))
+    assert(rec == (if (nTrue > 0) tp * 1000000L / nTrue else 0L))
+    assert(nTrue > 0, "testdata must contain true near-dup pairs")
+  }
 }

@@ -204,4 +204,59 @@ class TemporalJoinsSpec extends SparkSpec {
     val b = naive.as[(Long, Long)].collect().sorted.toSeq
     assert(a.nonEmpty && a == b)
   }
+
+  test("j13 nearest: min |Δt| both directions; equidistant tie prefers earlier; bucket edges covered") {
+    import spark.implicits._
+    // user 1, purchase at 12:00: views at 11:00 (−1h) and 12:30 (+30m)
+    //   → nearest is the LATER one (+30m), proving forward beats
+    //   backward when closer (the asof join would pick 11:00).
+    // user 2, purchase at 12:00: views at 11:30 and 12:30 — equidistant
+    //   → tie must pick the EARLIER view (v_ts asc tiebreak).
+    // user 3: view 13h before the purchase → out of ±12h range, absent.
+    // user 4, purchase near a 12h-bucket boundary with its view in the
+    //   NEIGHBORING bucket 1µs inside the range → the exploded
+    //   3-bucket candidate join must still find it.
+    val rows = Seq(
+      (1L, ts("2024-01-01 12:00:00"), 1L, "purchase", 0.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 12:30:00"), 1L, "view", 2.0, "{}"),
+      (4L, ts("2024-01-01 12:00:00"), 2L, "purchase", 0.0, "{}"),
+      (5L, ts("2024-01-01 11:30:00"), 2L, "view", 3.0, "{}"),
+      (6L, ts("2024-01-01 12:30:00"), 2L, "view", 4.0, "{}"),
+      (7L, ts("2024-01-02 01:00:00"), 3L, "purchase", 0.0, "{}"),
+      (8L, ts("2024-01-01 12:00:00"), 3L, "view", 5.0, "{}"),
+      (9L, ts("2024-01-01 11:59:59"), 4L, "purchase", 0.0, "{}"),
+      (10L, Timestamp.valueOf("2024-01-01 23:59:58.000001"), 4L, "view", 6.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = java.nio.file.Files.createTempDirectory("j13-nearest").toString
+    rows.write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = TemporalJoins.queries("j13_nearest_event")(spark, d)
+      .select($"p_id", $"v_id", $"dt_us")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3L, 1800000000L),            // +30 min beats −1 h
+      (4L, 5L, -1800000000L),           // tie → earlier view
+      (9L, 10L, 12L * 3600000000L + 1L - 1000000L))) // cross-bucket hit
+  }
+
+  test("j13 nearest equals the naive all-pairs rank on testdata") {
+    import spark.implicits._
+    val fast = TemporalJoins.queries("j13_nearest_event")(spark, sf)
+      .select($"p_id", $"v_id", $"dt_us")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val ev = graft.Tables.load(spark, sf, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", unix_micros($"ts").as("pus"))
+    val v = ev.filter($"event_type" === "view")
+      .select($"event_id".as("v_id"), $"user_id".as("vu"),
+        unix_micros($"ts").as("vus"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"p_id")
+      .orderBy(abs($"vus" - $"pus").asc, $"vus".asc, $"v_id".asc)
+    val naive = p.join(v, $"user_id" === $"vu" &&
+        abs($"vus" - $"pus") <= 12L * 3600000000L)
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"p_id", $"v_id", ($"vus" - $"pus").as("dt_us"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(fast.nonEmpty && fast == naive)
+  }
 }
