@@ -260,7 +260,76 @@ object Sinks {
       .withColumn("sigmoid", expr("1.0 / (1.0 + exp(-x))"))
   }
 
+  /** S14: CSV with the three fields that break naive parsers — an
+    * embedded delimiter, an embedded DOUBLED quote, and an embedded
+    * NEWLINE inside one quoted value — written and read back through
+    * Spark's csv source in RFC-4180 mode (escape = quote, so quotes
+    * double instead of backslash-escaping — what every non-Spark
+    * consumer expects to parse) with multiLine read enabled (a quoted
+    * newline otherwise splits the record and shears the file). The
+    * oracle recomputes the projection from the original parquet: the
+    * round trip must be byte-identical, which fails if the writer
+    * mis-escapes or the reader splits on the embedded newline. Scale
+    * note: multiLine=true makes a csv FILE unsplittable (a record can
+    * straddle any byte offset) — per-file parallelism, the honest cost
+    * of quoted newlines; files-per-partition sizing is the knob. */
+  private val s14: Q = (spark, dir) => {
+    import spark.implicits._
+    val src = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey",
+        concat($"o_orderpriority", lit(", \"q\"\n"), $"o_orderstatus")
+          .as("note"))
+    val tmp = scratchDir("csvq")
+    src.write.mode("overwrite")
+      .options(Map("header" -> "true", "quoteAll" -> "true", "escape" -> "\""))
+      .csv(s"$tmp/quirks")
+    spark.read
+      .options(Map("header" -> "true", "multiLine" -> "true", "escape" -> "\""))
+      .schema("o_orderkey BIGINT, note STRING")
+      .csv(s"$tmp/quirks")
+  }
+
+  /** K9: small-file COMPACTION — the table-maintenance op (OPTIMIZE /
+    * rewrite) every long-lived warehouse table needs: a fragmented
+    * table (64 shuffle-written part files) is rewritten to
+    * ⌈rows/20k⌉ right-sized files, and the audit row proves rows and
+    * content survived bit-exactly while the file count collapsed. File
+    * counts are MEASURED from input_file_name() on each read-back (not
+    * from partition counts — Spark bin-packs small files into shared
+    * scan partitions, so partition count under-reports fragmentation).
+    * The sizing rule is row-count-based so the audit is engine-
+    * independent and oracle-checkable; a production rewrite sizes by
+    * bytes — same plan shape, different constant. Precondition
+    * rows ≥ 64 keeps round-robin from leaving empty writers. */
+  private val k9: Q = (spark, dir) => {
+    import spark.implicits._
+    val tmp = scratchDir("compact")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", (dec2($"o_totalprice") * 100).cast("long").as("cents"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$tmp/small")
+    val small = spark.read.parquet(s"$tmp/small")
+    // input_file_name() is non-deterministic to Catalyst — project it
+    // to a column BEFORE aggregating over it
+    val nFilesBefore = small.select(input_file_name().as("f"))
+      .agg(countDistinct($"f")).head().getLong(0)
+    val n = small.count()
+    val target = math.max(1L, (n + 19999L) / 20000L)
+    small.repartition(target.toInt).write.mode("overwrite")
+      .parquet(s"$tmp/compacted")
+    val back = spark.read.parquet(s"$tmp/compacted")
+      .withColumn("f", input_file_name())
+    back.agg(count(lit(1)).as("n_rows"),
+        sum($"cents").as("sum_cents"),
+        countDistinct($"o_orderkey").as("n_keys"),
+        countDistinct($"f").as("n_files_after"))
+      .select($"n_rows", $"sum_cents", $"n_keys",
+        lit(nFilesBefore).as("n_files_before"), $"n_files_after")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s14_csv_quirks"   -> s14,
+    "k9_compaction"    -> k9,
     "s2_csv_scan"      -> s2,
     "s10_json_roundtrip" -> s10,
     "s13_orc_roundtrip"  -> s13,
@@ -275,6 +344,23 @@ object Sinks {
     "f11_sigmoid"      -> f11)
 
   val oracles: Map[String, String] = Map(
+    "s14_csv_quirks" ->
+      """SELECT o_orderkey,
+        |       o_orderpriority || ', "q"' || chr(10) || o_orderstatus AS note
+        |FROM orders""".stripMargin,
+
+    // the audit row recomputed from the source table; the file counts
+    // follow from the declared sizing rule (64 round-robin writers with
+    // rows >= 64; ceil(rows/20k) compacted files)
+    "k9_compaction" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS sum_cents,
+        |       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |       CAST(64 AS BIGINT) AS n_files_before,
+        |       CAST((COUNT(*) + 19999) // 20000 AS BIGINT) AS n_files_after
+        |FROM orders""".stripMargin,
+
     "s2_csv_scan" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |       CAST(o_orderdate AS DATE) AS order_date, o_orderpriority

@@ -441,11 +441,39 @@ object StreamingWindows {
     out
   }
 
+  /** st_enrich: the stream-static broadcast enrichment drained over the
+    * events table — every stream event picks up its customer dimension
+    * row (left-outer, so users without a customer row pass through with
+    * nulls rather than vanishing). ZERO streaming state and no
+    * watermark: the stream side never shuffles, the static side is
+    * re-planned + broadcast per micro-batch (how a refreshed dim
+    * snapshot is picked up mid-stream). The stateless fourth member of
+    * the declared streaming family — at ingest scale this exact shape
+    * is the first operator of every enrichment pipeline. */
+  private val stEnrich: Q = (spark, dir) => {
+    import org.apache.spark.sql.functions.col
+    val dim = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_name"),
+        col("c_mktsegment"))
+    val joined = enrich(
+      readAllEventStream(spark, s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value")),
+      dim)
+    spark.catalog.dropTempView("st_enrich_mem")
+    val out = runToCompletion(spark, joined, "st_enrich_mem",
+      OutputMode.Append())
+      .localCheckpoint(true) // same memory-sink ballast relief as above
+    spark.catalog.dropTempView("st_enrich_mem")
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "st_sessionize"   -> stSessionize,
     "st_latest_state" -> stLatestState,
     "st_tumbling"     -> stTumbling,
-    "st_range_join"   -> stRangeJoin)
+    "st_range_join"   -> stRangeJoin,
+    "st_enrich"       -> stEnrich)
 
   val oracles: Map[String, String] = Map(
     // ev_session's batch spelling, minus each user's final session when
@@ -498,6 +526,13 @@ object StreamingWindows {
         |SELECT w_start, w_end, event_type, n, sum_value
         |FROM g, mx
         |WHERE (epoch_us(w_end) // 1000) <= (epoch_us(max_ts) // 1000) - 3600000""".stripMargin,
+
+    // stateless enrichment: the plain left join, column order matching
+    // the stream projection (user_id after event_id, dim fields last)
+    "st_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value,
+        |       c.c_name, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id""".stripMargin,
 
     // the batch range join's spelling verbatim (ev_range_join): inner
     // stream-stream pairs emit on match, so the drained set is the full

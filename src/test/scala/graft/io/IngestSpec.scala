@@ -2,6 +2,8 @@ package graft.io
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -124,5 +126,42 @@ class IngestSpec extends SparkSpec {
     val back = spark.read.schema("id BIGINT, s STRING, v DOUBLE")
       .orc(s"$d/t_orc").as[(Long, String, Double)].collect().toSet
     assert(back == Set((7L, "x", 1.25), (8L, "y", -0.5)))
+  }
+
+  test("s14 writes RFC-4180 doubled quotes on disk and round-trips the quirk fields") {
+    import spark.implicits._
+    // one planted order whose note will carry a comma, a quote, and a
+    // newline — assert the physical file doubles the quote (a non-Spark
+    // RFC-4180 consumer can parse it) and the read-back is byte-exact
+    val d = Files.createTempDirectory("s14-spec").toString
+    Seq((1L, "HIGH", "F"), (2L, "LOW", "O"))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Sinks.queries("s14_csv_quirks")(spark, d)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "HIGH, \"q\"\nF"), (2L, "LOW, \"q\"\nO")))
+    // find the written csv in the process scratch and inspect raw bytes
+    val csvDir = Paths.get(graft.util.Scratch.dir("csvq"), "quirks")
+    val part = Files.list(csvDir).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".csv")).get
+    val raw = new String(Files.readAllBytes(part), "UTF-8")
+    assert(raw.contains("\"\"q\"\""), s"expected doubled quotes in:\n$raw")
+    assert(!raw.contains("\\\""), "backslash-escaped quotes leaked into the file")
+  }
+
+  test("k9 compaction: 64 fragments collapse to ceil(n/20k) files with content intact") {
+    import spark.implicits._
+    val n = 500
+    val d = Files.createTempDirectory("k9-spec").toString
+    (1 to n).map(k => (k.toLong, k * 1.00))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val Seq((nRows, sumCents, nKeys, before, after)) =
+      Sinks.queries("k9_compaction")(spark, d)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(nRows == n && nKeys == n)
+    assert(sumCents == (1 to n).map(_ * 100L).sum)
+    assert(before == 64L, s"expected 64 fragment files, got $before")
+    assert(after == 1L, s"500 rows must compact to one file, got $after")
   }
 }

@@ -152,6 +152,21 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("declared st_enrich equals the batch left join; unknown users pass through with nulls") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("st_enrich")(spark, sf)
+      .select($"event_id", $"c_name", $"c_mktsegment")
+      .as[(Long, Option[String], Option[String])].collect().sorted.toSeq
+    val ev = graft.Tables.load(spark, sf, "events")
+    val dim = graft.Tables.load(spark, sf, "customer")
+      .select($"c_custkey".as("user_id"), $"c_name", $"c_mktsegment")
+    val want = ev.join(dim, Seq("user_id"), "left_outer")
+      .select($"event_id", $"c_name", $"c_mktsegment")
+      .as[(Long, Option[String], Option[String])].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("declared st_range_join equals the declared batch ev_range_join") {
     import spark.implicits._
     // The single-data-batch drain must emit exactly the batch range
