@@ -205,7 +205,12 @@ object TemporalJoins {
       .withColumn("vb", explode(array($"vb0" - 1, $"vb0", $"vb0" + 1)))
     val w = Window.partitionBy($"p_id")
       .orderBy(abs($"vus" - $"pus").asc, $"vus".asc, $"v_id".asc)
-    p.join(v, $"user_id" === $"v_user" && $"pb" === $"vb" &&
+    // SMJ pinned (the j7 Generate-estimate lesson): Catalyst sizes the
+    // view side from its PRE-explode scan stats — 3× under-estimated —
+    // and happily broadcasts a fact-scale table; ev_range_join differs
+    // because there the broadcast side is the un-exploded one, whose
+    // estimate is honest and flips to SMJ at scale on its own.
+    p.join(v.hint("merge"), $"user_id" === $"v_user" && $"pb" === $"vb" &&
         abs($"vus" - $"pus") <= lagUs)
       .withColumn("rk", row_number().over(w))
       .filter($"rk" === 1)

@@ -296,6 +296,19 @@ class PlanShapeSpec extends SparkSpec {
       s"w19 must never plan a single-partition window:\n$p")
   }
 
+  test("j13_nearest_event: fact-scale sides stay SORT-MERGE; rank-1 is WindowGroupLimit") {
+    // Both join sides grow with the events table and the view side is
+    // post-Generate (3× under-estimated by stats) — a broadcast here is
+    // the j7 OOM repeated. The per-purchase winner must also plan the
+    // two-phase WindowGroupLimit, not a full per-group sort.
+    val p = planOf("j13_nearest_event")
+    assert(count(p, "SortMergeJoin") >= 1 && count(p, "BroadcastHashJoin") == 0,
+      s"j13 must sort-merge its fact-scale join:\n$p")
+    assert(count(p, "WindowGroupLimit") >= 1,
+      s"j13 rank-1 filter lost its WindowGroupLimit:\n$p")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
   test("d_bm25_topk: distributed top-k via TakeOrderedAndProject, bounded exchanges") {
     // global top-k must stay a per-task k-heap + driver merge — if this
     // node disappears the query funnels every scored doc through one
