@@ -932,7 +932,83 @@ object Analytics {
     dist.select($"n".as("p_partkey"), $"d".as("dist"))
   }
 
+  // ---- ev_trend_ols: closed-form OLS trend over the daily revenue
+  // series — the "is revenue growing and how fast" number next to the
+  // naive forecast (ev_forecast_naive) and the EWMA (ev_ewma), and the
+  // simplest model that has a SLOPE with a confidence story. y = daily
+  // cents, x = days since the first order date; b = (nΣxy − ΣxΣy) /
+  // (nΣx² − (Σx)²) from ONE aggregate over the day-sized series (the
+  // fact table reduces to days first — partial agg applies at any
+  // scale; the OLS pass is dimension-sized). Headroom is the m13
+  // lesson applied at authoring time: nΣxy ≈ days²·Σy overflows int64
+  // by ~10³ already at a few-year series with 10⁹ cents/day, so every
+  // cross-product is carried in DECIMAL(38,0) (HUGEINT on the oracle
+  // side) and the slope/intercept emerge as pmod-floor integer
+  // quantizations (slope in cents-per-day ppm, intercept in cents) —
+  // sign-correct for declining series, no double anywhere.
+  private val trendOls: Q = (spark, dir) => {
+    import spark.implicits._
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum((dec2($"o_totalprice") * 100).cast("long")).as("y"))
+    val x0 = daily.agg(min($"d").as("d0"))
+    val xy = daily.crossJoin(broadcast(x0))
+      .select(datediff($"d", $"d0").cast("long").as("x"), $"y")
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    def fl(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    xy.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(d38($"x") * $"y").as("sxy"), sum(d38($"x") * $"x").as("sxx"))
+      .select($"n", $"sx", $"sy",
+        fl((d38($"n") * $"sxy" - d38($"sx") * $"sy") * 1000000L,
+          d38($"n") * $"sxx" - d38($"sx") * $"sx").as("slope_cpd_ppm"),
+        fl(d38($"sy") * $"sxx" - d38($"sx") * $"sxy",
+          (d38($"n") * $"sxx" - d38($"sx") * $"sx")).as("icept_cents"))
+  }
+
+  // ---- t11_snapshot_diff: table data-diff — the audit every warehouse
+  // runs between two snapshots of the same table (did the nightly load
+  // change what it should have?): full-outer join on the key, classify
+  // each key added / deleted / modified / unchanged, aggregate counts
+  // and the absolute value drift. The "second snapshot" is derived
+  // deterministically from the first (hash-selected 1-in-20 deletes,
+  // 1-in-20 value bumps, 1-in-20 key-shifted inserts) so the diff is a
+  // pure function of the data and oracle-checkable; swapping in a real
+  // second table is a reader substitution. Scale shape: ONE key-keyed
+  // full-outer SMJ + a 4-row aggregate — the classify is map-side; at
+  // 100 TB this is the minimal-shuffle spelling of table diff (both
+  // sides shuffle once on the key; snapshot layouts that share
+  // bucketing would delete even that).
+  private val snapshotDiff: Q = (spark, dir) => {
+    import spark.implicits._
+    val s1 = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".as("k"), $"o_orderstatus".as("st"),
+        (dec2($"o_totalprice") * 100).cast("long").as("cents"))
+      .localCheckpoint(false) // feeds both snapshots — scan once
+    val h = (tag: String) =>
+      hash48(concat(lit(tag), $"k".cast("string"))) % 20
+    val survivors = s1.filter(h("del:") =!= 0)
+      .select($"k", $"st",
+        when(h("mod:") === 0, $"cents" + 100L).otherwise($"cents").as("cents"))
+    val inserts = s1.filter(h("add:") === 0)
+      .select(($"k" + 100000000L).as("k"), $"st", $"cents")
+    val s2 = survivors.unionAll(inserts)
+    s1.select($"k", $"st".as("st1"), $"cents".as("c1"))
+      .join(s2.select($"k", $"st".as("st2"), $"cents".as("c2")),
+        Seq("k"), "full_outer")
+      .select(
+        when($"c2".isNull, "deleted")
+          .when($"c1".isNull, "added")
+          .when($"c1" =!= $"c2" || $"st1" =!= $"st2", "modified")
+          .otherwise("unchanged").as("change"),
+        abs(coalesce($"c2", lit(0L)) - coalesce($"c1", lit(0L))).as("drift"))
+      .groupBy($"change")
+      .agg(count(lit(1)).as("n"), sum($"drift").as("abs_drift_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_trend_ols"        -> trendOls,
+    "t11_snapshot_diff"   -> snapshotDiff,
     "t7_scd2"             -> scd2,
     "t8_merge_upsert"     -> mergeUpsert,
     "t9_incremental_agg"  -> incrementalAgg,
@@ -955,6 +1031,61 @@ object Analytics {
     "ev_paths"            -> paths)
 
   val oracles: Map[String, String] = Map(
+    // HUGEINT carries the cross-products; the positive-mod subtraction
+    // makes // exact (floor == truncate on an exact quotient) so a
+    // declining series cannot split the engines on rounding direction
+    "ev_trend_ols" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |x0 AS (SELECT MIN(d) AS d0 FROM daily),
+        |xy AS (SELECT CAST(datediff('day', d0, d) AS BIGINT) AS x, y
+        |       FROM daily, x0),
+        |s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |             SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |      FROM xy),
+        |f AS (SELECT n, sx, sy,
+        |             (n * sxy - sx * sy) * 1000000 AS num_b,
+        |             sy * sxx - sx * sxy AS num_a,
+        |             n * sxx - sx * sx AS den
+        |      FROM s)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx,
+        |       CAST(sy AS BIGINT) AS sy,
+        |       CAST((num_b - (((num_b % den) + den) % den)) // den
+        |         AS BIGINT) AS slope_cpd_ppm,
+        |       CAST((num_a - (((num_a % den) + den) % den)) // den
+        |         AS BIGINT) AS icept_cents
+        |FROM f""".stripMargin,
+
+    "t11_snapshot_diff" -> {
+      def h(tag: String) = hash48Sql(s"'$tag' || CAST(k AS VARCHAR)")
+      s"""WITH s1 AS (
+         |  SELECT o_orderkey AS k, o_orderstatus AS st,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM orders),
+         |surv AS (
+         |  SELECT k, st,
+         |         CASE WHEN ${h("mod:")} % 20 = 0 THEN cents + 100
+         |              ELSE cents END AS cents
+         |  FROM s1 WHERE ${h("del:")} % 20 <> 0),
+         |ins AS (SELECT k + 100000000 AS k, st, cents FROM s1
+         |        WHERE ${h("add:")} % 20 = 0),
+         |s2 AS (SELECT * FROM surv UNION ALL SELECT * FROM ins),
+         |j AS (
+         |  SELECT CASE WHEN b.k IS NULL THEN 'deleted'
+         |              WHEN a.k IS NULL THEN 'added'
+         |              WHEN a.cents <> b.cents OR a.st <> b.st THEN 'modified'
+         |              ELSE 'unchanged' END AS change,
+         |         abs(COALESCE(b.cents, 0) - COALESCE(a.cents, 0)) AS drift
+         |  FROM s1 a FULL OUTER JOIN s2 b ON a.k = b.k)
+         |SELECT change, COUNT(*) AS n,
+         |       CAST(SUM(drift) AS BIGINT) AS abs_drift_cents
+         |FROM j GROUP BY 1""".stripMargin
+    },
+
     "ev_transitions" ->
       """WITH p AS (
         |  SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id

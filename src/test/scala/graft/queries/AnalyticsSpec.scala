@@ -525,6 +525,54 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq(("A", "B", 1L), ("M", "N", 1L), ("X", "Y", 1L)))
   }
 
+  test("trend OLS: planted exact line recovers slope and intercept; declining series floors signed") {
+    import spark.implicits._
+    // three days, exactly linear: y = 100 + 100x → slope 100 cents/day
+    // = 100,000,000 ppm, intercept 100 cents, integer-exact
+    def mk(ys: Seq[Long]): String = {
+      val rows = ys.zipWithIndex.map { case (y, i) =>
+        (i.toLong, java.sql.Date.valueOf(f"1997-01-${i + 1}%02d"), y / 100.0)
+      }
+      val d = Files.createTempDirectory("ols").toString
+      rows.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$d/orders.parquet")
+      d
+    }
+    val up = Analytics.queries("ev_trend_ols")(spark, mk(Seq(100L, 200L, 300L)))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(up == ((3L, 3L, 600L, 100000000L, 100L)))
+    // declining: y = 300 − 100x — the slope must floor as a NEGATIVE
+    // exact value, where a truncate-division would round toward zero
+    val down = Analytics.queries("ev_trend_ols")(spark, mk(Seq(300L, 200L, 100L)))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(down == ((3L, 3L, 600L, -100000000L, 300L)))
+  }
+
+  test("snapshot diff: counts equal a JVM replay of the hash mutations") {
+    import spark.implicits._
+    import graft.llm.TextOps.hash48Jvm
+    val n = 200
+    val rows = (1 to n).map(k => (k.toLong, if (k % 2 == 0) "F" else "O", k * 1.00))
+    val d = Files.createTempDirectory("snapdiff").toString
+    rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    def h(tag: String, k: Long) = hash48Jvm(s"$tag$k") % 20
+    val deleted = (1 to n).count(k => h("del:", k) == 0)
+    val modified = (1 to n).count(k =>
+      h("del:", k) != 0 && h("mod:", k.toLong) == 0)
+    val added = (1 to n).count(k => h("add:", k) == 0)
+    val unchanged = n - deleted - modified
+    val out = Analytics.queries("t11_snapshot_diff")(spark, d)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.getOrElse("deleted", (0L, 0L))._1 == deleted)
+    assert(out.getOrElse("added", (0L, 0L))._1 == added)
+    assert(out.getOrElse("modified", (0L, 0L))._1 == modified)
+    assert(out.getOrElse("unchanged", (0L, 0L))._1 == unchanged)
+    // every modification bumps by exactly 100 cents
+    assert(out.getOrElse("modified", (0L, 0L))._2 == modified * 100L)
+    assert(deleted + modified + added > 0, "mutations must actually occur")
+  }
+
   private implicit class PairMap(rows: Array[(String, Long, Double)]) {
     def toMap2: Map[String, (Long, Double)] =
       rows.map(r => r._1 -> (r._2, r._3)).toMap
