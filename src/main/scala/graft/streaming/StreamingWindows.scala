@@ -323,6 +323,40 @@ object StreamingWindows {
     spark.table(queryName)
   }
 
+  /** Drain a finite source to a parquet FILE sink and read it back —
+    * the drain for a declared query whose emitted set is FACT-SCALE
+    * (one row per input event): a memory sink pins the whole result on
+    * the driver heap, which is exactly the scale bug the engine exists
+    * to avoid (observed: 10M enriched rows OOM'd the sf10 probe). The
+    * file sink writes per-partition parallel with exactly-once commits
+    * — the production sink — and the read-back is an ordinary
+    * distributed scan. Append-mode only (the file sink's contract). */
+  def runToParquet(spark: SparkSession, stream: DataFrame,
+                   name: String): DataFrame = {
+    val base = graft.util.Scratch.dir(s"stream-sink-$name")
+    val out = s"$base/out"
+    val chk = s"$base/chk"
+    // fresh sink per invocation: the file sink's commit log would
+    // otherwise treat a re-run as "nothing new" and return stale files
+    for (p <- Seq(out, chk)) {
+      val d = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(stream.schema).parquet(out)
+  }
+
   // ---- Declared queries -------------------------------------------
 
   /** Declared-query reader: NO maxFilesPerTrigger, so AvailableNow takes
@@ -365,17 +399,13 @@ object StreamingWindows {
     * (state fold, timeout emission, watermark arithmetic), not just
     * in a unit test. */
   private val stSessionize: Q = (spark, dir) => {
-    spark.catalog.dropTempView("st_sess_mem")
-    val out = runToCompletion(spark,
+    // sessions are FACT-SCALE (9.5M rows at the sf10 probe) → file
+    // sink; the memory-sink + localCheckpoint spelling this replaced
+    // still pinned the full emitted set on the driver heap once per
+    // drain before the copy-out
+    runToParquet(spark,
       sessionize(spark, readAllEventStream(spark, s"$dir/events.parquet")),
-      "st_sess_mem", OutputMode.Append())
-      // copy out of the memory sink (block manager, spillable) and drop
-      // the view NOW: a memory sink pins its whole emitted row set on
-      // the driver heap, and clearCache() cannot free a temp view —
-      // without this every later bench entry runs against that ballast
-      .localCheckpoint(true)
-    spark.catalog.dropTempView("st_sess_mem")
-    out
+      "sess")
   }
 
   /** st_latest_state: the CDC compacting-changelog twin drained to its
@@ -434,11 +464,8 @@ object StreamingWindows {
     val joined = streamStreamRangeJoin(
       ev.filter(col("event_type") === "purchase"),
       ev.filter(col("event_type") === "view"))
-    spark.catalog.dropTempView("st_rjoin_mem")
-    val out = runToCompletion(spark, joined, "st_rjoin_mem", OutputMode.Append())
-      .localCheckpoint(true) // same memory-sink ballast relief as above
-    spark.catalog.dropTempView("st_rjoin_mem")
-    out
+    // pair output grows with the fact table → file sink (see runToParquet)
+    runToParquet(spark, joined, "rjoin")
   }
 
   /** st_enrich: the stream-static broadcast enrichment drained over the
@@ -460,12 +487,9 @@ object StreamingWindows {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value")),
       dim)
-    spark.catalog.dropTempView("st_enrich_mem")
-    val out = runToCompletion(spark, joined, "st_enrich_mem",
-      OutputMode.Append())
-      .localCheckpoint(true) // same memory-sink ballast relief as above
-    spark.catalog.dropTempView("st_enrich_mem")
-    out
+    // FACT-SCALE emitted set (one row per event) → file sink, never the
+    // memory sink (which OOM'd the driver at the sf10 probe)
+    runToParquet(spark, joined, "enrich")
   }
 
   val queries: Map[String, Q] = Map(
