@@ -153,26 +153,38 @@ object Encoders {
     * the output deterministic, and every compared column is integer, so
     * the DuckDB oracle — which spells the naive global ROW_NUMBER: same
     * output, opposite scaling — hash-matches at any corpus size. */
+  /** The two-phase EXACT global rank shared by m14/m16 (the "no
+    * single-partition ntile" machinery): coarse value-range buckets →
+    * a range-sized cumulative histogram (the only global window, over
+    * buckets not rows) → within-bucket row_number under the total
+    * (cents, key) order. Returns the input plus `rk` (1-based global
+    * rank) and `n_tot`; the bucketed projection is lazily checkpointed
+    * because it feeds the histogram, the rank join, and the total. */
+  private def globalRank(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                         bucketWidth: Long): org.apache.spark.sql.DataFrame = {
+    val o = df.withColumn("bucket",
+        ((col("cents") - pmod(col("cents"), lit(bucketWidth))) / bucketWidth)
+          .cast("long"))
+      .localCheckpoint(false)
+    val hist = o.groupBy(col("bucket")).agg(count(lit(1)).as("n_b"))
+    val wHist = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select(col("bucket"),
+      coalesce(sum(col("n_b")).over(wHist), lit(0L)).as("cum_below"))
+    val tot = o.agg(count(lit(1)).as("n_tot"))
+    val wBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("cents"), col(keyCol))
+    o.join(broadcast(cum), "bucket")
+      .crossJoin(broadcast(tot))
+      .withColumn("rk", col("cum_below") + row_number().over(wBucket))
+  }
+
   private val quantileBins: Q = (spark, dir) => {
     import spark.implicits._
     val o = Tables.load(spark, dir, "orders")
       .select($"o_orderkey".as("ok"),
         (dec2($"o_totalprice") * 100).cast("long").as("cents"))
-      .withColumn("bucket",
-        (($"cents" - pmod($"cents", lit(1000000L))) / 1000000L).cast("long"))
-      // feeds the bucket histogram, the rank join, and the total count —
-      // lazy checkpoint stops three re-scans of the fact
-      .localCheckpoint(false)
-    val hist = o.groupBy($"bucket").agg(count(lit(1)).as("n_b"))
-    val wHist = Window.orderBy($"bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = hist.select($"bucket",
-      coalesce(sum($"n_b").over(wHist), lit(0L)).as("cum_below"))
-    val tot = o.agg(count(lit(1)).as("n_tot"))
-    val wBucket = Window.partitionBy($"bucket").orderBy($"cents", $"ok")
-    o.join(broadcast(cum), "bucket")
-      .crossJoin(broadcast(tot))
-      .withColumn("rk", $"cum_below" + row_number().over(wBucket))
+    globalRank(o, "ok", 1000000L)
       .groupBy(floor(lit(10) * ($"rk" - 1) / $"n_tot").cast("long").as("bin"))
       .agg(count(lit(1)).as("n"),
         min($"cents").as("lo_cents"), max($"cents").as("hi_cents"))
@@ -222,28 +234,17 @@ object Encoders {
     import spark.implicits._
     val c = Tables.load(spark, dir, "customer")
       .select($"c_custkey", (dec2($"c_acctbal") * 100).cast("long").as("cents"))
-      // feeds the histogram, the rank join, the totals, and the final
-      // scale map — pin it once (the m14 pattern)
-      .localCheckpoint(false)
-    val bucketed = c.withColumn("bucket",
-      (($"cents" - pmod($"cents", lit(100000L))) / 100000L).cast("long"))
-    val hist = bucketed.groupBy($"bucket").agg(count(lit(1)).as("n_b"))
-    val wHist = Window.orderBy($"bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = hist.select($"bucket",
-      coalesce(sum($"n_b").over(wHist), lit(0L)).as("cum_below"))
-    val tot = c.agg(count(lit(1)).as("n_tot"))
-    val wBucket = Window.partitionBy($"bucket").orderBy($"cents", $"c_custkey")
+    // the shared m14 machinery; ranked feeds both the quantile pick and
+    // the final scale map, so pin it once
+    val ranked = globalRank(c, "c_custkey", 100000L).localCheckpoint(false)
     // ⌈x/100⌉ in pure integers (x ≥ 0): floor((x+99)/100)
     def ceil100(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       (((x + 99) - pmod(x + 99, lit(100L))) / 100L).cast("long")
-    val stats = bucketed.join(broadcast(cum), "bucket")
-      .crossJoin(broadcast(tot))
-      .withColumn("rk", $"cum_below" + row_number().over(wBucket))
+    val stats = ranked
       .agg(max(when($"rk" === ceil100($"n_tot" * 25), $"cents")).as("p25"),
         max(when($"rk" === ceil100($"n_tot" * 50), $"cents")).as("p50"),
         max(when($"rk" === ceil100($"n_tot" * 75), $"cents")).as("p75"))
-    c.crossJoin(broadcast(stats))
+    ranked.crossJoin(broadcast(stats))
       .select($"c_custkey", $"cents",
         when($"p75" > $"p25", {
           val num = ($"cents" - $"p50") * 1000000L

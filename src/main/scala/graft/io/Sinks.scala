@@ -309,11 +309,12 @@ object Sinks {
       .repartition(64)
       .write.mode("overwrite").parquet(s"$tmp/small")
     val small = spark.read.parquet(s"$tmp/small")
-    // input_file_name() is non-deterministic to Catalyst — project it
-    // to a column BEFORE aggregating over it
-    val nFilesBefore = small.select(input_file_name().as("f"))
-      .agg(countDistinct($"f")).head().getLong(0)
-    val n = small.count()
+    // ONE pre-compaction scan for both stats (input_file_name() is
+    // non-deterministic to Catalyst — project it to a column BEFORE
+    // aggregating over it)
+    val pre = small.select(input_file_name().as("f"))
+      .agg(countDistinct($"f").as("nf"), count(lit(1)).as("n")).head()
+    val (nFilesBefore, n) = (pre.getLong(0), pre.getLong(1))
     val target = math.max(1L, (n + 19999L) / 20000L)
     small.repartition(target.toInt).write.mode("overwrite")
       .parquet(s"$tmp/compacted")

@@ -990,8 +990,12 @@ object Analytics {
     val survivors = s1.filter(h("del:") =!= 0)
       .select($"k", $"st",
         when(h("mod:") === 0, $"cents" + 100L).otherwise($"cents").as("cents"))
+    // insert keys live OUTSIDE the real key domain (o_orderkey ≥ 0 at
+    // every sf; a fixed +offset would collide once keys pass it and
+    // fan out the full-outer join) — negation is collision-free at any
+    // corpus size
     val inserts = s1.filter(h("add:") === 0)
-      .select(($"k" + 100000000L).as("k"), $"st", $"cents")
+      .select((-$"k" - 1L).as("k"), $"st", $"cents")
     val s2 = survivors.unionAll(inserts)
     s1.select($"k", $"st".as("st1"), $"cents".as("c1"))
       .join(s2.select($"k", $"st".as("st2"), $"cents".as("c2")),
@@ -1071,7 +1075,7 @@ object Analytics {
          |         CASE WHEN ${h("mod:")} % 20 = 0 THEN cents + 100
          |              ELSE cents END AS cents
          |  FROM s1 WHERE ${h("del:")} % 20 <> 0),
-         |ins AS (SELECT k + 100000000 AS k, st, cents FROM s1
+         |ins AS (SELECT -k - 1 AS k, st, cents FROM s1
          |        WHERE ${h("add:")} % 20 = 0),
          |s2 AS (SELECT * FROM surv UNION ALL SELECT * FROM ins),
          |j AS (

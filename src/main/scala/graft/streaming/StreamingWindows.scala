@@ -333,19 +333,11 @@ object StreamingWindows {
     * distributed scan. Append-mode only (the file sink's contract). */
   def runToParquet(spark: SparkSession, stream: DataFrame,
                    name: String): DataFrame = {
-    val base = graft.util.Scratch.dir(s"stream-sink-$name")
+    // freshDir: the file sink's commit log would otherwise treat a
+    // re-run as "nothing new" and return stale files
+    val base = graft.util.Scratch.freshDir(s"stream-sink-$name")
     val out = s"$base/out"
     val chk = s"$base/chk"
-    // fresh sink per invocation: the file sink's commit log would
-    // otherwise treat a re-run as "nothing new" and return stale files
-    for (p <- Seq(out, chk)) {
-      val d = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.exists(d)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }
-    }
     val q = stream.writeStream
       .format("parquet")
       .option("path", out)
@@ -551,8 +543,9 @@ object StreamingWindows {
         |FROM g, mx
         |WHERE (epoch_us(w_end) // 1000) <= (epoch_us(max_ts) // 1000) - 3600000""".stripMargin,
 
-    // stateless enrichment: the plain left join, column order matching
-    // the stream projection (user_id after event_id, dim fields last)
+    // stateless enrichment: the plain left join (the harness compares
+    // columns sorted by NAME, so the USING-join's user_id-first column
+    // order on the Spark side doesn't matter)
     "st_enrich" ->
       """SELECT e.event_id, e.user_id, e.event_type, e.value,
         |       c.c_name, c.c_mktsegment

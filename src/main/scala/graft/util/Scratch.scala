@@ -19,12 +19,14 @@ import java.nio.file.{Files, Path, Paths}
   */
 object Scratch {
 
-  private def deleteRecursively(p: Path): Unit =
+  private[graft] def deleteRecursively(p: Path): Unit =
     try {
       if (Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(p).iterator().asScala.toSeq.reverse
+        val walk = Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(f => Files.deleteIfExists(f))
+        finally walk.close() // the stream holds a directory handle
       }
     } catch {
       // Shutdown hooks run concurrently with Spark's own (context stop,
@@ -46,6 +48,16 @@ object Scratch {
   /** Scratch directory for `name`, created on first use. */
   def dir(name: String): String = {
     val p = root.resolve(name)
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  /** Scratch directory for `name`, EMPTIED on every call — for sinks
+    * whose own commit/metadata log would treat leftovers from a prior
+    * invocation as already-committed output (the streaming file sink). */
+  def freshDir(name: String): String = {
+    val p = root.resolve(name)
+    deleteRecursively(p)
     Files.createDirectories(p)
     p.toString
   }

@@ -377,9 +377,12 @@ class RelationalLawsSpec extends SparkSpec {
     assert(byGroup("A").size == 20 && byGroup("B").size == 7)
     assert(byGroup("A").map(_._3) == (1L to 20L) &&
       byGroup("B").map(_._3) == (1L to 7L))
-    // determinism: a reshuffled re-run selects the identical sample
-    val run2 = Relational.queries("o7_reservoir_sample")(spark, d)
-      .repartition(7)
+    // determinism: the SAME rows under a DIFFERENT physical layout
+    // (rewritten with another partitioning) must select the identical
+    // sample — repartitioning the query output would test nothing
+    val d2 = java.nio.file.Files.createTempDirectory("o7-law2").toString
+    orders.repartition(7).write.mode("overwrite").parquet(s"$d2/orders.parquet")
+    val run2 = Relational.queries("o7_reservoir_sample")(spark, d2)
       .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
     assert(run1 == run2)
   }
