@@ -206,12 +206,15 @@ object Analytics {
   // start. Scale shape: every window and the agg are user-keyed —
   // bounded partitions, no global sort; ties broken by event_id so the
   // build is deterministic under any partitioning.
-  private val scd2: Q = (spark, dir) => {
-    import spark.implicits._
+  /** The SCD2 run-length versioning over an event set — shared by the
+    * declared t7 (all events) and the j14 PIT join's dim side
+    * (non-purchase events: the browsing-STATE dimension a purchase is
+    * then attributed against). */
+  private def scd2Of(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val wRun = Window.partitionBy($"user_id").orderBy($"version")
-    Tables.load(spark, dir, "events")
-      .select($"user_id", $"ts", $"event_id", $"event_type")
+    ev.select($"user_id", $"ts", $"event_id", $"event_type")
       .withColumn("chg",
         when(lag($"event_type", 1).over(wOrd).isNull ||
           lag($"event_type", 1).over(wOrd) =!= $"event_type", 1L)
@@ -224,6 +227,9 @@ object Analytics {
       .withColumn("valid_to", lead($"valid_from", 1).over(wRun))
       .withColumn("is_current", $"valid_to".isNull)
   }
+
+  private val scd2: Q = (spark, dir) =>
+    scd2Of(Tables.load(spark, dir, "events"))
 
   // ---- t8_merge_upsert: CDC merge-apply (MERGE INTO semantics as a
   // batch DataFrame) — the other half of warehouse maintenance next to
@@ -1010,9 +1016,44 @@ object Analytics {
       .agg(count(lit(1)).as("n"), sum($"drift").as("abs_drift_cents"))
   }
 
+  // ---- j14_pit_join: POINT-IN-TIME join against SCD2 validity
+  // intervals — THE warehouse temporal-join pattern: each purchase
+  // attaches the dimension VERSION that was current when it happened
+  // (channel state at purchase time), i.e. the leakage-free
+  // feature-attachment join t7's versioned table exists to serve.
+  // Spelling: equi-join on the entity key + the half-open interval
+  // predicate valid_from ≤ ts < valid_to (open-ended current version).
+  // The dim is the SCD2 versioning of the NON-purchase events (the
+  // user's browsing-state runs) — versioning the same rows being
+  // joined would trivially land every purchase in its own
+  // 'purchase'-typed run and the answer would carry no information.
+  // At most one version matches per purchase (a user's intervals are
+  // disjoint and half-open); purchases before the user's first
+  // non-purchase event have no state yet and are absent (inner join —
+  // compose with a left join for the padded variant). Scale shape: one
+  // key-keyed SMJ; per-user version counts are run-length-bounded (a
+  // dimension axis), so the per-key candidate set stays small at any
+  // fact size — the standard PIT plan, no window over the fact needed
+  // after the dim is built.
+  private val pitJoin: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val versions = scd2Of(ev.filter($"event_type" =!= "purchase"))
+      .select($"user_id".as("v_user"), $"version", $"channel",
+        $"valid_from", $"valid_to")
+    val purchases = ev
+      .filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts"))
+    purchases.join(versions,
+        $"user_id" === $"v_user" && $"p_ts" >= $"valid_from" &&
+          ($"valid_to".isNull || $"p_ts" < $"valid_to"))
+      .select($"p_id", $"user_id", $"p_ts", $"version", $"channel")
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_trend_ols"        -> trendOls,
     "t11_snapshot_diff"   -> snapshotDiff,
+    "j14_pit_join"        -> pitJoin,
     "t7_scd2"             -> scd2,
     "t8_merge_upsert"     -> mergeUpsert,
     "t9_incremental_agg"  -> incrementalAgg,
@@ -1033,6 +1074,33 @@ object Analytics {
     "g4_kcore"            -> kcore,
     "g5_bfs"              -> bfs,
     "ev_paths"            -> paths)
+
+  /** The SCD2 versioned-dimension statement — the `t7_scd2` oracle
+    * (no filter), also nested with the non-purchase filter as the dim
+    * side of `j14_pit_join`. */
+  private def scd2OracleSql(where: String = ""): String =
+    s"""WITH o AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, event_type,
+      |         CASE WHEN LAG(event_type) OVER w IS NULL
+      |                OR LAG(event_type) OVER w <> event_type
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM events $where
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r AS (
+      |  SELECT user_id, t, event_type,
+      |         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, version, MAX(event_type) AS channel,
+      |         MIN(t) AS valid_from, COUNT(*) AS n_events
+      |  FROM r GROUP BY 1, 2)
+      |SELECT user_id, version, channel, valid_from, n_events,
+      |       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |         AS valid_to,
+      |       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |         IS NULL AS is_current
+      |FROM g""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // HUGEINT carries the cross-products; the positive-mod subtraction
@@ -1371,29 +1439,19 @@ object Analytics {
          |       action
          |FROM m WHERE action <> 'D'""".stripMargin,
 
-    "t7_scd2" ->
-      """WITH o AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, event_type,
-        |         CASE WHEN LAG(event_type) OVER w IS NULL
-        |                OR LAG(event_type) OVER w <> event_type
-        |              THEN 1 ELSE 0 END AS chg
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |r AS (
-        |  SELECT user_id, t, event_type,
-        |         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
-        |  FROM o),
-        |g AS (
-        |  SELECT user_id, version, MAX(event_type) AS channel,
-        |         MIN(t) AS valid_from, COUNT(*) AS n_events
-        |  FROM r GROUP BY 1, 2)
-        |SELECT user_id, version, channel, valid_from, n_events,
-        |       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
-        |         AS valid_to,
-        |       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
-        |         IS NULL AS is_current
-        |FROM g""".stripMargin,
+    "t7_scd2" -> scd2OracleSql(),
+
+    // the SCD2 statement nested (non-purchase filter) as the dim side;
+    // half-open interval predicate, open-ended current version
+    "j14_pit_join" ->
+      s"""WITH v AS (SELECT * FROM (${scd2OracleSql("WHERE event_type <> 'purchase'")}) sv),
+         |p AS (SELECT event_id AS p_id, user_id,
+         |             CAST(ts AS TIMESTAMP) AS p_ts
+         |      FROM events WHERE event_type = 'purchase')
+         |SELECT p.p_id, p.user_id, p.p_ts, v.version, v.channel
+         |FROM p JOIN v ON v.user_id = p.user_id
+         | AND p.p_ts >= v.valid_from
+         | AND (v.valid_to IS NULL OR p.p_ts < v.valid_to)""".stripMargin,
 
     "ev_cohort_retention" ->
       """WITH ev AS (

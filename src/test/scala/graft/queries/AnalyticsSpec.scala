@@ -573,6 +573,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(deleted + modified + added > 0, "mutations must actually occur")
   }
 
+  test("PIT join: purchases attach the state version valid at their ts; boundary goes to the new version") {
+    import spark.implicits._
+    // user 1 state runs: view [10:00, 11:00) → click [11:00, ∞).
+    //   purchase at 10:30 → version 1 (view); purchase at EXACTLY 11:00
+    //   → version 2 (click; half-open boundary); purchase at 12:00 →
+    //   version 2 (open-ended current).
+    // user 2: purchase BEFORE any state event → absent (no state yet).
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:30:00"), 1L, "purchase", 1.0, "{}"),
+      (4L, ts("2024-01-01 11:00:00"), 1L, "purchase", 1.0, "{}"),
+      (5L, ts("2024-01-01 12:00:00"), 1L, "purchase", 1.0, "{}"),
+      (6L, ts("2024-01-01 09:00:00"), 2L, "purchase", 1.0, "{}"),
+      (7L, ts("2024-01-01 09:30:00"), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = Files.createTempDirectory("pit-join").toString
+    rows.write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = Analytics.queries("j14_pit_join")(spark, d)
+      .select($"p_id", $"version", $"channel")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((3L, 1L, "view"), (4L, 2L, "click"), (5L, 2L, "click")))
+  }
+
   private implicit class PairMap(rows: Array[(String, Long, Double)]) {
     def toMap2: Map[String, (Long, Double)] =
       rows.map(r => r._1 -> (r._2, r._3)).toMap
