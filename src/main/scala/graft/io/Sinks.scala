@@ -320,10 +320,17 @@ object Sinks {
       .parquet(s"$tmp/compacted")
     val back = spark.read.parquet(s"$tmp/compacted")
       .withColumn("f", input_file_name())
-    back.agg(count(lit(1)).as("n_rows"),
-        sum($"cents").as("sum_cents"),
-        countDistinct($"o_orderkey").as("n_keys"),
-        countDistinct($"f").as("n_files_after"))
+    // per-FILE grain first, then a file-count-sized reduce: one
+    // distinct per aggregate level — two countDistincts in one agg
+    // plan an Expand that triples the read-back (caught by the plan
+    // pin). n_keys = Σ per-file distincts, equal to the global
+    // distinct exactly when no key was duplicated across files — the
+    // audit deviation a corrupted rewrite should surface.
+    back.groupBy($"f")
+      .agg(count(lit(1)).as("nr"), sum($"cents").as("cs"),
+        countDistinct($"o_orderkey").as("nk"))
+      .agg(sum($"nr").as("n_rows"), sum($"cs").as("sum_cents"),
+        sum($"nk").as("n_keys"), count(lit(1)).as("n_files_after"))
       .select($"n_rows", $"sum_cents", $"n_keys",
         lit(nFilesBefore).as("n_files_before"), $"n_files_after")
   }

@@ -104,6 +104,20 @@ class PlanShapeSpec extends SparkSpec {
     // unblocked-fuzzy-join guard, and the levenshtein verify must stay
     // ABOVE the dedup (RelationalLawsSpec pins the no-pushdown barrier)
     ("j7_fuzzy_block", 7, 0),
+    // decile calibration: label agg + scored join + bin agg; observed 3/1
+    ("e6_calibration", 4, 0),
+    // both dedup pair pipelines + the pair-keyed full-outer metric
+    // reduce; observed 11 exchanges at test sf
+    ("dedup_sketch_eval", 13, 0),
+    // csv quirks round-trip: pure per-file write+read, ZERO exchanges
+    ("s14_csv_quirks", 0, 0),
+    // compaction audit: per-file grain + reduce (one distinct per
+    // level — the two-countDistinct spelling planned an Expand)
+    ("k9_compaction", 4, 0),
+    // snapshot diff: one key-keyed full-outer + 4-row agg; observed 3
+    ("t11_snapshot_diff", 4, 0),
+    // PIT join: dim windows on the user key + one key join; observed 2
+    ("j14_pit_join", 4, 0),
     // CDC merge-apply: ONE scan (explode fans base/change/insert rows
     // out map-side — no 3× table re-scan) + ONE key-shuffled max_by
     // aggregate; no join anywhere in the apply
@@ -154,7 +168,11 @@ class PlanShapeSpec extends SparkSpec {
   // a BroadcastNestedLoopJoin — allowed HERE only because the build
   // side is an aggregate's single row (the BM25 pattern); everything
   // else stays pinned.
-  for ((name, maxExchanges) <- Seq(("a19_drift_bins", 5), ("k8_zorder", 3))) {
+  for ((name, maxExchanges) <- Seq(("a19_drift_bins", 5), ("k8_zorder", 3),
+    // m15/m16/OLS carry the same 1-row attach (min-max stats, quantile
+    // triple, day-index origin)
+    ("m15_minmax_scaler", 3), ("m16_robust_scaler", 4),
+    ("ev_trend_ols", 5))) {
     test(s"$name plan: one-row stat attach only, ≤$maxExchanges exchanges") {
       val p = planOf(name)
       assert(count(p, "Expand") == 0 && count(p, "CartesianProduct") == 0)
