@@ -1,6 +1,6 @@
 package graft.encode
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -253,13 +253,118 @@ object Encoders {
         }).otherwise(0L).as("scaled_ppm"))
   }
 
+  /** m20: CHI-SQUARE feature ranking (Spark ML ChiSqSelector / sklearn
+    * chi2 semantics) against the m12 churn-proxy label (customer placed
+    * ≥ 1 urgent order): for each candidate categorical feature, the χ²
+    * statistic of its (value × label) contingency table — the standard
+    * fit-time filter that decides which categoricals earn an encoder
+    * slot at all. Three candidate features per customer row: market
+    * segment, nation bucket, and a $2,500-wide balance bucket.
+    *
+    * Exactness: the per-cell term (O−E)²/E is assembled from integers
+    * only — with d = O·N − n_v·N_c (exact, |d| ≤ N²) the cell equals
+    * d²/(N·n_v·N_c), and the milli-scaled floor is decomposed through
+    * quotient + remainder so no intermediate exceeds den·10³:
+    * q = ⌊d²/den⌋ (≤ N), milli = q·10³ + ⌊(d² mod den)·10³/den⌋. All
+    * carried in DECIMAL(38,0) (HUGEINT on the oracle side): den ≤ N³,
+    * so the bound den·10³ < 10³⁸ holds to N ≈ 4.6·10¹¹ label rows —
+    * genuine 100 TB headroom, vs direct d²·10³ which dies at N ≈ 10⁸.
+    *
+    * Scale shape: one custkey-keyed label aggregate, a co-keyed join to
+    * customer, ONE scan of the joined base exploded ×3 into long
+    * format (bounded fanout), a dimension-sized (feature, value) cell
+    * aggregate, 1-row totals broadcast, and a ≤-values-sized final
+    * aggregate. The artifact is the 3-row ranking; nothing downstream
+    * is per-row. */
+  private val chi2Rank: Q = (spark, dir) => {
+    import spark.implicits._
+    val labels = Tables.load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(max(when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L))
+        .as("pos"))
+    val cents = (dec2($"c_acctbal") * 100).cast("long")
+    val base = Tables.load(spark, dir, "customer")
+      .join(labels, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_mktsegment",
+        ($"c_nationkey" % 5).cast("string").as("nat_bucket"),
+        (((cents - pmod(cents, lit(250000L))) / 250000L).cast("long"))
+          .cast("string").as("bal_bucket"),
+        coalesce($"pos", lit(0L)).as("pos"))
+    val long = base.select(explode(array(
+        struct(lit("seg").as("feature"), $"c_mktsegment".as("value")),
+        struct(lit("nat").as("feature"), $"nat_bucket".as("value")),
+        struct(lit("bal").as("feature"), $"bal_bucket".as("value"))))
+        .as("fv"), $"pos")
+      .select($"fv.feature", $"fv.value", $"pos")
+    val cells = long.groupBy($"feature", $"value")
+      .agg(sum($"pos").as("o1"), sum(lit(1L) - $"pos").as("o0"))
+    val tot = base.agg(count(lit(1)).as("n"), sum($"pos").as("p"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // one cell-term column per class, then summed per feature
+    def cellMilli(o: Column, nc: Column, nv: Column, n: Column): Column = {
+      val d = dec(o) * n - dec(nv) * nc
+      val d2 = d * d
+      val den = dec(n) * nv * nc
+      val q = (d2 - pmod(d2, den)) / den
+      val r = pmod(d2, den)
+      (q * 1000 + (r * 1000 - pmod(r * 1000, den)) / den).cast("long")
+    }
+    cells.crossJoin(broadcast(tot))
+      .withColumn("nv", $"o1" + $"o0")
+      .withColumn("cell_milli",
+        cellMilli($"o1", $"p", $"nv", $"n") +
+          cellMilli($"o0", $"n" - $"p", $"nv", $"n"))
+      .groupBy($"feature")
+      .agg(count(lit(1)).as("n_values"),
+        sum($"cell_milli").as("chi2_milli"))
+      .select($"feature", $"n_values", ($"n_values" - 1L).as("dof"),
+        $"chi2_milli")
+  }
+
+  /** m21: IMPUTATION-fit artifact (Spark ML Imputer / sklearn
+    * SimpleImputer fit semantics) per market segment, under a
+    * deterministic hash-planted missingness mask (every 10th customer's
+    * balance withheld — the testdata ships no real NULLs, and a planted
+    * mask makes the fit oracle-checkable instead of vacuous). Per
+    * segment: observed/missing counts, the MEAN fill value for the
+    * numeric column (exact integer-cents floor — the engines never
+    * divide in double), and the MODE fill value for the categorical
+    * (nation key) with the deterministic (count desc, value asc)
+    * tie-break via ONE max_by(struct) aggregate — no per-segment window,
+    * no sort. Scale shape: one scan, one two-level aggregate pair
+    * ((seg, nation) grain → seg grain for the mode; seg grain for the
+    * mean), artifact is the segment-sized table; applying it is a
+    * broadcast map-side coalesce. */
+  private val imputeFit: Q = (spark, dir) => {
+    import spark.implicits._
+    val c = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment", $"c_nationkey",
+        (dec2($"c_acctbal") * 100).cast("long").as("cents"),
+        (hash48($"c_custkey".cast("string")) % 10 === 0).as("is_missing"))
+    val mean = c.groupBy($"c_mktsegment")
+      .agg(sum(when(!$"is_missing", 1L).otherwise(0L)).as("n_obs"),
+        sum(when($"is_missing", 1L).otherwise(0L)).as("n_missing"),
+        sum(when(!$"is_missing", $"cents").otherwise(0L)).as("sum_cents"))
+      .select($"c_mktsegment", $"n_obs", $"n_missing",
+        (($"sum_cents" - pmod($"sum_cents", $"n_obs")) / $"n_obs")
+          .cast("long").as("mean_fill_cents"))
+    val mode = c.groupBy($"c_mktsegment", $"c_nationkey")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"c_mktsegment")
+      .agg(max_by($"c_nationkey".cast("long"), struct($"cnt", -$"c_nationkey"))
+        .as("mode_fill_nation"))
+    mean.join(mode, "c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
     "enc_feature_hash"  -> featureHash,
     "m12_target_encode" -> targetEncode,
     "m13_woe_iv"        -> woeIv,
     "m14_quantile_bins" -> quantileBins,
     "m15_minmax_scaler" -> minmaxScaler,
-    "m16_robust_scaler" -> robustScaler)
+    "m16_robust_scaler" -> robustScaler,
+    "m20_chi2_rank"     -> chi2Rank,
+    "m21_impute_fit"    -> imputeFit)
 
   val oracles: Map[String, String] = Map(
     "m14_quantile_bins" ->
@@ -283,6 +388,75 @@ object Encoders {
          |    ${hash48Sql("'uk:' || CAST(user_id % 64 AS VARCHAR)")} % 1024])) AS idx
          |  FROM events)
          |SELECT event_id, unnest(idx) AS feature_idx FROM f""".stripMargin,
+
+    "m20_chi2_rank" ->
+      s"""WITH lab AS (
+         |  SELECT o_custkey,
+         |         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS pos
+         |  FROM orders GROUP BY 1),
+         |base AS (
+         |  SELECT c_mktsegment,
+         |         CAST(c_nationkey % 5 AS VARCHAR) AS nat_bucket,
+         |         CAST(CAST((cents - (((cents % 250000) + 250000) % 250000))
+         |           // 250000 AS BIGINT) AS VARCHAR) AS bal_bucket,
+         |         COALESCE(pos, 0) AS pos
+         |  FROM (SELECT c_mktsegment, c_nationkey, pos,
+         |               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |        FROM customer LEFT JOIN lab ON c_custkey = o_custkey)),
+         |lng AS (
+         |  SELECT 'seg' AS feature, c_mktsegment AS value, pos FROM base
+         |  UNION ALL SELECT 'nat', nat_bucket, pos FROM base
+         |  UNION ALL SELECT 'bal', bal_bucket, pos FROM base),
+         |cells AS (
+         |  SELECT feature, value, CAST(SUM(pos) AS BIGINT) AS o1,
+         |         CAST(SUM(1 - pos) AS BIGINT) AS o0
+         |  FROM lng GROUP BY 1, 2),
+         |tot AS (SELECT COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS p FROM base),
+         |cls AS (
+         |  SELECT feature, value, o1 AS o, p AS nc, o1 + o0 AS nv, n
+         |  FROM cells, tot
+         |  UNION ALL
+         |  SELECT feature, value, o0, n - p, o1 + o0, n FROM cells, tot),
+         |term AS (
+         |  SELECT feature,
+         |         CAST(o AS HUGEINT) * n - CAST(nv AS HUGEINT) * nc AS d,
+         |         CAST(n AS HUGEINT) * nv * nc AS den
+         |  FROM cls),
+         |m AS (SELECT feature, (d * d) // den AS q, (d * d) % den AS r, den
+         |      FROM term),
+         |agg AS (
+         |  SELECT feature,
+         |         CAST(SUM(q * 1000 + (r * 1000) // den) AS BIGINT) AS chi2_milli
+         |  FROM m GROUP BY 1),
+         |nvals AS (SELECT feature, COUNT(*) AS n_values FROM cells GROUP BY 1)
+         |SELECT feature, n_values, n_values - 1 AS dof, chi2_milli
+         |FROM nvals JOIN agg USING (feature)""".stripMargin,
+
+    "m21_impute_fit" ->
+      s"""WITH c AS (
+         |  SELECT c_custkey, c_mktsegment, c_nationkey,
+         |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |         ${hash48Sql("CAST(c_custkey AS VARCHAR)")} % 10 = 0 AS is_missing
+         |  FROM customer),
+         |mn AS (
+         |  SELECT c_mktsegment,
+         |         CAST(SUM(CASE WHEN is_missing THEN 0 ELSE 1 END) AS BIGINT) AS n_obs,
+         |         CAST(SUM(CASE WHEN is_missing THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+         |         CAST(SUM(CASE WHEN is_missing THEN 0 ELSE cents END) AS HUGEINT) AS sum_cents
+         |  FROM c GROUP BY 1),
+         |mnv AS (
+         |  SELECT c_mktsegment, n_obs, n_missing,
+         |         CAST((sum_cents - (((sum_cents % n_obs) + n_obs) % n_obs))
+         |           // n_obs AS BIGINT) AS mean_fill_cents
+         |  FROM mn),
+         |g AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
+         |md AS (
+         |  SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS mode_fill_nation
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+         |          ORDER BY cnt DESC, c_nationkey ASC) AS rn FROM g)
+         |  WHERE rn = 1)
+         |SELECT c_mktsegment, n_obs, n_missing, mean_fill_cents, mode_fill_nation
+         |FROM mnv JOIN md USING (c_mktsegment)""".stripMargin,
 
     "m13_woe_iv" ->
       """WITH v AS (

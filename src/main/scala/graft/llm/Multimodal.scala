@@ -323,11 +323,119 @@ object Multimodal {
           .as("frame_ids"))
   }
 
+  // ---- audio: PCM payloads + framed energy --------------------------
+
+  /** Deterministic PCM pattern — the audio twin of the PNG pixel
+    * contract: sample i of clip id is ((id·37 + i·17) mod 4096) − 2048,
+    * a full-swing 12-bit signed pattern; clip length 800 + (id%5)·160
+    * samples (kept small for bench cost — the kernel shape is
+    * length-independent). */
+  private[llm] def audioLen(id: Long): Int = (800 + (id % 5) * 160).toInt
+  private[llm] def audioSample(id: Long, i: Int): Int =
+    (((id * 37 + i.toLong * 17) % 4096) - 2048).toInt
+
+  /** Encode kernel: deterministic samples → REAL 16-bit little-endian
+    * PCM bytes (the wire format a WAV data chunk carries). */
+  private[llm] def pcmEncodeKernel(id: Long): Array[Byte] = {
+    val n = audioLen(id)
+    val out = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = audioSample(id, i)
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Decode kernel: REAL PCM16LE byte parse → signed samples. */
+  private[llm] def pcmDecodeKernel(payload: Array[Byte]): Array[Int] = {
+    val n = payload.length / 2
+    val s = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      s(i) = ((payload(2 * i) & 0xff) | (payload(2 * i + 1).toInt << 8)).toShort.toInt
+      i += 1
+    }
+    s
+  }
+
+  /** Audio table: (media_id, payload: PCM16LE binary, meta
+    * struct<mime,sample_rate,n_samples>) — the lakehouse audio-column
+    * shape, built in the same per-partition batch-kernel style as
+    * [[mediaTable]]. */
+  def audioTable(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("mime", StringType),
+        StructField("sample_rate", IntegerType),
+        StructField("n_samples", IntegerType))))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, pcmEncodeKernel(id),
+          Row("audio/pcm", 16000, audioLen(id)))
+      }
+    }(enc)
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_samples", LongType),
+    StructField("n_frames", LongType),
+    StructField("frame_idx", LongType),
+    StructField("energy", LongType),
+    StructField("rk", LongType)))
+
+  /** mm_audio_energy: the audio feature-extraction stage — encode →
+    * REAL PCM16 decode → 320-sample/160-hop framing → per-frame energy
+    * (Σ s², exact Long) → each clip's top-2 frames by (energy desc,
+    * frame asc). The framing/top-k is PER-CLIP local state, so the
+    * whole operator is ONE map-side kernel pass — zero exchanges, like
+    * decode/resize (a VAD or loudness-normalization stage at 100 TB has
+    * exactly this profile: decode + per-window integer reduction,
+    * embarrassingly parallel, payload column pruned for any
+    * metadata-only consumer). The oracle recomputes energies from the
+    * deterministic sample formula and replays the top-2 pick as a
+    * window — the byte stream itself (engine-neutral by construction
+    * here, unlike PNG) stays unsurfaced for symmetry with the image
+    * contract. */
+  private val audioEnergyQ: Q = (spark, dir) => {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioSchema)
+    audioTable(spark, dir).select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getAs[Long]("media_id")
+          val s = pcmDecodeKernel(r.getAs[Array[Byte]]("payload"))
+          val n = s.length
+          val nFrames = (n - 320) / 160 + 1
+          val frames = Array.tabulate(nFrames) { j =>
+            var e = 0L
+            var k = j * 160
+            val end = k + 320
+            while (k < end) { e += s(k).toLong * s(k); k += 1 }
+            (j.toLong, e)
+          }
+          frames.sortBy { case (j, e) => (-e, j) }.take(2).zipWithIndex
+            .map { case ((j, e), rk) =>
+              Row(id, n.toLong, nFrames.toLong, j, e, rk + 1L)
+            }
+        }
+      }(enc)
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_decode"        -> decodeQ,
     "mm_resize"        -> resizeQ,
     "mm_frame_sample"  -> framesQ,
-    "mm_phash_dedup"   -> phashQ)
+    "mm_phash_dedup"   -> phashQ,
+    "mm_audio_energy"  -> audioEnergyQ)
 
   /** Shared oracle fragment: the pixel-pattern CTE (id, w, h). */
   private val dimsCte =
@@ -412,5 +520,29 @@ object Multimodal {
          |SELECT p.id AS media_id, p.phash,
          |       CAST(grp.n_same AS BIGINT) AS n_same, grp.canonical_id
          |FROM p JOIN grp USING (phash)""".stripMargin
-    })
+    },
+
+    // PCM16 round-trips samples losslessly, so frame energies == the
+    // generator formula; the top-2 pick replays as a per-clip window.
+    "mm_audio_energy" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         800 + (doc_id % 5) * 160 AS n FROM documents),
+        |fr AS (
+        |  SELECT media_id, n, (n - 320) // 160 + 1 AS n_frames,
+        |         unnest(range(0, (n - 320) // 160 + 1)) AS frame_idx
+        |  FROM m),
+        |en AS (
+        |  SELECT media_id, n, n_frames, frame_idx,
+        |         CAST(list_sum(list_transform(
+        |           list_transform(range(0, 320),
+        |             k -> (media_id * 37 + (frame_idx * 160 + k) * 17)
+        |                    % 4096 - 2048),
+        |           s -> s * s)) AS BIGINT) AS energy
+        |  FROM fr)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        |       CAST(n_frames AS BIGINT) AS n_frames, frame_idx, energy, rk
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id
+        |        ORDER BY energy DESC, frame_idx) AS rk FROM en)
+        |WHERE rk <= 2""".stripMargin)
 }

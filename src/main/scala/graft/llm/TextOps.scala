@@ -547,6 +547,53 @@ object TextOps {
         expr(s"cnt * 10000 div ${math.max(n, 1L)}L").as("share_bp"))
   }
 
+  /** d_cms_eval: COUNT-MIN SKETCH accuracy audit — build a 4×1024 CMS
+    * over the token stream and report, for the top-50 exact terms, the
+    * sketch estimate next to the exact count. The CMS is the
+    * bounded-memory twin of [[heavyHitters]]' candidate/verify split:
+    * at 100 TB the 4096-counter table is CONSTANT-size state (mergeable
+    * across partitions/days by cell-wise addition), answering point
+    * frequency queries with a one-sided error — est ≥ exact always,
+    * overcount ≤ εN with ε = e/1024 at δ = e⁻⁴ — which this query
+    * MEASURES rather than assumes (the dedup_sketch_eval discipline:
+    * every sketch ships with its own accuracy audit).
+    *
+    * Determinism/oracle: row hashes are hash48("i:" ++ term) % 1024 —
+    * md5-derived like every hash in this file — so the counter table
+    * and the min-probe are bit-identical in DuckDB. Scale shape: one
+    * token scan → vocab-sized exact counts (reused for build and
+    * probe via localCheckpoint), an explode(×4) bounded fanout into a
+    * ≤4096-row counter aggregate (broadcast to the probe join), and a
+    * 50-row probe — no per-row work after the first aggregate. */
+  private val cmsEval: Q = (spark, dir) => {
+    import spark.implicits._
+    val D = 4
+    val W = 1024
+    // vocab-sized, consumed twice (sketch build + top-50 probe): pin it
+    val counts = Tables.load(spark, dir, "documents")
+      .select(explode(toks($"text")).as("term"))
+      .filter(length($"term") > 0)
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    def bucket(row: Column, term: Column): Column =
+      hash48(concat(row.cast("string"), lit(":"), term)) % W
+    val cells = counts
+      .select($"term", $"n",
+        explode(sequence(lit(0), lit(D - 1))).as("row_i"))
+      .withColumn("bucket", bucket($"row_i", $"term"))
+    val sketch = cells.groupBy($"row_i", $"bucket")
+      .agg(sum($"n").as("counter"))
+    val probe = counts.orderBy($"n".desc, $"term".asc).limit(50)
+      .select($"term", $"n",
+        explode(sequence(lit(0), lit(D - 1))).as("row_i"))
+      .withColumn("bucket", bucket($"row_i", $"term"))
+    probe.join(broadcast(sketch), Seq("row_i", "bucket"))
+      .groupBy($"term")
+      .agg(max($"n").as("n_exact"), min($"counter").as("n_est"))
+      .select($"term", $"n_exact", $"n_est",
+        ($"n_est" - $"n_exact").as("overcount"))
+  }
+
   /** Token-budget mixture PLAN + its deterministic execution audit — the
     * rate-based companion to [[sourceCap]]'s hard doc cap: a training
     * mixture is usually specified as a TOKEN budget per domain, not a doc
@@ -844,6 +891,7 @@ object TextOps {
     "d_pack_sequences" -> packSeq,
     "d_source_cap"     -> sourceCap,
     "d_heavy_hitters"  -> heavyHitters,
+    "d_cms_eval"       -> cmsEval,
     "d_mixture_plan"   -> mixturePlan,
     "d_drift"          -> drift,
     "d_winnow"         -> winnow,
@@ -999,6 +1047,28 @@ object TextOps {
          |  COALESCE(k.n_kept, 0) AS n_kept,
          |  COALESCE(k.kept_tokens, 0) AS kept_tokens
          |FROM p LEFT JOIN k USING (source)""".stripMargin,
+
+    "d_cms_eval" ->
+      s"""WITH t AS (SELECT unnest($ToksSql) AS term FROM documents),
+         |c AS (SELECT term, COUNT(*) AS n FROM t
+         |      WHERE length(term) > 0 GROUP BY 1),
+         |cells AS (
+         |  SELECT term, n, row_i,
+         |         ${hash48Sql("CAST(row_i AS VARCHAR) || ':' || term")} % 1024
+         |           AS bucket
+         |  FROM c, range(4) r(row_i)),
+         |sk AS (SELECT row_i, bucket, CAST(SUM(n) AS BIGINT) AS counter
+         |       FROM cells GROUP BY 1, 2),
+         |top AS (SELECT term, n FROM c ORDER BY n DESC, term LIMIT 50),
+         |pr AS (
+         |  SELECT term, n, row_i,
+         |         ${hash48Sql("CAST(row_i AS VARCHAR) || ':' || term")} % 1024
+         |           AS bucket
+         |  FROM top, range(4) r(row_i))
+         |SELECT pr.term, MAX(pr.n) AS n_exact, MIN(sk.counter) AS n_est,
+         |       MIN(sk.counter) - MAX(pr.n) AS overcount
+         |FROM pr JOIN sk USING (row_i, bucket)
+         |GROUP BY 1""".stripMargin,
 
     // exact truth: the candidate pass is a strict superset by the
     // freqItems guarantee, so exact-verify == plain exact aggregation

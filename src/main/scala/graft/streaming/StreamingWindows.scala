@@ -484,12 +484,35 @@ object StreamingWindows {
     runToParquet(spark, joined, "enrich")
   }
 
+  /** st_dedup: the state-BOUNDED streaming exact-dedup drained over a
+    * simulated at-least-once redelivery — the events stream unioned
+    * with a second delivery of itself (two file sources over the same
+    * table: every event arrives twice), collapsed by
+    * `dropDuplicatesWithinWatermark(event_id)`. The emitted set is
+    * exactly one row per event_id — the batch DISTINCT the oracle
+    * recomputes directly — proving the dedup state store end-to-end
+    * (insert-on-first-seen, drop-on-re-delivery) through a genuine
+    * duplicated input, not a vacuous pass-through. Within-watermark
+    * eviction (what bounds state at ingest scale — a plain streaming
+    * dropDuplicates grows forever) is the operator's reason to exist;
+    * the eviction boundary itself is exercised by the multi-batch
+    * out-of-order tests, while this drain pins the visible contract.
+    * Emitted set is FACT-SCALE (one row per distinct event) → file
+    * sink. */
+  private val stDedup: Q = (spark, dir) => {
+    val once = readAllEventStream(spark, s"$dir/events.parquet")
+    val redelivered = once.unionAll(
+      readAllEventStream(spark, s"$dir/events.parquet"))
+    runToParquet(spark, dedupWithinWatermark(redelivered), "dedup")
+  }
+
   val queries: Map[String, Q] = Map(
     "st_sessionize"   -> stSessionize,
     "st_latest_state" -> stLatestState,
     "st_tumbling"     -> stTumbling,
     "st_range_join"   -> stRangeJoin,
-    "st_enrich"       -> stEnrich)
+    "st_enrich"       -> stEnrich,
+    "st_dedup"        -> stDedup)
 
   val oracles: Map[String, String] = Map(
     // ev_session's batch spelling, minus each user's final session when
@@ -572,5 +595,13 @@ object StreamingWindows {
         |           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events)
         |SELECT user_id, ts, event_type, value, event_id
-        |FROM r WHERE rn = 1""".stripMargin)
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // two identical deliveries collapse to the batch relation: one row
+    // per event_id (event_id is the table's unique key, so "first seen
+    // wins" and DISTINCT coincide — no tie to adjudicate)
+    "st_dedup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |       event_type, value, props
+        |FROM events""".stripMargin)
 }

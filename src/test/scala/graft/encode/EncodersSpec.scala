@@ -195,4 +195,72 @@ class EncodersSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(out == Seq((1L, 777L, 0L), (2L, 777L, 0L)))
   }
+
+  /** BigInt reference of the m20 per-cell milli formula: floor(d²·1000 /
+    * (N·n_v·N_c)) decomposed exactly as the query decomposes it. */
+  private def chi2CellMilli(o: Long, nc: Long, nv: Long, n: Long): BigInt = {
+    val d = BigInt(o) * n - BigInt(nv) * nc
+    val den = BigInt(n) * nv * nc
+    val d2 = d * d
+    (d2 / den) * 1000 + ((d2 % den) * 1000) / den
+  }
+
+  test("m20 chi2: planted 2x2 table matches the BigInt reference; constant features score exactly 0") {
+    import spark.implicits._
+    // Segment A: 10 urgent (pos) + 2 plain; segment B: 2 urgent + 10 plain.
+    // nation and balance are CONSTANT across customers, so those two
+    // features have a single value each -> chi2 must be exactly 0.
+    val keys = (1L to 24L)
+    val seg = keys.map(k => if (k <= 12) "A" else "B")
+    val pos = keys.map(k => k <= 10 || (k > 12 && k <= 14))
+    val customers = keys.zip(seg).map { case (k, s) => (k, s, 3, 100.00) }
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+    val orders = keys.zip(pos).map { case (k, p) =>
+      (k * 10, k, if (p) "1-URGENT" else "5-LOW") }
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val d = Files.createTempDirectory("enc-chi2").toString
+    customers.write.mode("overwrite").parquet(s"$d/customer.parquet")
+    orders.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Encoders.queries("m20_chi2_rank")(spark, d)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // N=24, P=12; seg cells: A (o1=10,o0=2), B (o1=2,o0=10)
+    val expectSeg =
+      chi2CellMilli(10, 12, 12, 24) + chi2CellMilli(2, 12, 12, 24) +
+        chi2CellMilli(2, 12, 12, 24) + chi2CellMilli(10, 12, 12, 24)
+    assert(out("seg") == ("seg", 2L, 1L, expectSeg.toLong))
+    // true chi2 = 24*9216/20736 = 10.6667; four identical cells each
+    // contribute 8/3 floored to 2666 milli (per-cell floor is the contract)
+    assert(expectSeg.toLong == 4 * 2666L)
+    assert(out("nat") == ("nat", 1L, 0L, 0L))
+    assert(out("bal") == ("bal", 1L, 0L, 0L))
+  }
+
+  test("m20 chi2: real data yields all three features with non-negative scores") {
+    import spark.implicits._
+    val out = Encoders.queries("m20_chi2_rank")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length == 3 && out.forall(_._4 >= 0L))
+  }
+
+  test("m21 impute: hand-checked mask, mean fill, and mode tie-break") {
+    import spark.implicits._
+    val keys = (1L to 30L)
+    val masked = keys.filter(k => graft.llm.TextOps.hash48Jvm(k.toString) % 10 == 0)
+    assert(masked.nonEmpty) // the planted mask must actually bite
+    // nation: value 7 on even keys, 3 on odd keys -> 15 each, tie -> min (3)
+    val customers = keys.map { k =>
+      (k, "SEG", if (k % 2 == 0) 7 else 3, k.toDouble) }
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+    val d = Files.createTempDirectory("enc-imp").toString
+    customers.write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val out = Encoders.queries("m21_impute_fit")(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.length == 1)
+    val (segName, nObs, nMiss, meanFill, modeFill) = out.head
+    val obs = keys.filterNot(masked.contains)
+    assert(segName == "SEG" && nObs == obs.size.toLong && nMiss == masked.size.toLong)
+    assert(meanFill == Math.floorDiv(obs.map(_ * 100L).sum, obs.size.toLong))
+    assert(modeFill == 3L) // equal counts -> smallest value wins
+  }
 }

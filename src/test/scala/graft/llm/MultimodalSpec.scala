@@ -74,4 +74,37 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((5L, 2L, 5L), (773L, 2L, 5L), (9L, 1L, 9L)))
   }
+
+  test("PCM16LE round-trip: decode(encode(id)) reproduces the sample formula, signs included") {
+    for (id <- Seq(0L, 7L, 123L, 9999L)) {
+      val got = Multimodal.pcmDecodeKernel(Multimodal.pcmEncodeKernel(id))
+      assert(got.length == Multimodal.audioLen(id), s"id=$id")
+      val want = Array.tabulate(got.length)(i => Multimodal.audioSample(id, i))
+      assert(got.sameElements(want), s"id=$id")
+      assert(want.exists(_ < 0) && want.exists(_ > 0), s"id=$id full-swing")
+    }
+  }
+
+  test("audio energy: top-2 frames match an independent framing recomputation") {
+    import spark.implicits._
+    val docs = Seq(3L, 11L).map(id => (id, "x", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = java.nio.file.Files.createTempDirectory("audio-spec").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Multimodal.queries("mm_audio_energy")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    for (id <- Seq(3L, 11L)) {
+      val n = Multimodal.audioLen(id)
+      val nf = (n - 320) / 160 + 1
+      val energies = (0 until nf).map { j =>
+        (j.toLong, (j * 160 until j * 160 + 320)
+          .map(i => { val s = Multimodal.audioSample(id, i).toLong; s * s }).sum)
+      }
+      val want = energies.sortBy { case (j, e) => (-e, j) }.take(2)
+        .zipWithIndex
+        .map { case ((j, e), rk) => (id, n.toLong, nf.toLong, j, e, rk + 1L) }
+      assert(out(id).sortBy(_._6).toSeq == want, s"id=$id")
+    }
+  }
 }

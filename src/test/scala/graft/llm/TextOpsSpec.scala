@@ -314,4 +314,29 @@ class TextOpsSpec extends SparkSpec {
     assert(g("n_exact_dup_docs") == 1L) // 2 copies - 1 distinct
     assert(g("mean_doc_tokens_milli") == 13L * 1000 / 5) // 2600
   }
+
+  test("cms eval: estimates dominate exact counts and match a direct sketch recomputation") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aa bb aa cc aa", "en", "s", 1L),
+      (1L, "bb cc dd aa bb", "en", "s", 1L),
+      (2L, "aa", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Files.createTempDirectory("cms-spec").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.queries("d_cms_eval")(spark, d)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val exact = Map("aa" -> 5L, "bb" -> 3L, "cc" -> 2L, "dd" -> 1L)
+    // independent CMS recomputation from the declared hash family
+    val cells = exact.toSeq.flatMap { case (t, n) =>
+      (0 until 4).map(i => ((i, TextOps.hash48Jvm(s"$i:$t") % 1024), n)) }
+    val counters = cells.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    for ((t, n) <- exact) {
+      val est = (0 until 4)
+        .map(i => counters((i, TextOps.hash48Jvm(s"$i:$t") % 1024))).min
+      assert(out(t) == ((t, n, est, est - n)), s"term=$t")
+      assert(est >= n, s"one-sided error, term=$t")
+    }
+  }
 }

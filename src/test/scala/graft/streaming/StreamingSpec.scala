@@ -402,4 +402,21 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 4L), (2L, 2L)))
   }
+
+  test("st_dedup: a doubled delivery collapses to exactly one row per event_id") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click", 2.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "view", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = java.nio.file.Files.createTempDirectory("stdedup-spec").toString
+    events.write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = StreamingWindows.queries("st_dedup")(spark, d)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .as[(Long, Long, String, Double)].collect().toSeq.sortBy(_._1)
+    // the query delivers every event twice; each must survive exactly once
+    assert(out == Seq((1L, 1L, "view", 1.0), (2L, 1L, "click", 2.0),
+      (3L, 2L, "view", 3.0)))
+  }
 }
