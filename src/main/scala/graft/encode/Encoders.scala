@@ -356,8 +356,75 @@ object Encoders {
     mean.join(mode, "c_mktsegment")
   }
 
+  /** m22: exact Pearson CORRELATION matrix over the numeric lineitem
+    * columns (quantity, extended price, discount) — the numeric sibling
+    * of m20's categorical χ² screen, and the redundancy filter run
+    * before any feature makes the assembler (two 0.99-correlated
+    * features are one feature and one liability). `Statistics.corr` /
+    * DataFrame.stat.corr emit doubles whose partial-sum merge order is
+    * nondeterministic; here every compared number is an integer.
+    *
+    * Exactness: with integer-valued inputs (units, cents, basis points)
+    * all five moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact integers in
+    * DECIMAL(38,0)/HUGEINT, and r² is emitted as a ppm floor through the
+    * m20 quotient decomposition applied ACROSS the two variance factors:
+    * num = n·Σxy − Σx·Σy, var_x = n·Σx² − (Σx)², and
+    * r²_ppm = ⌊⌊|num|·10⁶ / var_x⌋ · |num| / var_y⌋ — two pmod-floor
+    * divisions, never num² (which exceeds 38 digits at sf0.1 already).
+    * Cauchy-Schwarz bounds every intermediate: |num| ≤ √(var_x·var_y),
+    * so |num|·10⁶ ≤ 10⁶·max(var) < 10³⁶ and q·|num| ≤ 10⁶·var_y < 10³⁶
+    * at sf1000's ~6·10⁹ rows. The sign rides separately (sgn column).
+    *
+    * Scale shape: ONE scan, ONE 1-row aggregate (partial-agg friendly —
+    * nine independent SUMs), and the 3-pair assembly is a 3-row literal
+    * frame joined to the broadcast 1-row moments: nothing downstream of
+    * the scan is row-scaled. */
+  private val corrMatrix: Q = (spark, dir) => {
+    import spark.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val l = Tables.load(spark, dir, "lineitem")
+      .select($"l_quantity".cast("long").as("q"),
+        (dec2($"l_extendedprice") * 100).cast("long").as("e"),
+        (dec4($"l_discount") * 10000).cast("long").as("d"))
+    val m = l.agg(count(lit(1)).as("n"),
+      sum(dec($"q")).as("sq"), sum(dec($"e")).as("se"), sum(dec($"d")).as("sd"),
+      sum(dec($"q") * $"q").as("sqq"), sum(dec($"e") * $"e").as("see"),
+      sum(dec($"d") * $"d").as("sdd"),
+      sum(dec($"q") * $"e").as("sqe"), sum(dec($"q") * $"d").as("sqd"),
+      sum(dec($"e") * $"d").as("sed"))
+    val pairs = Seq(("qty", "ep"), ("qty", "disc"), ("ep", "disc"))
+      .toDF("var_x", "var_y")
+    def mom(v: String, which: String): Column = v match {
+      case "qty"  => if (which == "s") $"sq" else $"sqq"
+      case "ep"   => if (which == "s") $"se" else $"see"
+      case "disc" => if (which == "s") $"sd" else $"sdd"
+    }
+    def cross(x: String, y: String): Column = (x, y) match {
+      case ("qty", "ep")  => $"sqe"
+      case ("qty", "disc") => $"sqd"
+      case _               => $"sed"
+    }
+    def fdiv(num: Column, den: Column): Column = (num - pmod(num, den)) / den
+    val assembled = pairs.crossJoin(broadcast(m)).select(
+      $"var_x", $"var_y", $"n",
+      Seq(("qty", "ep"), ("qty", "disc"), ("ep", "disc")).map { case (x, y) =>
+        val num  = $"n" * cross(x, y) - mom(x, "s") * mom(y, "s")
+        val varx = $"n" * mom(x, "ss") - mom(x, "s") * mom(x, "s")
+        val vary = $"n" * mom(y, "ss") - mom(y, "s") * mom(y, "s")
+        val a = abs(num)
+        val r2 = when(varx > 0 && vary > 0,
+          fdiv(fdiv(a * 1000000, varx).cast("decimal(38,0)") * a, vary)
+            .cast("long")).otherwise(0L)
+        val sg = signum(num).cast("long")
+        when($"var_x" === x && $"var_y" === y, struct(r2.as("r2"), sg.as("sg")))
+      }.reduce((l, r) => coalesce(l, r)).as("rs"))
+    assembled.select($"var_x", $"var_y", $"n",
+      $"rs.sg".as("sgn"), $"rs.r2".as("r2_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "enc_feature_hash"  -> featureHash,
+    "m22_corr"          -> corrMatrix,
     "m12_target_encode" -> targetEncode,
     "m13_woe_iv"        -> woeIv,
     "m14_quantile_bins" -> quantileBins,
@@ -367,6 +434,41 @@ object Encoders {
     "m21_impute_fit"    -> imputeFit)
 
   val oracles: Map[String, String] = Map(
+    // all operands are non-negative by construction (abs), so plain //
+    // is the same floor the Spark side spells with pmod subtraction
+    "m22_corr" ->
+      """WITH l AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS e,
+        |         CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) AS d
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |         SUM(CAST(q AS HUGEINT)) AS sq, SUM(CAST(e AS HUGEINT)) AS se,
+        |         SUM(CAST(d AS HUGEINT)) AS sd,
+        |         SUM(CAST(q AS HUGEINT) * q) AS sqq,
+        |         SUM(CAST(e AS HUGEINT) * e) AS see,
+        |         SUM(CAST(d AS HUGEINT) * d) AS sdd,
+        |         SUM(CAST(q AS HUGEINT) * e) AS sqe,
+        |         SUM(CAST(q AS HUGEINT) * d) AS sqd,
+        |         SUM(CAST(e AS HUGEINT) * d) AS sed
+        |  FROM l),
+        |p AS (
+        |  SELECT 'qty' AS var_x, 'ep' AS var_y, n,
+        |         n*sqe - sq*se AS num, n*sqq - sq*sq AS vx, n*see - se*se AS vy
+        |  FROM m
+        |  UNION ALL SELECT 'qty', 'disc', n,
+        |         n*sqd - sq*sd, n*sqq - sq*sq, n*sdd - sd*sd FROM m
+        |  UNION ALL SELECT 'ep', 'disc', n,
+        |         n*sed - se*sd, n*see - se*se, n*sdd - sd*sd FROM m)
+        |SELECT var_x, var_y, n,
+        |       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |         AS BIGINT) AS sgn,
+        |       CAST(CASE WHEN vx > 0 AND vy > 0
+        |            THEN (((abs(num) * 1000000) // vx) * abs(num)) // vy
+        |            ELSE 0 END AS BIGINT) AS r2_ppm
+        |FROM p""".stripMargin,
+
     "m14_quantile_bins" ->
       """WITH o AS (
         |  SELECT o_orderkey AS ok,

@@ -1050,7 +1050,52 @@ object Analytics {
       .select($"p_id", $"user_id", $"p_ts", $"version", $"channel")
   }
 
+  /** t12: per-supplier INTERVAL UNION over VARIABLE-length intervals —
+    * the gaps-and-islands primitive behind downtime/coverage/SLA math
+    * (merge overlapping validity windows, then measure the union). Each
+    * lineitem opens a transit window of [ship_day, ship_day + qty + 1)
+    * days (deterministic, variable length — so a LATER-starting interval
+    * can end EARLIER, which is what separates this from the fixed-gap
+    * session ops: the island test must compare against the RUNNING MAX
+    * of all prior ends, not the previous row's end; a lag-based spelling
+    * silently splits islands at every swallowed interval).
+    *
+    * Spelling: pre-aggregate identical (supp, lo, hi) triples (ties
+    * carry a count, so both window orders are total — the house
+    * session-oracle tie lesson), one supplier-keyed running-max window
+    * flags island starts (strict >: half-open adjacency merges), the
+    * cumulative-sum window numbers islands, and two aggregates emit the
+    * per-supplier union stats. ONE row-scaled exchange on l_suppkey:
+    * both windows share its partitioning and the (supp, isl) / (supp)
+    * aggregates are satisfied by supplier clustering — nothing
+    * re-shuffles. All compared columns are integer day counts. */
+  private val intervalUnion: Q = (spark, dir) => {
+    import spark.implicits._
+    val epoch = lit("1970-01-01").cast("date")
+    val days = datediff(to_date($"l_shipdate"), epoch)
+    val iv = Tables.load(spark, dir, "lineitem")
+      .select($"l_suppkey", days.cast("long").as("lo"),
+        (days + $"l_quantity".cast("long") + 1L).cast("long").as("hi"))
+      .groupBy($"l_suppkey", $"lo", $"hi").agg(count(lit(1)).as("nr"))
+    val wPrev = Window.partitionBy($"l_suppkey").orderBy($"lo", $"hi")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy($"l_suppkey").orderBy($"lo", $"hi")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    iv.withColumn("pmax", max($"hi").over(wPrev))
+      .withColumn("new_isl",
+        when($"pmax".isNull || $"lo" > $"pmax", 1L).otherwise(0L))
+      .withColumn("isl", sum($"new_isl").over(wCum))
+      .groupBy($"l_suppkey", $"isl")
+      .agg(min($"lo").as("ilo"), max($"hi").as("ihi"), sum($"nr").as("ne"))
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"ihi" - $"ilo").as("covered_days"),
+        sum($"ne").as("n_items"),
+        max($"ihi" - $"ilo").as("longest_days"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t12_interval_union"  -> intervalUnion,
     "ev_trend_ols"        -> trendOls,
     "t11_snapshot_diff"   -> snapshotDiff,
     "j14_pit_join"        -> pitJoin,
@@ -1103,6 +1148,40 @@ object Analytics {
       |FROM g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical gaps-and-islands spelling: running-max window → island
+    // flag → cumulative island id → two aggregates; ties pre-aggregated
+    // so both window orders are total
+    "t12_interval_union" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey,
+        |         CAST(datediff('day', DATE '1970-01-01',
+        |           CAST(l_shipdate AS DATE)) AS BIGINT) AS lo,
+        |         CAST(datediff('day', DATE '1970-01-01',
+        |           CAST(l_shipdate AS DATE))
+        |           + CAST(l_quantity AS BIGINT) + 1 AS BIGINT) AS hi,
+        |         COUNT(*) AS nr
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT l_suppkey, lo, hi, nr,
+        |         MAX(hi) OVER (PARTITION BY l_suppkey ORDER BY lo, hi
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |s AS (
+        |  SELECT l_suppkey, lo, hi, nr,
+        |         SUM(CASE WHEN pmax IS NULL OR lo > pmax THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY l_suppkey ORDER BY lo, hi
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM m),
+        |g AS (
+        |  SELECT l_suppkey, isl, MIN(lo) AS ilo, MAX(hi) AS ihi,
+        |         SUM(nr) AS ne
+        |  FROM s GROUP BY 1, 2)
+        |SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |       CAST(SUM(ihi - ilo) AS BIGINT) AS covered_days,
+        |       CAST(SUM(ne) AS BIGINT) AS n_items,
+        |       CAST(MAX(ihi - ilo) AS BIGINT) AS longest_days
+        |FROM g GROUP BY 1""".stripMargin,
+
     // HUGEINT carries the cross-products; the positive-mod subtraction
     // makes // exact (floor == truncate on an exact quotient) so a
     // declining series cannot split the engines on rounding direction

@@ -1118,7 +1118,29 @@ object Relational {
         roundRatio2($"inter" * 100, $"na" + $"nb" - $"inter").as("jacc"))
   }
 
+  // ---- A22 (extension): UNPIVOT/melt — the wide→long reshape every
+  // metrics store and plotting layer consumes (the inverse of a9's
+  // pivot, completing the reshape pair). Uses the Dataset.unpivot API
+  // (Spark 3.4+ Expand-based, one pass, no join): ids = the group key,
+  // values = the three metric columns, emitted as (metric, value) rows.
+  // All values are BIGINT (counts, integer quantity sum, cents sum) so
+  // one long `value` column types cleanly — the unpivot contract
+  // requires a common type, and mixing doubles in would force a lossy
+  // cast. Scale shape: one scan + one dimension-sized aggregate; the
+  // unpivot itself is a 3× row expansion of a 3-row frame.
+  private val a22: Q = (spark, dir) => {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("long")).as("sum_qty"),
+        sum((dec2($"l_extendedprice") * 100).cast("long")).as("sum_cents"))
+      .unpivot(Array($"l_returnflag"),
+        Array($"n_rows", $"sum_qty", $"sum_cents"), "metric", "value")
+  }
+
   val queries: Map[String, Q] = Map(
+    "a22_unpivot"        -> a22,
     "s1_scan_dates"      -> s1,
     "a17_dq_audit"       -> a17,
     "p_column_ops"       -> pOps,
@@ -1172,6 +1194,18 @@ object Relational {
     "t2_recency_window"  -> t2)
 
   val oracles: Map[String, String] = Map(
+    // UNION ALL is the engine-independent unpivot spelling
+    "a22_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag, COUNT(*) AS n_rows,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM w
+        |UNION ALL SELECT l_returnflag, 'sum_qty', sum_qty FROM w
+        |UNION ALL SELECT l_returnflag, 'sum_cents', sum_cents FROM w""".stripMargin,
+
     // the quadratic truth: full shared-token pair enumeration — the
     // prefix-filtered algorithm must reproduce it EXACTLY (no recall
     // knob to hide behind)

@@ -60,6 +60,20 @@ object StreamingWindows {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding 1h window every 15 min × event_type (same shape as batch
+    * ev_sliding): each event lands in exactly 4 overlapping windows
+    * (duration divisible by slide). The overlap multiplies STATE rows,
+    * not input rows — Spark expands each input to its window set
+    * map-side and the keyed state store holds (windows per duration ×
+    * slide ratio) aggregates per type, still bounded by the watermark. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Session windows per user, 30-min gap (same shape as batch
     * ev_session). `delay` is the watermark: events arriving more than
     * `delay` behind the max seen ts are DROPPED — stream results equal
@@ -506,7 +520,25 @@ object StreamingWindows {
     runToParquet(spark, dedupWithinWatermark(redelivered), "dedup")
   }
 
+  /** st_sliding: the watermarked SLIDING-window aggregate drained in
+    * append mode — st_tumbling's overlapping-window sibling, proving the
+    * window-EXPANSION path of the streaming aggregate (each event feeds
+    * 4 window states, and finalization releases a window only when the
+    * watermark passes ITS end, so the drained set is the 4×-overlapped
+    * window table cut by the same non-strict boundary predicate the
+    * tumbling oracle pins). */
+  private val stSliding: Q = (spark, dir) => {
+    spark.catalog.dropTempView("st_slide_mem")
+    val out = runToCompletion(spark,
+      sliding(readAllEventStream(spark, s"$dir/events.parquet")),
+      "st_slide_mem", OutputMode.Append())
+      .localCheckpoint(true) // same memory-sink ballast relief as above
+    spark.catalog.dropTempView("st_slide_mem")
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_sliding"      -> stSliding,
     "st_sessionize"   -> stSessionize,
     "st_latest_state" -> stLatestState,
     "st_tumbling"     -> stTumbling,
@@ -553,6 +585,28 @@ object StreamingWindows {
         |SELECT user_id, s_start, s_end, n_events, sum_value
         |FROM r WHERE rk > 1
         |   OR (epoch_us(s_end) // 1000) < (epoch_us(max_ts) // 1000) - 1800000""".stripMargin,
+
+    // each event expands to its 4 covering windows (duration/slide = 4,
+    // epoch-aligned like Spark's default startTime=0), then the same
+    // non-strict finalization boundary as st_tumbling
+    "st_sliding" ->
+      """WITH x AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |e AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', t)
+        |           - i * INTERVAL '15 minutes' AS w_start,
+        |         event_type, v
+        |  FROM x, (SELECT unnest([0, 1, 2, 3]) AS i)),
+        |g AS (
+        |  SELECT w_start, w_start + INTERVAL '1 hour' AS w_end, event_type,
+        |         COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_value
+        |  FROM e GROUP BY 1, 2, 3),
+        |mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events)
+        |SELECT w_start, w_end, event_type, n, sum_value
+        |FROM g, mx
+        |WHERE (epoch_us(w_end) // 1000) <= (epoch_us(max_ts) // 1000) - 3600000""".stripMargin,
 
     "st_tumbling" ->
       """WITH g AS (

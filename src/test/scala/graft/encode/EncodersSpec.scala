@@ -77,6 +77,66 @@ class EncodersSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("m22 corr: perfect linear pair pins r2_ppm=1e6; constant column pins 0") {
+    import spark.implicits._
+    // ep_cents = 2·qty exactly (price = qty · $0.02) → r² = 1, sign +.
+    // discount constant → zero variance → r2_ppm = 0, sgn 0 by contract.
+    val li = (1 to 5).map(q => (q.toDouble, q * 0.02, 0.05))
+      .toDF("l_quantity", "l_extendedprice", "l_discount")
+    val d = Files.createTempDirectory("enc-corr").toString
+    li.write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = Encoders.queries("m22_corr")(spark, d)
+      .select($"var_x", $"var_y", $"n", $"sgn", $"r2_ppm")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out(("qty", "ep")) == ((5L, 1L, 1000000L)))
+    assert(out(("qty", "disc")) == ((5L, 0L, 0L)))
+    assert(out(("ep", "disc")) == ((5L, 0L, 0L)))
+    // anti-correlated pair: ep = (6−qty)·$0.02 → sign −1, r² still 1
+    (1 to 5).map(q => (q.toDouble, (6 - q) * 0.02, 0.05))
+      .toDF("l_quantity", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val neg = Encoders.queries("m22_corr")(spark, d)
+      .select($"var_x", $"var_y", $"sgn", $"r2_ppm")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(neg(("qty", "ep")) == ((-1L, 1000000L)))
+  }
+
+  test("m22 corr: floor chain equals independent integer replay on real data") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.Tables.load(spark, dir, "lineitem")
+      .select($"l_quantity".cast("long"),
+        ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"),
+        ($"l_discount".cast("decimal(18,4)") * 10000).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    def stats(xs: Seq[BigInt], ys: Seq[BigInt]): (Long, Long) = {
+      val n = BigInt(xs.size)
+      val num = n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum
+      val vx = n * xs.map(a => a * a).sum - xs.sum * xs.sum
+      val vy = n * ys.map(a => a * a).sum - ys.sum * ys.sum
+      val r2 = if (vx > 0 && vy > 0) (num.abs * 1000000 / vx * num.abs / vy).toLong
+               else 0L
+      (num.signum.toLong, r2)
+    }
+    val q = rows.map(r => BigInt(r._1)).toSeq
+    val e = rows.map(r => BigInt(r._2)).toSeq
+    val dd = rows.map(r => BigInt(r._3)).toSeq
+    val want = Map(("qty", "ep") -> stats(q, e), ("qty", "disc") -> stats(q, dd),
+      ("ep", "disc") -> stats(e, dd))
+    val got = Encoders.queries("m22_corr")(spark, dir)
+      .select($"var_x", $"var_y", $"sgn", $"r2_ppm")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == want)
+    // non-vacuous: the synthetic columns are near-independent (that is
+    // the point of measuring), but the chain must produce a genuinely
+    // nonzero quotient somewhere — all-zero would mean the floor chain
+    // collapsed, not that the data is uncorrelated
+    assert(got.values.exists(v => v._2 > 0L && v._1 != 0L))
+  }
+
   test("woe/iv: hand-computed micro-nat weights and milli IV contributions") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -141,7 +141,13 @@ class PlanShapeSpec extends SparkSpec {
     ("a20_hll_merge", 7, 0),
     // median/MAD monitor: ONE logical key (user) across the whole
     // agg→join→agg→join→agg chain; observed 6
-    ("ev_anomaly", 8, 0))
+    ("ev_anomaly", 8, 0),
+    // impute fit: two segment-keyed aggs + segment-sized join
+    ("m21_impute_fit", 6, 0),
+    // interval union: pre-agg exchange + ONE supplier window exchange;
+    // both island windows and both downstream aggs reuse the supplier
+    // clustering (nothing re-shuffles after the window)
+    ("t12_interval_union", 4, 0))
 
   for ((name, maxExchanges, minBroadcast) <- budgets) {
     test(s"$name plan: Expand-free, cartesian-free, ≤$maxExchanges exchanges" +
@@ -172,7 +178,13 @@ class PlanShapeSpec extends SparkSpec {
     // m15/m16/OLS carry the same 1-row attach (min-max stats, quantile
     // triple, day-index origin)
     ("m15_minmax_scaler", 3), ("m16_robust_scaler", 4),
-    ("ev_trend_ols", 5))) {
+    ("ev_trend_ols", 5),
+    // chi2: the 1-row (n, p) totals attach; observed 8 (label agg +
+    // both sides of the custkey join + cells/tot/feature aggs)
+    ("m20_chi2_rank", 8),
+    // corr matrix: ONE 1-row ten-moment aggregate attached to the 3-row
+    // pair frame — nothing after the scan is row-scaled
+    ("m22_corr", 3))) {
     test(s"$name plan: one-row stat attach only, ≤$maxExchanges exchanges") {
       val p = planOf(name)
       assert(count(p, "Expand") == 0 && count(p, "CartesianProduct") == 0)
@@ -390,6 +402,37 @@ class PlanShapeSpec extends SparkSpec {
         s"$name gained a shuffle — HOF respelled as explode+agg?:\n$p")
       assert(count(p, "Expand") == 0)
     }
+  }
+
+  test("mm_audio_energy stays a pure map-side kernel: ZERO exchanges") {
+    // encode → decode → frame → per-clip top-2 is all per-row local
+    // state; any Exchange means the top-k leaked into a Window/sort.
+    val p = planOf("mm_audio_energy")
+    assert(count(p, "Exchange") == 0,
+      s"audio framing gained a shuffle:\n$p")
+  }
+
+  test("d_cms_eval: broadcast sketch probe, top-50 stays TakeOrdered") {
+    val p = planOf("d_cms_eval")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      s"cms probe lost its broadcast (4096-row sketch fell to shuffle):\n$p")
+    assert(count(p, "TakeOrderedAndProject") >= 1,
+      s"cms top-50 became a global sort:\n$p")
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0)
+    assert(count(p, "Exchange") <= 4, s"cms exchange budget:\n$p")
+  }
+
+  test("a22_unpivot: exactly ONE Expand (the melt itself), one agg shuffle") {
+    // unpivot compiles to an Expand over the 3-row aggregate — that
+    // Expand is the operator, not the multi-countDistinct blowup the
+    // global ban catches (it multiplies a dimension-sized frame 3×, not
+    // the fact). Pin it at exactly one so a respelled melt (explode of
+    // a struct array, or a self-union re-scanning the fact 3×) fails.
+    val p = planOf("a22_unpivot")
+    assert(count(p, "Expand") == 1, s"unpivot is not a single Expand:\n$p")
+    assert(count(p, "Union") == 0, s"melt respelled as a fact re-scan union:\n$p")
+    assert(count(p, "Exchange") <= 2, s"a22 exchange budget:\n$p")
   }
 
   test("CC round plan: bounded exchanges, cartesian-free, checkpoint-fed") {

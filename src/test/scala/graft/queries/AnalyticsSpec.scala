@@ -238,6 +238,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("interval union: running-max merge (not lag), swallowed intervals, adjacency") {
+    import spark.implicits._
+    // [ship_day, ship_day + qty + 1): supplier 1 = overlap + gap;
+    // supplier 2 = the lag-vs-running-max pin — [d,d+10) swallows
+    // [d+2,d+4), then [d+5,d+6) starts AFTER the previous ROW's end (4)
+    // but inside the running max (10): a lag-based island test would
+    // wrongly split here; supplier 3 = half-open adjacency merges.
+    val li = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 4.0),  // [0, 5)
+      (1L, ts("2024-01-04 00:00:00"), 4.0),  // [3, 8)   overlaps → merge
+      (1L, ts("2024-01-11 00:00:00"), 1.0),  // [10, 12) gap → new island
+      (2L, ts("2024-01-01 00:00:00"), 9.0),  // [0, 10)
+      (2L, ts("2024-01-03 00:00:00"), 1.0),  // [2, 4)   swallowed
+      (2L, ts("2024-01-06 00:00:00"), 0.0),  // [5, 6)   inside running max
+      (3L, ts("2024-01-01 00:00:00"), 1.0),  // [0, 2)
+      (3L, ts("2024-01-03 00:00:00"), 0.0))  // [2, 3)   adjacent → merge
+      .toDF("l_suppkey", "l_shipdate", "l_quantity")
+    val d = Files.createTempDirectory("an-ivu").toString
+    li.write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = Analytics.queries("t12_interval_union")(spark, d)
+      .select($"l_suppkey", $"n_intervals", $"covered_days", $"n_items",
+        $"longest_days")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out(1L) == ((2L, 10L, 3L, 8L))) // [0,8) + [10,12)
+    assert(out(2L) == ((1L, 10L, 3L, 10L))) // one island [0,10)
+    assert(out(3L) == ((1L, 3L, 2L, 3L)))   // adjacency merged: [0,3)
+  }
+
   test("transitions: lag pairs, _start entry state, exact row probabilities") {
     import spark.implicits._
     // user 1: click → view → click; user 2: view. Four transitions:

@@ -312,6 +312,33 @@ class RelationalLawsSpec extends SparkSpec {
     assert(out.map(_._3) == Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L))
   }
 
+  test("A22 law: unpivot is the exact inverse of pivot; 3 rows per group") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val long = Relational.queries("a22_unpivot")(spark, dir)
+    val wide = graft.Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("long")).as("sum_qty"),
+        sum(($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long"))
+          .as("sum_cents"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val got = long.as[(String, String, Long)].collect()
+    assert(got.length == wide.size * 3)
+    // every (group, metric) cell round-trips
+    for ((flag, (n, q, c)) <- wide) {
+      val cells = got.filter(_._1 == flag).map(t => t._2 -> t._3).toMap
+      assert(cells == Map("n_rows" -> n, "sum_qty" -> q, "sum_cents" -> c))
+    }
+    // re-pivoting the long form reconstructs the wide frame
+    val repivot = long.groupBy($"l_returnflag").pivot($"metric")
+      .agg(first($"value"))
+      .as[(String, Long, Long, Long)].collect() // cols sorted: n_rows, sum_cents, sum_qty
+      .map(r => r._1 -> (r._2, r._4, r._3)).toMap
+    assert(repivot == wide)
+  }
+
   test("U1 shopchannel udf reproduces the reference's quirky 4-way mapping") {
     import spark.implicits._
     val cases = Seq(

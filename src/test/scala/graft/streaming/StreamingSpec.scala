@@ -42,6 +42,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming sliding windows equal the batch spelling on finite input") {
+    import spark.implicits._
+    val stream = StreamingWindows.readEventStream(spark, s"$dir/events.parquet")
+    val got = StreamingWindows.runToCompletion(spark,
+        StreamingWindows.sliding(stream), "t_sliding", OutputMode.Complete())
+      .orderBy($"w_start", $"event_type")
+      .as[(Timestamp, Timestamp, String, Long, Double)].collect().toSeq
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select($"window.start".as("w_start"), $"window.end".as("w_end"),
+        $"event_type", $"n", $"sum_value")
+      .orderBy($"w_start", $"event_type")
+      .as[(Timestamp, Timestamp, String, Long, Double)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // every event sits in exactly 4 windows: total n = 4 × input rows
+    assert(got.map(_._4).sum == 4L * 6)
+  }
+
   test("streaming session windows equal the batch spelling on finite input") {
     import spark.implicits._
     val stream = StreamingWindows.readEventStream(spark, s"$dir/events.parquet")
