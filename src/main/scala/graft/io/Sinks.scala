@@ -335,7 +335,47 @@ object Sinks {
         lit(nFilesBefore).as("n_files_before"), $"n_files_after")
   }
 
+  /** k10: DYNAMIC partition overwrite — the warehouse restatement
+    * primitive (re-land ONE partition's corrected rows without touching
+    * its siblings; Hive INSERT OVERWRITE ... PARTITION semantics). The
+    * full table is written partitioned by status, then a restatement
+    * batch of only the 'F' rows (amounts halved — a deterministic
+    * "correction") is overwrite-written under
+    * partitionOverwriteMode=dynamic: Spark deletes and replaces ONLY
+    * the partitions present in the incoming data. The declared output
+    * aggregates the read-back table per status, so the oracle catches
+    * BOTH failure modes: static-mode semantics would drop the O/P
+    * partitions entirely (missing groups), and append semantics would
+    * double the F counts. The session flag is save/restored around the
+    * write. Scale shape: partition-parallel write/read; the
+    * restatement touches |F| rows regardless of table size — exactly
+    * why dynamic overwrite exists at 100 TB (a full-table rewrite per
+    * restatement is the alternative). halving uses shiftright (exact
+    * integer floor), never a double divide. */
+  private val k10: Q = (spark, dir) => {
+    import spark.implicits._
+    val base = s"${scratchDir("dynpart")}/orders_by_status"
+    val o = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        (dec2($"o_totalprice") * 100).cast("long").as("cents"),
+        $"o_orderstatus")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+      "STATIC")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      o.filter($"o_orderstatus" === "F")
+        .withColumn("cents", shiftright($"cents", 1))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.read.parquet(base)
+      .groupBy($"o_orderstatus".cast("string").as("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "k10_dynamic_overwrite" -> k10,
     "s14_csv_quirks"   -> s14,
     "k9_compaction"    -> k9,
     "s2_csv_scan"      -> s2,
@@ -352,6 +392,19 @@ object Sinks {
     "f11_sigmoid"      -> f11)
 
   val oracles: Map[String, String] = Map(
+    // the post-restatement table: F rows halved (floor — cents are
+    // non-negative so // is the shiftright twin), siblings untouched
+    "k10_dynamic_overwrite" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN cents // 2
+        |                ELSE cents END) AS BIGINT) AS sum_cents
+        |FROM o GROUP BY 1""".stripMargin,
+
     "s14_csv_quirks" ->
       """SELECT o_orderkey,
         |       o_orderpriority || ', "q"' || chr(10) || o_orderstatus AS note

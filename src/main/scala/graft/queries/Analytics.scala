@@ -516,6 +516,54 @@ object Analytics {
       .withColumn("drifted", $"delta_bp" > 100)
   }
 
+  // ---- m24_psi: POPULATION STABILITY INDEX over the a19 bins — the
+  // industry-standard drift score every model-monitoring gate
+  // thresholds (PSI < 0.1 stable / > 0.25 retrain), completing the
+  // drift family: a19 flags per-bin deltas, a21 is the nonparametric
+  // max-gap, PSI is the weighted-sum score. PSI = Σ (q_i − p_i)·
+  // ln(q_i/p_i) with +1 Laplace smoothing per side (PSI is undefined
+  // on empty bins; smoothing keeps every term finite and the oracle
+  // exact). Cross-engine exactness is the m13 woe/iv canon verbatim:
+  // the log's argument is a quotient of two EXACT int64 products
+  // (each < 2^53 through sf10, so the double conversion is exact and
+  // both engines round-half-up the same micro-nat integer), and the
+  // per-bin PSI contribution is assembled from integers only —
+  // d_numer = (n_cur+1)(t_ref+B) − (n_ref+1)(t_cur+B) carried with
+  // the lr_micro product in DECIMAL(38,0)/HUGEINT through an exact
+  // half-up pmod-floor division. Scale shape: ONE scan, ONE
+  // dimension-sized bin aggregate, a 1-row totals broadcast — nothing
+  // row-scaled after the scan; headroom ~10³⁸/(N²·lr) holds past
+  // sf1000.
+  private val psi: Q = (spark, dir) => {
+    import spark.implicits._
+    val cut = lit("1998-01-01").cast("timestamp")
+    val binned = Tables.load(spark, dir, "orders")
+      .select(
+        floor((dec2($"o_totalprice") * 100).cast("long") / 2500000L)
+          .cast("long").as("bin"),
+        ($"o_orderdate" >= cut).as("is_cur"))
+      .groupBy($"bin")
+      .agg(sum(when(!$"is_cur", 1L).otherwise(0L)).as("n_ref"),
+        sum(when($"is_cur", 1L).otherwise(0L)).as("n_cur"))
+    val tot = binned.agg(sum($"n_ref").as("t_ref"), sum($"n_cur").as("t_cur"),
+      count(lit(1)).as("b"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    binned.crossJoin(broadcast(tot))
+      .withColumn("lr_micro",
+        round(log(((($"n_cur" + 1L) * ($"t_ref" + $"b")).cast("double")) /
+          ((($"n_ref" + 1L) * ($"t_cur" + $"b")).cast("double"))) * 1e6)
+          .cast("long"))
+      .withColumn("d_numer",
+        dec($"n_cur" + 1L) * ($"t_ref" + $"b")
+          - dec($"n_ref" + 1L) * ($"t_cur" + $"b"))
+      .withColumn("psi_den", dec($"t_ref" + $"b") * ($"t_cur" + $"b") * 2)
+      .withColumn("psi_num",
+        $"d_numer" * $"lr_micro" * 2 + dec($"t_ref" + $"b") * ($"t_cur" + $"b"))
+      .select($"bin", $"n_ref", $"n_cur", $"lr_micro",
+        (($"psi_num" - pmod($"psi_num", $"psi_den")) / $"psi_den")
+          .cast("long").as("psi_micro"))
+  }
+
   // ---- a21_ks_drift: exact two-sample Kolmogorov-Smirnov statistic
   // between the reference and current price distributions — the proper
   // nonparametric companion to a19's fixed-bin monitor (KS sees ANY
@@ -1095,6 +1143,7 @@ object Analytics {
   }
 
   val queries: Map[String, Q] = Map(
+    "m24_psi"             -> psi,
     "t12_interval_union"  -> intervalUnion,
     "ev_trend_ols"        -> trendOls,
     "t11_snapshot_diff"   -> snapshotDiff,
@@ -1148,6 +1197,37 @@ object Analytics {
       |FROM g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the m13 iv pattern: exact int64 products into the double log (all
+    // < 2^53 at this sf), HUGEINT half-up floor for the contribution
+    "m24_psi" ->
+      """WITH binned AS (
+        |  SELECT CAST(floor(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT) / 2500000) AS BIGINT) AS bin,
+        |         CAST(SUM(CASE WHEN CAST(o_orderdate AS TIMESTAMP)
+        |           >= TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END) AS BIGINT) AS n_ref,
+        |         CAST(SUM(CASE WHEN CAST(o_orderdate AS TIMESTAMP)
+        |           >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur,
+        |               COUNT(*) AS b FROM binned),
+        |w AS (
+        |  SELECT bin, n_ref, n_cur,
+        |         CAST(round(ln(CAST((n_cur + 1) * (t_ref + b) AS DOUBLE) /
+        |           CAST((n_ref + 1) * (t_cur + b) AS DOUBLE)) * 1e6) AS BIGINT)
+        |           AS lr_micro,
+        |         CAST(n_cur + 1 AS HUGEINT) * (t_ref + b)
+        |           - CAST(n_ref + 1 AS HUGEINT) * (t_cur + b) AS d_numer,
+        |         CAST(t_ref + b AS HUGEINT) * (t_cur + b) AS den
+        |  FROM binned, tot),
+        |x AS (
+        |  SELECT bin, n_ref, n_cur, lr_micro,
+        |         d_numer * lr_micro * 2 + den AS psi_num, den * 2 AS psi_den
+        |  FROM w)
+        |SELECT bin, n_ref, n_cur, lr_micro,
+        |       CAST((psi_num - (((psi_num % psi_den) + psi_den) % psi_den))
+        |         // psi_den AS BIGINT) AS psi_micro
+        |FROM x""".stripMargin,
+
     // identical gaps-and-islands spelling: running-max window → island
     // flag → cumulative island id → two aggregates; ties pre-aggregated
     // so both window orders are total

@@ -132,16 +132,26 @@ object StreamingWindows {
 
   def runningCounts(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
+    // µs-held state (the latestState/sessionize lesson, applied to the
+    // third stateful op): getTime-millis folding silently truncates the
+    // emitted last_ts against µs event data.
+    def toMicros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     typedRows(spark, events)
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserState, UserCount](GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[EvRow], state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
           var n = prev.n
           var last = prev.lastTs
-          rows.foreach { r => n += 1; last = math.max(last, r.ts.getTime) }
+          rows.foreach { r => n += 1; last = math.max(last, toMicros(r.ts)) }
           state.update(UserState(n, last))
-          UserCount(user, n, new java.sql.Timestamp(last))
+          UserCount(user, n, fromMicros(last))
       }.toDF()
   }
 
@@ -537,7 +547,30 @@ object StreamingWindows {
     out
   }
 
+  /** st_running_counts: the mapGroupsWithState per-user running counter
+    * drained to its final state — the minimal keyed-update stateful op
+    * (one narrow row per key, update-mode emission each batch),
+    * declared so ALL FOUR custom-state classes are driver-visible:
+    * fold (this), latest-wins (st_latest_state), session+timeout
+    * (st_sessionize), dedup store (st_dedup). With the all-files-one-
+    * batch reader each user emits once; the max-n compaction makes the
+    * contract explicit under any batching. Oracle = the batch
+    * count/max — exact because state holds µs, not getTime millis. */
+  private val stRunningCounts: Q = (spark, dir) => {
+    spark.catalog.dropTempView("st_runcnt_mem")
+    val emitted = runToCompletion(spark,
+      runningCounts(spark, readAllEventStream(spark, s"$dir/events.parquet")),
+      "st_runcnt_mem", OutputMode.Update())
+      .localCheckpoint(true) // same memory-sink ballast relief as above
+    spark.catalog.dropTempView("st_runcnt_mem")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n").desc)
+    emitted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_running_counts" -> stRunningCounts,
     "st_sliding"      -> stSliding,
     "st_sessionize"   -> stSessionize,
     "st_latest_state" -> stLatestState,
@@ -585,6 +618,12 @@ object StreamingWindows {
         |SELECT user_id, s_start, s_end, n_events, sum_value
         |FROM r WHERE rk > 1
         |   OR (epoch_us(s_end) // 1000) < (epoch_us(max_ts) // 1000) - 1800000""".stripMargin,
+
+    // the batch running-count final state: count + µs-exact max ts
+    "st_running_counts" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |       MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+        |FROM events GROUP BY 1""".stripMargin,
 
     // each event expands to its 4 covering windows (duration/slide = 4,
     // epoch-aligned like Spark's default startTime=0), then the same

@@ -110,6 +110,26 @@ class IngestSpec extends SparkSpec {
     assert(rows(2L).contains("f2.parquet"))
   }
 
+  test("k10 dynamic overwrite replaces ONLY the restated partition") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 10L, 100.00, "F"), (2L, 11L, 50.00, "F"),
+      (3L, 12L, 70.00, "O"), (4L, 13L, 30.00, "P"))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val d = Files.createTempDirectory("k10-spec").toString
+    orders.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Sinks.queries("k10_dynamic_overwrite")(spark, d)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // F halved (10000→5000, 5000→2500); O and P SURVIVE the second
+    // write untouched — static-mode semantics would have deleted them
+    assert(out == Map("F" -> ((2L, 7500L)), "O" -> ((1L, 7000L)),
+      "P" -> ((1L, 3000L))))
+    // the session flag is restored after the query
+    assert(!spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      .equalsIgnoreCase("dynamic"))
+  }
+
   test("s13 writes genuine ORC files (magic bytes) and round-trips typed rows") {
     import spark.implicits._
     val d = Files.createTempDirectory("orc-rt").toString

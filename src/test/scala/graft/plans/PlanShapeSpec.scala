@@ -184,7 +184,9 @@ class PlanShapeSpec extends SparkSpec {
     ("m20_chi2_rank", 8),
     // corr matrix: ONE 1-row ten-moment aggregate attached to the 3-row
     // pair frame — nothing after the scan is row-scaled
-    ("m22_corr", 3))) {
+    ("m22_corr", 3),
+    // PSI: a19's bin-agg shape + the 1-row (totals, B) attach
+    ("m24_psi", 5))) {
     test(s"$name plan: one-row stat attach only, ≤$maxExchanges exchanges") {
       val p = planOf(name)
       assert(count(p, "Expand") == 0 && count(p, "CartesianProduct") == 0)

@@ -238,6 +238,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("psi: hand-computed smoothed contributions; symmetric split scores 0") {
+    import spark.implicits._
+    // Two bins, deliberately shifted mass. Ref window (< 1998-01-01):
+    // bin0 ×3, bin1 ×1; current: bin0 ×1, bin1 ×3. With +1 smoothing and
+    // B = 2 bins: p0 = 4/6, q0 = 2/6 → lr = ln(1/2); symmetric for bin1.
+    def row(cents: Long, cur: Boolean): (Double, String) =
+      (cents / 100.0, if (cur) "1998-06-01" else "1997-06-01")
+    val rows = Seq.fill(3)(row(100L, cur = false)) ++ Seq(row(100L, cur = true)) ++
+      Seq(row(2600000L, cur = false)) ++ Seq.fill(3)(row(2600000L, cur = true))
+    val orders = rows.toDF("o_totalprice", "o_orderdate")
+      .select($"o_totalprice", $"o_orderdate".cast("timestamp").as("o_orderdate"))
+    val d = Files.createTempDirectory("an-psi").toString
+    orders.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Analytics.queries("m24_psi")(spark, d)
+      .select($"bin", $"n_ref", $"n_cur", $"lr_micro", $"psi_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val ln2Micro = math.round(math.log(2.0 / 4.0) * 1e6) // −693147
+    // d_numer = (q+1)(t_ref+B) − (p+1)(t_cur+B) = 2·6 − 4·6 = −12;
+    // psi = round(−12·lr_micro / 36) = round(lr/3·(−12/12))… replay:
+    def half(num: BigInt, den: BigInt): Long =
+      ((num * 2 + den) / (den * 2)).toLong // floor((2n+d)/2d) half-up, n≥0
+    val psi0 = half(BigInt(-12) * ln2Micro, BigInt(36))
+    assert(out(0L) == ((3L, 1L, ln2Micro, psi0)))
+    assert(out(1L) == ((1L, 3L, -ln2Micro, psi0))) // mirrored bin
+    assert(psi0 > 0) // mass moved → positive contribution
+    // symmetric split (same distribution both sides) scores exactly 0
+    val sym = Seq(row(100L, cur = false), row(100L, cur = true),
+      row(2600000L, cur = false), row(2600000L, cur = true))
+      .toDF("o_totalprice", "o_orderdate")
+      .select($"o_totalprice", $"o_orderdate".cast("timestamp").as("o_orderdate"))
+    val d2 = Files.createTempDirectory("an-psi2").toString
+    sym.write.mode("overwrite").parquet(s"$d2/orders.parquet")
+    val zero = Analytics.queries("m24_psi")(spark, d2)
+      .select($"psi_micro").as[Long].collect()
+    assert(zero.forall(_ == 0L) && zero.length == 2)
+  }
+
   test("interval union: running-max merge (not lag), swallowed intervals, adjacency") {
     import spark.implicits._
     // [ship_day, ship_day + qty + 1): supplier 1 = overlap + gap;

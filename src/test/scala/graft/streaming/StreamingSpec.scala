@@ -423,6 +423,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 4L), (2L, 2L)))
   }
 
+  test("st_running_counts: final state per user; last_ts survives at µs precision") {
+    import spark.implicits._
+    val a = java.sql.Timestamp.valueOf("2024-01-01 10:00:00.123456")
+    val b = java.sql.Timestamp.valueOf("2024-01-01 10:00:00.123457") // +1 µs
+    val events = Seq(
+      (1L, a, 5L, "view", 1.0, "{}"),
+      (2L, b, 5L, "click", 2.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 6L, "view", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = java.nio.file.Files.createTempDirectory("struncnt-spec").toString
+    events.write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = StreamingWindows.queries("st_running_counts")(spark, d)
+      .select($"user_id", $"n", $"last_ts")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // a getTime-millis fold would emit ...123 (ms floor) for user 5 —
+    // the +1 µs event must survive the state round-trip exactly
+    assert(out(5L) == ((2L, b)))
+    assert(out(6L)._1 == 1L)
+  }
+
   test("st_dedup: a doubled delivery collapses to exactly one row per event_id") {
     import spark.implicits._
     val events = Seq(
