@@ -166,9 +166,47 @@ object Metrics {
       .withColumn("gap_ppm", abs($"exp_ppm" - $"obs_ppm"))
   }
 
+  /** e7_multiclass_confusion: the K×K confusion matrix + marginals —
+    * the multiclass sibling of e5's binary sweep (priority prediction is
+    * the reference's other modeling axis; any segment/priority/intent
+    * classifier review reads this table first). Actual class = order
+    * priority; predicted = a deterministic hash-derived prediction with
+    * a planted 70%-diagonal structure (the engine-parity stand-in:
+    * swapping in real predictions is a column substitution — the
+    * hash-pick spells CLASSES[h2 % 5] identically in both engines).
+    * ONE fact scan → ONE (actual, predicted) aggregate (≤ K² rows);
+    * row/column marginals are K-sized aggregates of THAT table joined
+    * back (never a second fact pass); recall/precision-contribution
+    * are exact ppm floors. */
+  private val multiclassConfusion: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.llm.TextOps.hash48
+    val classes = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val arr = array(classes.map(lit): _*)
+    val h1 = hash48(concat(lit("mc:"), $"o_orderkey".cast("string")))
+    val h2 = hash48(concat(lit("mp:"), $"o_orderkey".cast("string")))
+    val scored = graft.Tables.load(spark, dir, "orders")
+      .select($"o_orderpriority".as("actual"),
+        when(h1 % 10 < 7, $"o_orderpriority")
+          .otherwise(element_at(arr, (h2 % 5).cast("int") + 1))
+          .as("predicted"))
+    val cells = scored.groupBy($"actual", $"predicted")
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy($"actual").agg(sum($"n").as("n_actual"))
+    val colTot = cells.groupBy($"predicted").agg(sum($"n").as("n_predicted"))
+    def ppm(num: Column, den: Column): Column =
+      when(den > 0, ((num - pmod(num, den)) / den).cast("long")).otherwise(0L)
+    cells.join(rowTot, "actual").join(colTot, "predicted")
+      .select($"actual", $"predicted", $"n", $"n_actual", $"n_predicted",
+        ppm($"n" * 1000000L, $"n_actual").as("recall_contrib_ppm"),
+        ppm($"n" * 1000000L, $"n_predicted").as("precision_contrib_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e5_pr_curve"    -> prCurve,
-    "e6_calibration" -> calibrationTable)
+    "e6_calibration" -> calibrationTable,
+    "e7_multiclass_confusion" -> multiclassConfusion)
 
   val oracles: Map[String, String] = Map(
     "e5_pr_curve" -> {
@@ -198,6 +236,29 @@ object Metrics {
          |            THEN CAST((tp * 2000000) // (2 * tp + fp + fn) AS BIGINT)
          |            ELSE 0 END AS f1_ppm
          |FROM c""".stripMargin
+    },
+
+    "e7_multiclass_confusion" -> {
+      val h1 = graft.llm.TextOps.hash48Sql("'mc:' || CAST(o_orderkey AS VARCHAR)")
+      val h2 = graft.llm.TextOps.hash48Sql("'mp:' || CAST(o_orderkey AS VARCHAR)")
+      s"""WITH cls AS (SELECT ['1-URGENT', '2-HIGH', '3-MEDIUM',
+         |  '4-NOT SPECIFIED', '5-LOW'] AS a),
+         |sc AS (
+         |  SELECT o_orderpriority AS actual,
+         |         CASE WHEN $h1 % 10 < 7 THEN o_orderpriority
+         |              ELSE a[CAST($h2 % 5 AS INTEGER) + 1] END AS predicted
+         |  FROM orders, cls),
+         |cells AS (
+         |  SELECT actual, predicted, COUNT(*) AS n FROM sc GROUP BY 1, 2),
+         |rt AS (SELECT actual, CAST(SUM(n) AS BIGINT) AS n_actual
+         |       FROM cells GROUP BY 1),
+         |ct AS (SELECT predicted, CAST(SUM(n) AS BIGINT) AS n_predicted
+         |       FROM cells GROUP BY 1)
+         |SELECT actual, predicted, n, n_actual, n_predicted,
+         |       CAST((n * 1000000) // n_actual AS BIGINT) AS recall_contrib_ppm,
+         |       CAST((n * 1000000) // n_predicted AS BIGINT)
+         |         AS precision_contrib_ppm
+         |FROM cells JOIN rt USING (actual) JOIN ct USING (predicted)""".stripMargin
     },
 
     "e6_calibration" -> {

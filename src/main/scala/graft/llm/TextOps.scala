@@ -883,7 +883,44 @@ object TextOps {
           $"n_docs").cast("long"))
   }
 
+  /** d_bigram_lm: BIGRAM language-model training with absolute
+    * discounting — the next step up from d_lm_score's unigram scorer,
+    * and the count-table shape every statistical-LM / contamination-
+    * aware filter trains at corpus scale. Trained on the snapshot-A
+    * split (doc_id % 2 = 0, the lm_score convention); emitted artifact
+    * is the top-100 bigram table with its discounted conditional
+    * probability. Exactness: D = 0.75 makes the discounted count an
+    * exact rational — p(w2|w1) = (c − 3/4)/c(w1) = (4c − 3)/(4·c(w1)) —
+    * floored to integer ppm through DECIMAL(38,0)/HUGEINT. Scale shape:
+    * the token array materializes ONCE per doc (the f13/f14 HOF
+    * lesson), bigrams explode map-side (fanout = doc length), one
+    * (w1,w2)-keyed count, a w1-keyed prefix aggregate OF THAT TABLE
+    * (vocabulary-sized, never a second corpus pass), and the top-100 is
+    * TakeOrdered under the total (c desc, w1, w2) order — per-task
+    * 100-row heaps, no global sort. */
+  private val bigramLm: Q = (spark, dir) => {
+    import spark.implicits._
+    val pairs = Tables.load(spark, dir, "documents")
+      .filter($"doc_id" % 2 === 0)
+      .select(toks($"text").as("ts"))
+      .filter(size($"ts") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1)," +
+          " i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
+      .select($"bg.w1", $"bg.w2")
+      .filter(length($"w1") > 0 && length($"w2") > 0)
+    val counts = pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+    val prefix = counts.groupBy($"w1").agg(sum($"c").as("c1"))
+    val num = ($"c".cast("decimal(38,0)") * 4 - 3) * 1000000L
+    counts.join(prefix, "w1")
+      .select($"w1", $"w2", $"c",
+        ((num - pmod(num, $"c1" * 4)) / ($"c1" * 4)).cast("long")
+          .as("p_micro"))
+      .orderBy($"c".desc, $"w1", $"w2").limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
+    "d_bigram_lm"      -> bigramLm,
     "d_dataset_card"   -> datasetCard,
     "d_repetition"     -> repetition,
     "d_novelty"        -> novelty,
@@ -943,6 +980,25 @@ object TextOps {
     (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    // 1-based list indexing (ts[i], ts[i+1]) mirrors Spark's 0-based
+    // (ts[i-1], ts[i]) over the same i = 1..len-1 range
+    "d_bigram_lm" ->
+      s"""WITH t AS (
+         |  SELECT $ToksSql AS ts FROM documents WHERE doc_id % 2 = 0),
+         |b AS (
+         |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+         |  FROM t, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+         |  WHERE len(ts) >= 2),
+         |c AS (
+         |  SELECT w1, w2, COUNT(*) AS c FROM b
+         |  WHERE length(w1) > 0 AND length(w2) > 0 GROUP BY 1, 2),
+         |p AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM c GROUP BY 1)
+         |SELECT w1, w2, c,
+         |       CAST(((CAST(c AS HUGEINT) * 4 - 3) * 1000000) // (c1 * 4)
+         |         AS BIGINT) AS p_micro
+         |FROM c JOIN p USING (w1)
+         |ORDER BY c DESC, w1, w2 LIMIT 100""".stripMargin,
+
     "d_classifier_score" ->
       s"""WITH d AS (
          |  SELECT doc_id,

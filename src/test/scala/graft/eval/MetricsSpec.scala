@@ -62,6 +62,33 @@ class MetricsSpec extends SparkSpec {
     assert(p == 0.7)
   }
 
+  test("e7 confusion matrix: marginals are consistent and the planted diagonal dominates") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Metrics.queries("e7_multiclass_confusion")(spark, dir)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // row marginal = Σ cells of the actual class; ppm = exact floor
+    val byActual = rows.groupBy(_._1)
+    for ((_, cells) <- byActual) {
+      val tot = cells.map(_._3).sum
+      assert(cells.forall(_._4 == tot))
+      assert(cells.forall(c => c._6 == c._3 * 1000000L / tot))
+    }
+    val byPred = rows.groupBy(_._2)
+    for ((_, cells) <- byPred) {
+      val tot = cells.map(_._3).sum
+      assert(cells.forall(_._5 == tot))
+      assert(cells.forall(c => c._7 == c._3 * 1000000L / tot))
+    }
+    // the planted 70%-diagonal: every class's diagonal recall beats
+    // any single off-diagonal cell of its row
+    for ((a, cells) <- byActual) {
+      val diag = cells.find(_._2 == a).map(_._3).getOrElse(0L)
+      assert(cells.filter(_._2 != a).forall(_._3 < diag))
+    }
+  }
+
   test("e5 pr curve equals a plain-Scala threshold sweep; curve laws hold") {
     import spark.implicits._
     import java.sql.Timestamp

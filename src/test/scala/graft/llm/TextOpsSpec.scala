@@ -212,6 +212,26 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.contains(0L)) // snapshot-A docs are train, not scored
   }
 
+  test("bigram lm: hand-counted bigrams, exact discounted ppm, held-out split excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b c", "en", "s0", 9L),   // train: (a,b)x2 (b,a) (b,c)
+      (2L, "a b", "en", "s0", 3L),         // train: (a,b)
+      (1L, "z z z z", "en", "s1", 7L))     // held-out — must not train
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = Files.createTempDirectory("bigram-spec").toString
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.queries("d_bigram_lm")(spark, d)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // p(w2|w1) = (4c-3)/(4*c1) in ppm: c(a,b)=3, c1(a)=3 -> 9/12;
+    // c(b,a)=c(b,c)=1, c1(b)=2 -> 1/8
+    assert(out == Map(
+      ("a", "b") -> ((3L, 750000L)),
+      ("b", "a") -> ((1L, 125000L)),
+      ("b", "c") -> ((1L, 125000L))))
+  }
+
   test("winnow: shared >= w+k-1 token run guarantees a common fingerprint") {
     import spark.implicits._
     // docs 10/11 share an exact 6-token run (w+k-1 = 4+3-1) embedded in
