@@ -374,7 +374,45 @@ object Sinks {
       .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
   }
 
+  /** j16: DYNAMIC PARTITION PRUNING — the partition-layout twin of
+    * j12's manual runtime filter, using Spark's OWN machinery: the fact
+    * is laid out partitioned by status, the dimension carries a
+    * selective non-partition predicate, and at planning time Catalyst
+    * injects a dynamicpruningexpression subquery into the fact scan's
+    * PartitionFilters — the fact's non-matching partitions are never
+    * LISTED, let alone read (with a broadcast build side the pruning
+    * filter is the reused broadcast, so it is free). At 100 TB this is
+    * the difference between scanning one day's partition and scanning
+    * the table; PlanShapeSpec pins the dynamicpruning expression ON THE
+    * SCAN so a layout or join-shape refactor that silently kills DPP
+    * fails the suite, not the cluster bill. The declared output is the
+    * joined aggregate (one surviving partition), which also catches a
+    * wrong-pruning bug as missing/extra rows. */
+  private val j16: Q = (spark, dir) => {
+    import spark.implicits._
+    val base = s"${scratchDir("dpp")}/orders_part"
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey",
+        (dec2($"o_totalprice") * 100).cast("long").as("cents"),
+        $"o_orderstatus")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+    // the dim must be a SOURCE with a surviving Filter node — over a
+    // local literal frame ConvertToLocalRelation folds the predicate
+    // away and the DPP rule sees no selective predicate to propagate
+    val dimPath = s"${scratchDir("dpp")}/status_dim"
+    Seq(("F", "closed"), ("O", "open"), ("P", "pending"))
+      .toDF("status", "phase")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(base)
+      .join(broadcast(spark.read.parquet(dimPath)
+        .filter($"phase" === "closed")),
+        $"o_orderstatus" === $"status")
+      .groupBy($"o_orderstatus".cast("string").as("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "j16_dpp"               -> j16,
     "k10_dynamic_overwrite" -> k10,
     "s14_csv_quirks"   -> s14,
     "k9_compaction"    -> k9,
@@ -392,6 +430,13 @@ object Sinks {
     "f11_sigmoid"      -> f11)
 
   val oracles: Map[String, String] = Map(
+    // only the dimension-surviving partition contributes
+    "j16_dpp" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |         AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1""".stripMargin,
+
     // the post-restatement table: F rows halved (floor — cents are
     // non-negative so // is the shiftright twin), siblings untouched
     "k10_dynamic_overwrite" ->

@@ -919,7 +919,36 @@ object TextOps {
       .orderBy($"c".desc, $"w1", $"w2").limit(100)
   }
 
+  /** d_mask_tokens: deterministic MLM-style token corruption — the
+    * training-data augmentation step (BERT 15% masking) expressed as a
+    * pure map-side transform: per (doc, position), the mask decision is
+    * hash48("mk:" + doc + ":" + pos) % 100 < 15, so the corruption is
+    * reproducible, engine-checkable, and re-runnable on any shard
+    * independently (no RNG state, no seed plumbing — the property that
+    * makes augmentation safe to re-execute at 100 TB). Emits the masked
+    * input text, the extraction target (the masked tokens, in order),
+    * and the mask count. The flags array materializes ONCE per doc and
+    * both outputs zip against it (the f13 HOF-attribute lesson). ZERO
+    * exchanges. */
+  private val maskTokens: Q = (spark, dir) => {
+    import spark.implicits._
+    val flagged = Tables.load(spark, dir, "documents")
+      .select($"doc_id", toks($"text").as("ts"))
+      .filter(size($"ts") >= 1)
+      .withColumn("flags", expr(
+        "transform(sequence(0, size(ts) - 1), i -> " +
+          "graft_hash48(concat('mk:', CAST(doc_id AS STRING), ':', " +
+          "CAST(i AS STRING))) % 100 < 15)"))
+    flagged.select($"doc_id",
+      array_join(zip_with($"ts", $"flags",
+        (t, f) => when(f, lit("<mask>")).otherwise(t)), " ").as("input_text"),
+      array_join(filter(zip_with($"ts", $"flags",
+        (t, f) => when(f, t)), _.isNotNull), " ").as("target_text"),
+      size(filter($"flags", f => f)).cast("long").as("n_masked"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d_mask_tokens"    -> maskTokens,
     "d_bigram_lm"      -> bigramLm,
     "d_dataset_card"   -> datasetCard,
     "d_repetition"     -> repetition,
@@ -980,6 +1009,27 @@ object TextOps {
     (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    // per-position rows via generate_series + string_agg ORDER BY i;
+    // string_agg skips NULLs (the unmasked positions) and COALESCE
+    // pins the no-masked-token doc to '' like Spark's empty array_join
+    "d_mask_tokens" -> {
+      val h = hash48Sql(
+        "'mk:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")
+      s"""WITH d AS (
+         |  SELECT doc_id, $ToksSql AS ts FROM documents),
+         |t AS (
+         |  SELECT doc_id, i, ts[i] AS tok, $h % 100 < 15 AS m
+         |  FROM d, unnest(generate_series(1, len(ts))) AS u(i)
+         |  WHERE len(ts) >= 1)
+         |SELECT doc_id,
+         |       string_agg(CASE WHEN m THEN '<mask>' ELSE tok END, ' '
+         |         ORDER BY i) AS input_text,
+         |       COALESCE(string_agg(CASE WHEN m THEN tok END, ' '
+         |         ORDER BY i), '') AS target_text,
+         |       CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+         |FROM t GROUP BY 1""".stripMargin
+    },
+
     // 1-based list indexing (ts[i], ts[i+1]) mirrors Spark's 0-based
     // (ts[i-1], ts[i]) over the same i = 1..len-1 range
     "d_bigram_lm" ->

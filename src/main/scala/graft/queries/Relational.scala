@@ -1139,7 +1139,49 @@ object Relational {
         Array($"n_rows", $"sum_qty", $"sum_cents"), "metric", "value")
   }
 
+  // ---- O8 (extension): POISSON BOOTSTRAP — the only bootstrap that
+  // works at 100 TB: classic resampling draws n rows WITH replacement
+  // per replicate (a full shuffle × B), while the Poisson(1)
+  // approximation gives every row an independent per-replicate weight
+  // drawn map-side, so all B replicates ride ONE scan and ONE
+  // dimension-sized aggregate (Chamandy et al., the production-metrics
+  // standard). Determinism/cross-engine: the weight is the inverse-CDF
+  // of hash48("bs:" + replicate + ":" + key) % 10⁶ against INTEGER ppm
+  // thresholds of the Poisson(1) CDF (shared literals — both engines
+  // compare the same integers; no RNG, no seed plumbing). Emits per
+  // replicate the effective count, weighted cents sum, and exact
+  // milli-floor mean — the spread across the 16 rows IS the
+  // bootstrap CI of mean revenue.
+  private val o8: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.llm.TextOps.hash48
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
+      999406L, 999917L, 999990L, 999999L)
+    val e = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", (dec2($"o_totalprice") * 100).cast("long")
+        .as("cents"))
+      .select($"o_orderkey", $"cents",
+        explode(sequence(lit(0), lit(15))).as("r"))
+      .withColumn("h", hash48(concat(lit("bs:"), $"r".cast("string"),
+        lit(":"), $"o_orderkey".cast("string"))) % 1000000L)
+      // fold DESCENDING so the final expression tests the smallest
+      // threshold first: w = min{k : h < cdf_k}, else 9
+      .withColumn("w", cdf.zipWithIndex.reverse.foldLeft(lit(9L)) {
+        case (acc, (t, k)) => when($"h" < t, k.toLong).otherwise(acc)
+      })
+    e.groupBy($"r".cast("long").as("replicate"))
+      .agg(sum($"w").as("n_eff"), sum($"w" * $"cents").as("sum_cents"))
+      .select($"replicate", $"n_eff", $"sum_cents", {
+        // scale up in DECIMAL before the multiply (the m13 headroom
+        // lesson): sum_cents·1000 wraps int64 around sf100
+        val n = $"sum_cents".cast("decimal(38,0)") * 1000
+        ((n - pmod(n, $"n_eff")) / $"n_eff").cast("long")
+          .as("mean_cents_milli")
+      })
+  }
+
   val queries: Map[String, Q] = Map(
+    "o8_poisson_bootstrap" -> o8,
     "a22_unpivot"        -> a22,
     "s1_scan_dates"      -> s1,
     "a17_dq_audit"       -> a17,
@@ -1194,6 +1236,39 @@ object Relational {
     "t2_recency_window"  -> t2)
 
   val oracles: Map[String, String] = Map(
+    // same integer CDF thresholds; CASE tests ascending so the smallest
+    // matching threshold wins, mirroring the Spark fold
+    "o8_poisson_bootstrap" -> {
+      val h = graft.llm.TextOps.hash48Sql(
+        "'bs:' || CAST(r AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")
+      s"""WITH e AS (
+         |  SELECT o_orderkey,
+         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |           AS cents, r
+         |  FROM orders, unnest(generate_series(0, 15)) AS u(r)),
+         |w AS (
+         |  SELECT CAST(r AS BIGINT) AS replicate, cents,
+         |         CASE WHEN $h % 1000000 < 367879 THEN 0
+         |              WHEN $h % 1000000 < 735759 THEN 1
+         |              WHEN $h % 1000000 < 919699 THEN 2
+         |              WHEN $h % 1000000 < 981012 THEN 3
+         |              WHEN $h % 1000000 < 996340 THEN 4
+         |              WHEN $h % 1000000 < 999406 THEN 5
+         |              WHEN $h % 1000000 < 999917 THEN 6
+         |              WHEN $h % 1000000 < 999990 THEN 7
+         |              WHEN $h % 1000000 < 999999 THEN 8
+         |              ELSE 9 END AS w
+         |  FROM e),
+         |g AS (
+         |  SELECT replicate, CAST(SUM(w) AS BIGINT) AS n_eff,
+         |         CAST(SUM(w * cents) AS BIGINT) AS sum_cents
+         |  FROM w GROUP BY 1)
+         |SELECT replicate, n_eff, sum_cents,
+         |       CAST((CAST(sum_cents AS HUGEINT) * 1000) // n_eff AS BIGINT)
+         |         AS mean_cents_milli
+         |FROM g""".stripMargin
+    },
+
     // UNION ALL is the engine-independent unpivot spelling
     "a22_unpivot" ->
       """WITH w AS (

@@ -437,6 +437,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Exchange") <= 2, s"a22 exchange budget:\n$p")
   }
 
+  test("j16_dpp: the fact scan carries a dynamicpruningexpression") {
+    // The whole point of j16 is that Catalyst injects a runtime
+    // partition filter INTO THE SCAN; if a refactor (join shape, layout,
+    // disabled flag) silently kills DPP the query still returns the
+    // right rows while re-reading every partition — exactly the
+    // regression only a plan pin can see.
+    val p = planOf("j16_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"j16 lost dynamic partition pruning on the fact scan:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      s"j16 dim side fell back from broadcast:\n$p")
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0)
+  }
+
+  test("d_mask_tokens stays pure map-side: ZERO exchanges") {
+    val p = planOf("d_mask_tokens")
+    assert(count(p, "Exchange") == 0, s"masking gained a shuffle:\n$p")
+  }
+
   test("CC round plan: bounded exchanges, cartesian-free, checkpoint-fed") {
     // The iterative operators materialize eagerly, so the suite's lazy
     // planOf can't cover the loop — but the loop's cost is exactly

@@ -312,6 +312,34 @@ class RelationalLawsSpec extends SparkSpec {
     assert(out.map(_._3) == Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L))
   }
 
+  test("O8 law: Poisson weights replay exactly; mean weight is ~1 per replicate") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .select($"o_orderkey",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long)].collect()
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
+      999406L, 999917L, 999990L, 999999L)
+    def weight(r: Int, k: Long): Long = {
+      val h = graft.llm.TextOps.hash48Jvm(s"bs:$r:$k") % 1000000L
+      cdf.indexWhere(h < _) match { case -1 => 9L; case i => i.toLong }
+    }
+    val want = (0 until 16).map { r =>
+      val ws = orders.map { case (k, c) => (weight(r, k), c) }
+      r.toLong -> (ws.map(_._1).sum, ws.map { case (w, c) => w * c }.sum)
+    }.toMap
+    val got = Relational.queries("o8_poisson_bootstrap")(spark, dir)
+      .select($"replicate", $"n_eff", $"sum_cents")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want)
+    // Poisson(1): per-replicate effective count within 20% of n (binomial
+    // noise at n≈1500 is ~±3%, so this can only fail on a real bug)
+    val n = orders.length
+    assert(got.values.forall(v => v._1 > n * 8L / 10 && v._1 < n * 12L / 10))
+  }
+
   test("A22 law: unpivot is the exact inverse of pivot; 3 rows per group") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
