@@ -422,8 +422,34 @@ object Encoders {
       $"rs.sg".as("sgn"), $"rs.r2".as("r2_ppm"))
   }
 
+  /** m12b: the APPLY side of the m12 target encoder — the artifact
+    * (segment → te_smooth, built leakage-safe on the train split only)
+    * broadcast onto EVERY customer row, with the global prior as the
+    * out-of-vocabulary fallback (a segment never seen in training must
+    * get the prior, not a null the model silently zeros). This is the
+    * half the fit-time queries can't prove: fit is dimension-sized,
+    * apply is the fact-scale map-side join a feature pipeline actually
+    * pays for — one broadcast hash join, zero shuffles of the fact.
+    * te stays the same bit-stable double chain the m12 oracle already
+    * pins; coalesce order (te, prior) is spelled identically in both
+    * engines. */
+  private val targetApply: Q = (spark, dir) => {
+    import spark.implicits._
+    val enc = targetEncode(spark, dir)
+      .select($"c_mktsegment", $"te_smooth")
+    val prior = targetEncode(spark, dir)
+      .agg((sum($"n_pos").cast("double") / sum($"n_train")).as("prior"))
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+      .join(broadcast(enc), Seq("c_mktsegment"), "left")
+      .crossJoin(broadcast(prior))
+      .select($"c_custkey", $"c_mktsegment",
+        coalesce($"te_smooth", $"prior").as("te"))
+  }
+
   val queries: Map[String, Q] = Map(
     "enc_feature_hash"  -> featureHash,
+    "m12_target_apply"  -> targetApply,
     "m22_corr"          -> corrMatrix,
     "m12_target_encode" -> targetEncode,
     "m13_woe_iv"        -> woeIv,
@@ -434,6 +460,30 @@ object Encoders {
     "m21_impute_fit"    -> imputeFit)
 
   val oracles: Map[String, String] = Map(
+    // the m12 oracle's encoder CTE joined back onto every customer,
+    // with the identical prior-fallback coalesce
+    "m12_target_apply" ->
+      s"""WITH lab AS (
+         |  SELECT o_custkey,
+         |         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS pos
+         |  FROM orders GROUP BY 1),
+         |train AS (
+         |  SELECT c_mktsegment, COALESCE(pos, 0) AS pos
+         |  FROM customer LEFT JOIN lab ON c_custkey = o_custkey
+         |  WHERE ${hash48Sql("CAST(c_custkey AS VARCHAR)")} % 100 < 80),
+         |seg AS (
+         |  SELECT c_mktsegment, COUNT(*) AS n_train,
+         |         CAST(SUM(pos) AS BIGINT) AS n_pos
+         |  FROM train GROUP BY 1),
+         |p AS (SELECT CAST(SUM(n_pos) AS DOUBLE) / SUM(n_train) AS prior FROM seg),
+         |enc AS (
+         |  SELECT c_mktsegment,
+         |         (n_pos + 20.0 * prior) / (n_train + 20.0) AS te_smooth
+         |  FROM seg, p)
+         |SELECT c.c_custkey, c.c_mktsegment,
+         |       COALESCE(enc.te_smooth, p.prior) AS te
+         |FROM customer c LEFT JOIN enc USING (c_mktsegment), p""".stripMargin,
+
     // all operands are non-negative by construction (abs), so plain //
     // is the same floor the Spark side spells with pmod subtraction
     "m22_corr" ->

@@ -630,6 +630,51 @@ object Analytics {
         $"w.t_ref".as("t_ref"), $"w.t_cur".as("t_cur"))
   }
 
+  // ---- ev_mann_whitney: the exact Mann-Whitney U (Wilcoxon rank-sum)
+  // test between the reference and current price samples — the
+  // nonparametric A/B-test statistic, completing the two-sample family
+  // (a19 fixed bins, a21 KS max-gap, MWU rank-sum). Everything is
+  // integer: ranks with ties are MIDRANKS, which are half-integers, so
+  // the statistic is carried DOUBLED — the doubled midrank of a tied
+  // value group is 2·cum_below + t + 1 exactly — and 2U = ΣR₂(ref) −
+  // n_ref·(n_ref+1). The tie-correction term Σ(t³−t) rides along for
+  // the downstream variance. Ranking uses the a21 distributed prefix
+  // sum (value counts → bucket offsets → within-bucket windows): no
+  // global sort at any scale. Headroom: ΣR₂ ≤ N(2N+1) and Σt³ ≤ N·
+  // max_tie² ride DECIMAL(38,0) internally and emit BIGINT (exact
+  // through ~sf100's 6·10⁸ rows; the emission width, not the
+  // arithmetic, is the first limiter).
+  private val mannWhitney: Q = (spark, dir) => {
+    import spark.implicits._
+    val cut = lit("1998-01-01").cast("timestamp")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val byVal = Tables.load(spark, dir, "orders")
+      .select((dec2($"o_totalprice") * 100).cast("long").as("cents"),
+        ($"o_orderdate" >= cut).as("is_cur"))
+      .groupBy($"cents")
+      .agg(sum(when(!$"is_cur", 1L).otherwise(0L)).as("n_ref"),
+        sum(when($"is_cur", 1L).otherwise(0L)).as("n_cur"))
+      .withColumn("t", $"n_ref" + $"n_cur")
+      .withColumn("bucket", shiftright($"cents", 20))
+      .localCheckpoint(false)
+    val wB = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = byVal.groupBy($"bucket").agg(sum($"t").as("b_n"))
+      .select($"bucket", coalesce(sum($"b_n").over(wB), lit(0L)).as("off"))
+    val wV = Window.partitionBy($"bucket").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byVal.join(broadcast(offsets), "bucket")
+      .select($"n_ref", $"n_cur", $"t",
+        ($"off" + coalesce(sum($"t").over(wV), lit(0L))).as("cum_below"))
+      .agg(sum($"n_ref").as("t_ref"), sum($"n_cur").as("t_cur"),
+        sum(dec($"n_ref") * ($"cum_below" * 2 + $"t" + 1)).as("r2_sum"),
+        sum(dec($"t") * $"t" * $"t" - $"t").as("cubes"))
+      .select($"t_ref".as("n_ref"), $"t_cur".as("n_cur"),
+        ($"r2_sum" - dec($"t_ref") * ($"t_ref" + 1)).cast("long")
+          .as("u2_ref"),
+        $"cubes".cast("long").as("tie_cubes"))
+  }
+
   // ---- ev_forecast_naive: seasonal-naive forecast backtest over the
   // daily revenue series — the baseline every demand-forecasting model
   // must beat, and the missing time-series-eval member of the
@@ -1143,6 +1188,7 @@ object Analytics {
   }
 
   val queries: Map[String, Q] = Map(
+    "ev_mann_whitney"     -> mannWhitney,
     "m24_psi"             -> psi,
     "t12_interval_union"  -> intervalUnion,
     "ev_trend_ols"        -> trendOls,
@@ -1197,6 +1243,34 @@ object Analytics {
       |FROM g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // naive global-window spelling of the same doubled-midrank algebra
+    "ev_mann_whitney" ->
+      """WITH o AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents,
+        |         CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1998-01-01'
+        |           AS is_cur
+        |  FROM orders),
+        |v AS (
+        |  SELECT cents,
+        |         CAST(SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) AS BIGINT) AS n_ref,
+        |         CAST(SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM o GROUP BY 1),
+        |r AS (
+        |  SELECT n_ref, n_cur, n_ref + n_cur AS t,
+        |         COALESCE(SUM(n_ref + n_cur) OVER (ORDER BY cents
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cum_below
+        |  FROM v)
+        |SELECT CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+        |       CAST(SUM(n_cur) AS BIGINT) AS n_cur,
+        |       CAST(SUM(CAST(n_ref AS HUGEINT) * (cum_below * 2 + t + 1))
+        |         - CAST(SUM(n_ref) AS HUGEINT) * (SUM(n_ref) + 1) AS BIGINT)
+        |         AS u2_ref,
+        |       CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS BIGINT)
+        |         AS tie_cubes
+        |FROM r""".stripMargin,
+
     // the m13 iv pattern: exact int64 products into the double log (all
     // < 2^53 at this sf), HUGEINT half-up floor for the contribution
     "m24_psi" ->

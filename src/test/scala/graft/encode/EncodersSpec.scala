@@ -77,6 +77,33 @@ class EncodersSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("m12 apply: every row carries its segment's fit value; OOV segment gets the prior") {
+    import spark.implicits._
+    val inTrain = (1L to 400L).filter(k =>
+      graft.llm.TextOps.hash48Jvm(k.toString) % 100 < 80)
+    val inTest = (1L to 400L).filterNot(k =>
+      graft.llm.TextOps.hash48Jvm(k.toString) % 100 < 80)
+    val aTrain = inTrain.take(10)
+    // segment C consists ONLY of test-split customers: never seen at
+    // fit time → must coalesce to the global prior, not null
+    val cTest = inTest.take(3)
+    val customers = (aTrain.map((_, "A")) ++ cTest.map((_, "C")))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = aTrain.take(4).zipWithIndex.map {
+      case (k, i) => (9000L + i, k, "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val d = Files.createTempDirectory("enc-apply").toString
+    customers.write.mode("overwrite").parquet(s"$d/customer.parquet")
+    orders.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Encoders.queries("m12_target_apply")(spark, d)
+      .as[(Long, String, Double)].collect()
+    assert(out.length == aTrain.size + cTest.size)
+    val prior = 4.0 / 10.0
+    val teA = (4L + 20.0 * prior) / (10L + 20.0)
+    assert(out.filter(_._2 == "A").forall(_._3 == teA))
+    assert(out.filter(_._2 == "C").forall(_._3 == prior))
+  }
+
   test("m22 corr: perfect linear pair pins r2_ppm=1e6; constant column pins 0") {
     import spark.implicits._
     // ep_cents = 2·qty exactly (price = qty · $0.02) → r² = 1, sign +.

@@ -238,6 +238,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("mann-whitney: doubled midranks on a tied sample; identical samples give n1*n2") {
+    import spark.implicits._
+    // ref = {1.00, 2.00, 2.00}, cur = {2.00, 3.00}: combined midranks
+    // 1, 3, 3, 3, 5 → ΣR₂(ref) = 2+6+6 = 14; 2U = 14 − 3·4 = 2
+    // (U = #(ref>cur) + ½·ties = 0 + 1); tie term = 3³−3 = 24.
+    val rows = Seq((1.00, "1997-06-01"), (2.00, "1997-06-01"),
+      (2.00, "1997-06-02"), (2.00, "1998-06-01"), (3.00, "1998-06-01"))
+    val orders = rows.toDF("o_totalprice", "o_orderdate")
+      .select($"o_totalprice", $"o_orderdate".cast("timestamp").as("o_orderdate"))
+    val d = Files.createTempDirectory("an-mwu").toString
+    orders.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Analytics.queries("ev_mann_whitney")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(out == ((3L, 2L, 2L, 24L)))
+    // identical distributions on both sides: every cross pair is a tie
+    // → U = n1·n2/2 → 2U = n1·n2 (here 2·2 = 4); cubes = 2·(2³−2)
+    val sym = Seq((5.00, "1997-06-01"), (7.00, "1997-06-01"),
+      (5.00, "1998-06-01"), (7.00, "1998-06-01"))
+      .toDF("o_totalprice", "o_orderdate")
+      .select($"o_totalprice", $"o_orderdate".cast("timestamp").as("o_orderdate"))
+    val d2 = Files.createTempDirectory("an-mwu2").toString
+    sym.write.mode("overwrite").parquet(s"$d2/orders.parquet")
+    val out2 = Analytics.queries("ev_mann_whitney")(spark, d2)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(out2 == ((2L, 2L, 4L, 12L)))
+  }
+
   test("psi: hand-computed smoothed contributions; symmetric split scores 0") {
     import spark.implicits._
     // Two bins, deliberately shifted mass. Ref window (< 1998-01-01):
