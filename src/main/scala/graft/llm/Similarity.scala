@@ -456,7 +456,42 @@ object Similarity {
       round(folded.getField("err"), 6).as("max_abs_err"))
   }
 
+  /** sim_centroid_topk: per-LABEL centroid exemplars — for each of the
+    * K labels, the top-10 corpus vectors nearest the label's centroid
+    * direction (the SemDeDup/cluster-exemplar primitive, and the apply
+    * shape of any "nearest class prototype" classifier). Exactness
+    * without a distributed double mean: components quantize to integer
+    * micro (round(x·10⁶) — the per-term canon), the centroid is the
+    * per-dimension integer SUM (order-free), and the DIVISION NEVER
+    * HAPPENS — cosine ranking against a fixed direction is invariant to
+    * its scale, so the sum vector ranks identically to the mean vector.
+    * The sum components re-enter double space exactly (≤ ~10¹² ≪ 2⁵³)
+    * and the ranking dot is the left-fold [[dot]] both engines spell
+    * identically. Scale shape: the 64× component explode feeds a
+    * (label, dim)-keyed partial agg (dimension-sized output), the K
+    * centroids broadcast onto ONE corpus pass (K dots per vector), and
+    * rank ≤ 10 after row_number compiles to WindowGroupLimit — per-task
+    * 10-row heaps per label, never K corpus-sized sort partitions. */
+  def centroidTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val micro = Tables.load(spark, dir, "embeddings")
+      .select($"label", posexplode(transform($"embedding",
+        x => round(x.cast("double") * 1e6).cast("long"))))
+      .toDF("label", "dim", "xm")
+    val centroids = micro.groupBy($"label", $"dim").agg(sum($"xm").as("s"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"s"))),
+        p => p.getField("s").cast("double")).as("cv"))
+    val scored = broadcast(centroids).crossJoin(emb(spark, dir))
+      .withColumn("dotc", dot($"cv", $"v"))
+    val w = Window.partitionBy($"label").orderBy($"dotc".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"label", $"rank".cast("long").as("rank"), $"vec_id", $"dotc")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_centroid_topk" -> ((s, d) => centroidTopk(s, d)),
     "sim_topk_brute" -> ((s, d) => topkBrute(s, d)),
     "sim_topk_lsh"   -> ((s, d) => topkLsh(s, d)),
     "sim_topk_ivf"   -> ((s, d) => topkIvf(s, d)),
@@ -505,6 +540,38 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical micro quantization, per-(label, dim) integer sums,
+    // list(s ORDER BY dim) reassembly, and the left-fold dot
+    "sim_centroid_topk" ->
+      """WITH m AS (
+        |  SELECT label, i AS dim,
+        |         CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+        |           AS BIGINT) AS xm
+        |  FROM embeddings,
+        |       unnest(generate_series(0, len(embedding) - 1)) AS u(i)),
+        |c AS (SELECT label, dim, CAST(SUM(xm) AS BIGINT) AS s
+        |      FROM m GROUP BY 1, 2),
+        |cv AS (SELECT label,
+        |              list_transform(list(s ORDER BY dim),
+        |                x -> CAST(x AS DOUBLE)) AS cv
+        |       FROM c GROUP BY label),
+        |e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |s AS (
+        |  SELECT cv.label, e.vec_id,
+        |         list_reduce(list_prepend(0.0::DOUBLE,
+        |           list_transform(list_zip(cv.cv, e.v), p -> p[1] * p[2])),
+        |           (acc, x) -> acc + x) AS dotc
+        |  FROM cv, e),
+        |r AS (
+        |  SELECT label, vec_id, dotc,
+        |         ROW_NUMBER() OVER (PARTITION BY label
+        |           ORDER BY dotc DESC, vec_id ASC) AS rank
+        |  FROM s)
+        |SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, dotc
+        |FROM r WHERE rank <= 10""".stripMargin,
+
     "f14_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi,

@@ -26,6 +26,30 @@ class SimilaritySpec extends SparkSpec {
     df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
   }
 
+  test("centroid exemplars equal a local integer-centroid replay (sf0.001)") {
+    import spark.implicits._
+    val small = "/root/testdata/sf0.001"
+    val vecs = graft.Tables.load(spark, small, "embeddings")
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Long, Array[Float])].collect()
+    // replay: micro-quantized per-dim sums per label, then left-fold dot
+    val centroids = vecs.groupBy(_._2).map { case (l, vs) =>
+      val dims = vs.head._3.length
+      l -> (0 until dims).map(d =>
+        vs.map(v => math.round(v._3(d).toDouble * 1e6)).sum.toDouble).toArray
+    }
+    def dotFold(a: Array[Double], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y.toDouble }
+    val want = centroids.toSeq.flatMap { case (l, cv) =>
+      vecs.map(v => (l, v._1, dotFold(cv, v._3)))
+        .sortBy(t => (-t._3, t._2)).take(10).zipWithIndex
+        .map { case ((lbl, id, d), i) => (lbl, (i + 1).toLong, id, d) }
+    }.toSet
+    val got = Similarity.queries("sim_centroid_topk")(spark, small)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("int8 quantization reconstruction error stays within scale/2") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
