@@ -411,7 +411,43 @@ object Sinks {
       .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
   }
 
+  /** s15: PERMISSIVE corrupt-record QUARANTINE — the ingest-gate
+    * reality check every JSON feed needs: a deterministic 1-in-13 of
+    * the written records is truncated mid-object (invalid JSON), the
+    * read runs PERMISSIVE with a _corrupt_record column, and the
+    * declared aggregate proves the contract: corrupt rows are COUNTED
+    * (never silently dropped — that's DROPMALFORMED's failure mode at
+    * 100 TB: data loss with no signal) and their value columns stay
+    * out of the good-rows sum. Only null-tested/corrupt-gated
+    * aggregates are emitted: PERMISSIVE's partial-parse behavior for
+    * fields BEFORE the truncation point is version-dependent, so the
+    * query never reads a data field off a quarantined row. */
+  private val s15: Q = (spark, dir) => {
+    import spark.implicits._
+    val tmp = scratchDir("quarantine")
+    val lines = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", (dec2($"o_totalprice") * 100).cast("long")
+        .as("cents"))
+      .select(when($"o_orderkey" % 13 === 0,
+          concat(lit("{\"o_orderkey\": "), $"o_orderkey",
+            lit(", \"cents\": ")))
+        .otherwise(concat(lit("{\"o_orderkey\": "), $"o_orderkey",
+          lit(", \"cents\": "), $"cents", lit("}"))).as("value"))
+    lines.write.mode("overwrite").text(s"$tmp/orders_json")
+    spark.read
+      .schema("o_orderkey BIGINT, cents BIGINT, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$tmp/orders_json")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"_corrupt_record".isNotNull, 1L).otherwise(0L))
+          .as("n_quarantined"),
+        sum(when($"_corrupt_record".isNull, $"cents").otherwise(0L))
+          .as("sum_good_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s15_json_quarantine"   -> s15,
     "j16_dpp"               -> j16,
     "k10_dynamic_overwrite" -> k10,
     "s14_csv_quirks"   -> s14,
@@ -430,6 +466,16 @@ object Sinks {
     "f11_sigmoid"      -> f11)
 
   val oracles: Map[String, String] = Map(
+    // replays the 1-in-13 corruption rule directly
+    "s15_json_quarantine" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_quarantined,
+        |       CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 0
+        |                ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |                  AS BIGINT) END) AS BIGINT) AS sum_good_cents
+        |FROM orders""".stripMargin,
+
     // only the dimension-surviving partition contributes
     "j16_dpp" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

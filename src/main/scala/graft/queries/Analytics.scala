@@ -675,6 +675,31 @@ object Analytics {
         $"cubes".cast("long").as("tie_cubes"))
   }
 
+  // ---- ev_seasonality_dow: day-of-week revenue seasonality profile —
+  // the weekly-shape table behind the ev_forecast_naive lag-7 choice
+  // (seasonal-naive beats naive exactly when this table is non-flat).
+  // Monday-anchored weekday index spelled engine-neutrally (Spark
+  // weekday() = DuckDB isodow − 1); shares are exact ppm floors with
+  // the DECIMAL scale-up-before-multiply (m13 headroom). ONE scan, one
+  // 7-row aggregate, a 1-row totals broadcast.
+  private val seasonalityDow: Q = (spark, dir) => {
+    import spark.implicits._
+    val byDow = Tables.load(spark, dir, "orders")
+      .select(weekday(to_date($"o_orderdate")).cast("long").as("dow"),
+        (dec2($"o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy($"dow")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+    val tot = byDow.agg(sum($"n").as("t_n"), sum($"sum_cents").as("t_c"))
+    def ppm(num: Column, den: Column): Column = {
+      val n = num.cast("decimal(38,0)") * 1000000L
+      ((n - pmod(n, den)) / den).cast("long")
+    }
+    byDow.crossJoin(broadcast(tot))
+      .select($"dow", $"n", $"sum_cents",
+        ppm($"n", $"t_n").as("row_share_ppm"),
+        ppm($"sum_cents", $"t_c").as("rev_share_ppm"))
+  }
+
   // ---- ev_forecast_naive: seasonal-naive forecast backtest over the
   // daily revenue series — the baseline every demand-forecasting model
   // must beat, and the missing time-series-eval member of the
@@ -1189,6 +1214,7 @@ object Analytics {
 
   val queries: Map[String, Q] = Map(
     "ev_mann_whitney"     -> mannWhitney,
+    "ev_seasonality_dow"  -> seasonalityDow,
     "m24_psi"             -> psi,
     "t12_interval_union"  -> intervalUnion,
     "ev_trend_ols"        -> trendOls,
@@ -1243,6 +1269,24 @@ object Analytics {
       |FROM g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // isodow − 1 anchors Monday = 0 like Spark's weekday()
+    "ev_seasonality_dow" ->
+      """WITH d AS (
+        |  SELECT CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS BIGINT)
+        |           AS dow,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM orders),
+        |g AS (SELECT dow, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT)
+        |        AS sum_cents FROM d GROUP BY 1),
+        |t AS (SELECT SUM(n) AS t_n, SUM(sum_cents) AS t_c FROM g)
+        |SELECT dow, n, sum_cents,
+        |       CAST((CAST(n AS HUGEINT) * 1000000) // t_n AS BIGINT)
+        |         AS row_share_ppm,
+        |       CAST((CAST(sum_cents AS HUGEINT) * 1000000) // t_c AS BIGINT)
+        |         AS rev_share_ppm
+        |FROM g, t""".stripMargin,
+
     // naive global-window spelling of the same doubled-midrank algebra
     "ev_mann_whitney" ->
       """WITH o AS (

@@ -130,6 +130,18 @@ class IngestSpec extends SparkSpec {
       .equalsIgnoreCase("dynamic"))
   }
 
+  test("s15 quarantine counts corrupt lines and keeps them out of the good sum") {
+    import spark.implicits._
+    // keys 13 and 26 are corrupted (truncated JSON); 1, 2 survive
+    val orders = Seq((1L, 10.00), (2L, 20.00), (13L, 40.00), (26L, 80.00))
+      .toDF("o_orderkey", "o_totalprice")
+    val d = Files.createTempDirectory("s15-spec").toString
+    orders.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Sinks.queries("s15_json_quarantine")(spark, d)
+      .as[(Long, Long, Long)].collect().head
+    assert(out == ((4L, 2L, 3000L))) // 4 rows, 2 quarantined, 1000+2000 cents
+  }
+
   test("s13 writes genuine ORC files (magic bytes) and round-trips typed rows") {
     import spark.implicits._
     val d = Files.createTempDirectory("orc-rt").toString

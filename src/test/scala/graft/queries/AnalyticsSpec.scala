@@ -238,6 +238,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("seasonality: Monday-anchored dow index, exact ppm shares") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday (dow 0); 2024-01-02 Tuesday (dow 1)
+    val orders = Seq((10.00, "2024-01-01"), (10.00, "2024-01-01"),
+      (20.00, "2024-01-02"))
+      .toDF("o_totalprice", "o_orderdate")
+      .select($"o_totalprice", $"o_orderdate".cast("timestamp").as("o_orderdate"))
+    val d = Files.createTempDirectory("an-dow").toString
+    orders.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = Analytics.queries("ev_seasonality_dow")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out == Map(
+      0L -> ((2L, 2000L, 666666L, 500000L)),
+      1L -> ((1L, 2000L, 333333L, 500000L))))
+  }
+
   test("mann-whitney: doubled midranks on a tied sample; identical samples give n1*n2") {
     import spark.implicits._
     // ref = {1.00, 2.00, 2.00}, cur = {2.00, 3.00}: combined midranks
