@@ -447,8 +447,40 @@ object Encoders {
         coalesce($"te_smooth", $"prior").as("te"))
   }
 
+  /** m25: STANDARD SCALING ((x − μ)/σ, sklearn StandardScaler / Spark
+    * ML StandardScaler semantics) — completing the scaler trio after
+    * m15 (min-max) and m16 (robust). A library scaler's μ/σ come from
+    * order-dependent double partial sums; here the fit statistics are
+    * EXACT integers from one 1-row aggregate (n, Σx, Σx² in
+    * DECIMAL(38,0)), and the double chain that follows is IEEE-
+    * identical in both engines because every input to it is the same
+    * exact number: var = ((n·Σx² − (Σx)²) → double) / (n·n → double)
+    * (population variance), σ = sqrt(var) — sqrt IS correctly rounded
+    * per IEEE 754, unlike ln — μ = (Σx → double)/n, and z_ppm =
+    * floor(((x − μ)/σ)·10⁶) (floor of an identical double — no
+    * round-tie semantics to disagree on). Scale shape: 1-row stats
+    * broadcast + pure map-side projection, zero fact shuffles —
+    * identical to m15's. Degenerate σ = 0 pins 0. */
+  private val standardScaler: Q = (spark, dir) => {
+    import spark.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val c = Tables.load(spark, dir, "customer")
+      .select($"c_custkey", (dec2($"c_acctbal") * 100).cast("long").as("cents"))
+    val stats = c.agg(count(lit(1)).as("n"), sum(dec($"cents")).as("sx"),
+      sum(dec($"cents") * $"cents").as("sxx"))
+    c.crossJoin(broadcast(stats))
+      .withColumn("varp",
+        ($"n" * $"sxx" - $"sx" * $"sx").cast("double") /
+          (dec($"n") * $"n").cast("double"))
+      .select($"c_custkey", $"cents",
+        when($"varp" > 0, floor(
+          (($"cents" - $"sx".cast("double") / $"n") / sqrt($"varp")) * 1e6)
+          .cast("long")).otherwise(0L).as("z_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "enc_feature_hash"  -> featureHash,
+    "m25_standard_scaler" -> standardScaler,
     "m12_target_apply"  -> targetApply,
     "m22_corr"          -> corrMatrix,
     "m12_target_encode" -> targetEncode,
@@ -460,6 +492,28 @@ object Encoders {
     "m21_impute_fit"    -> imputeFit)
 
   val oracles: Map[String, String] = Map(
+    // identical IEEE chain: exact HUGEINT stats → double, sqrt is
+    // correctly rounded, floor needs no tie rule
+    "m25_standard_scaler" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |  FROM customer),
+        |s AS (SELECT COUNT(*) AS n, SUM(CAST(cents AS HUGEINT)) AS sx,
+        |             SUM(CAST(cents AS HUGEINT) * cents) AS sxx
+        |      FROM c),
+        |v AS (SELECT n, sx,
+        |             CAST(n * sxx - sx * sx AS DOUBLE) /
+        |               CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS varp
+        |      FROM s)
+        |SELECT c_custkey, cents,
+        |       CASE WHEN varp > 0
+        |            THEN CAST(floor(((cents - CAST(sx AS DOUBLE) / n)
+        |                   / sqrt(varp)) * 1e6) AS BIGINT)
+        |            ELSE CAST(0 AS BIGINT) END AS z_ppm
+        |FROM c, v""".stripMargin,
+
     // the m12 oracle's encoder CTE joined back onto every customer,
     // with the identical prior-fallback coalesce
     "m12_target_apply" ->

@@ -77,6 +77,35 @@ class EncodersSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("m25 standard: z-scores replay the exact-stats IEEE chain; constant pins 0") {
+    import spark.implicits._
+    val bals = Seq(10.00, 20.00, 30.00, 40.00)
+    val customers = bals.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("c_custkey", "c_acctbal")
+    val d = Files.createTempDirectory("enc-std").toString
+    customers.write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val out = Encoders.queries("m25_standard_scaler")(spark, d)
+      .select($"c_custkey", $"z_ppm").as[(Long, Long)].collect().toMap
+    val cents = bals.map(b => math.round(b * 100))
+    val n = cents.size.toLong
+    val sx = BigInt(cents.sum)
+    val sxx = cents.map(c => BigInt(c) * c).sum
+    val varp = (BigInt(n) * sxx - sx * sx).toDouble / (BigInt(n) * n).toDouble
+    val mean = sx.toDouble / n
+    val want = cents.zipWithIndex.map { case (c, i) =>
+      i.toLong -> math.floor((c - mean) / math.sqrt(varp) * 1e6).toLong
+    }.toMap
+    assert(out == want)
+    // symmetry of the planted series: z(μ−d) = −z(μ+d) − 1 in floor space
+    assert(out(0L) + out(3L) == -1L && out(1L) + out(2L) == -1L)
+    // constant column → σ = 0 → pinned 0
+    Seq((9L, 5.00), (10L, 5.00)).toDF("c_custkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val const = Encoders.queries("m25_standard_scaler")(spark, d)
+      .select($"z_ppm").as[Long].collect()
+    assert(const.forall(_ == 0L))
+  }
+
   test("m12 apply: every row carries its segment's fit value; OOV segment gets the prior") {
     import spark.implicits._
     val inTrain = (1L to 400L).filter(k =>
