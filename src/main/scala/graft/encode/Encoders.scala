@@ -392,29 +392,31 @@ object Encoders {
       sum(dec($"d") * $"d").as("sdd"),
       sum(dec($"q") * $"e").as("sqe"), sum(dec($"q") * $"d").as("sqd"),
       sum(dec($"e") * $"d").as("sed"))
-    val pairs = Seq(("qty", "ep"), ("qty", "disc"), ("ep", "disc"))
-      .toDF("var_x", "var_y")
+    // ONE pair list drives both the frame and the when-chain — two
+    // copies would let an edit drift them apart and coalesce to a
+    // silent NULL struct instead of failing
+    val pairSpecs = Seq(("qty", "ep"), ("qty", "disc"), ("ep", "disc"))
+    val pairs = pairSpecs.toDF("var_x", "var_y")
     def mom(v: String, which: String): Column = v match {
       case "qty"  => if (which == "s") $"sq" else $"sqq"
       case "ep"   => if (which == "s") $"se" else $"see"
       case "disc" => if (which == "s") $"sd" else $"sdd"
     }
     def cross(x: String, y: String): Column = (x, y) match {
-      case ("qty", "ep")  => $"sqe"
+      case ("qty", "ep")   => $"sqe"
       case ("qty", "disc") => $"sqd"
-      case _               => $"sed"
+      case ("ep", "disc")  => $"sed"
     }
-    def fdiv(num: Column, den: Column): Column = (num - pmod(num, den)) / den
     val assembled = pairs.crossJoin(broadcast(m)).select(
       $"var_x", $"var_y", $"n",
-      Seq(("qty", "ep"), ("qty", "disc"), ("ep", "disc")).map { case (x, y) =>
+      pairSpecs.map { case (x, y) =>
         val num  = $"n" * cross(x, y) - mom(x, "s") * mom(y, "s")
         val varx = $"n" * mom(x, "ss") - mom(x, "s") * mom(x, "s")
         val vary = $"n" * mom(y, "ss") - mom(y, "s") * mom(y, "s")
         val a = abs(num)
         val r2 = when(varx > 0 && vary > 0,
-          fdiv(fdiv(a * 1000000, varx).cast("decimal(38,0)") * a, vary)
-            .cast("long")).otherwise(0L)
+          floorDiv(floorDiv(a * 1000000, varx).cast("decimal(38,0)") * a,
+            vary).cast("long")).otherwise(0L)
         val sg = signum(num).cast("long")
         when($"var_x" === x && $"var_y" === y, struct(r2.as("r2"), sg.as("sg")))
       }.reduce((l, r) => coalesce(l, r)).as("rs"))
@@ -435,9 +437,11 @@ object Encoders {
     * engines. */
   private val targetApply: Q = (spark, dir) => {
     import spark.implicits._
-    val enc = targetEncode(spark, dir)
-      .select($"c_mktsegment", $"te_smooth")
-    val prior = targetEncode(spark, dir)
+    // ONE fit, segment-sized, multiply-consumed (encoder + prior) →
+    // pinned per the house pattern, never two fact-scale fit lineages
+    val fit = targetEncode(spark, dir).localCheckpoint(false)
+    val enc = fit.select($"c_mktsegment", $"te_smooth")
+    val prior = fit
       .agg((sum($"n_pos").cast("double") / sum($"n_train")).as("prior"))
     Tables.load(spark, dir, "customer")
       .select($"c_custkey", $"c_mktsegment")

@@ -195,12 +195,13 @@ object Metrics {
       .agg(count(lit(1)).as("n"))
     val rowTot = cells.groupBy($"actual").agg(sum($"n").as("n_actual"))
     val colTot = cells.groupBy($"predicted").agg(sum($"n").as("n_predicted"))
-    def ppm(num: Column, den: Column): Column =
-      when(den > 0, ((num - pmod(num, den)) / den).cast("long")).otherwise(0L)
+    // Cols.ppm scales up in DECIMAL before the multiply — the bare
+    // n·10⁶ long product this replaced wraps first at extreme counts
     cells.join(rowTot, "actual").join(colTot, "predicted")
       .select($"actual", $"predicted", $"n", $"n_actual", $"n_predicted",
-        ppm($"n" * 1000000L, $"n_actual").as("recall_contrib_ppm"),
-        ppm($"n" * 1000000L, $"n_predicted").as("precision_contrib_ppm"))
+        graft.util.Cols.ppm($"n", $"n_actual").as("recall_contrib_ppm"),
+        graft.util.Cols.ppm($"n", $"n_predicted")
+          .as("precision_contrib_ppm"))
   }
 
   val queries: Map[String, Q] = Map(

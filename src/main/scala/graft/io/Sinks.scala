@@ -346,8 +346,10 @@ object Sinks {
     * aggregates the read-back table per status, so the oracle catches
     * BOTH failure modes: static-mode semantics would drop the O/P
     * partitions entirely (missing groups), and append semantics would
-    * double the F counts. The session flag is save/restored around the
-    * write. Scale shape: partition-parallel write/read; the
+    * double the F counts. The mode rides a per-WRITE DataFrameWriter
+    * option (overrides the session conf — no save/restore, no race
+    * window for concurrent writes). Scale shape: partition-parallel
+    * write/read; the
     * restatement touches |F| rows regardless of table size — exactly
     * why dynamic overwrite exists at 100 TB (a full-table rewrite per
     * restatement is the alternative). halving uses shiftright (exact
@@ -360,15 +362,15 @@ object Sinks {
         (dec2($"o_totalprice") * 100).cast("long").as("cents"),
         $"o_orderstatus")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-      "STATIC")
-    try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      o.filter($"o_orderstatus" === "F")
-        .withColumn("cents", shiftright($"cents", 1))
-        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
-    } finally
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // per-WRITE option, not the session conf: the writer option takes
+    // precedence over spark.sql.sources.partitionOverwriteMode, so no
+    // save/restore dance and no race window in which a concurrent write
+    // on the same session silently inherits dynamic semantics
+    o.filter($"o_orderstatus" === "F")
+      .withColumn("cents", shiftright($"cents", 1))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(base)
     spark.read.parquet(base)
       .groupBy($"o_orderstatus".cast("string").as("o_orderstatus"))
       .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))

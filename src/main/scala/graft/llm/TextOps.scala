@@ -914,7 +914,7 @@ object TextOps {
     val num = ($"c".cast("decimal(38,0)") * 4 - 3) * 1000000L
     counts.join(prefix, "w1")
       .select($"w1", $"w2", $"c",
-        ((num - pmod(num, $"c1" * 4)) / ($"c1" * 4)).cast("long")
+        graft.util.Cols.floorDiv(num, $"c1" * 4).cast("long")
           .as("p_micro"))
       .orderBy($"c".desc, $"w1", $"w2").limit(100)
   }

@@ -560,8 +560,7 @@ object Analytics {
       .withColumn("psi_num",
         $"d_numer" * $"lr_micro" * 2 + dec($"t_ref" + $"b") * ($"t_cur" + $"b"))
       .select($"bin", $"n_ref", $"n_cur", $"lr_micro",
-        (($"psi_num" - pmod($"psi_num", $"psi_den")) / $"psi_den")
-          .cast("long").as("psi_micro"))
+        floorDiv($"psi_num", $"psi_den").cast("long").as("psi_micro"))
   }
 
   // ---- a21_ks_drift: exact two-sample Kolmogorov-Smirnov statistic
@@ -584,19 +583,28 @@ object Analytics {
   // the final ks_bp quantization — exact at any count (products
   // < 2^63 through sf10 by a 10³ margin). Output: one row with the KS
   // statistic in basis points and the smallest value attaining it.
-  private val ksDrift: Q = (spark, dir) => {
+  /** Per-price-value ref/cur counts with the shiftright-20 coarse
+    * bucket — the shared base of the two-sample rank family (a21's KS
+    * CDF and ev_mann_whitney's midranks). Distinct-value-sized and
+    * multiply-consumed in both callers → pinned here once (house
+    * pattern), so a change to the bucketing or checkpoint policy can
+    * never silently diverge the two statistics. */
+  private def refCurValueCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cut = lit("1998-01-01").cast("timestamp")
-    val byVal = Tables.load(spark, dir, "orders")
+    Tables.load(spark, dir, "orders")
       .select((dec2($"o_totalprice") * 100).cast("long").as("cents"),
         ($"o_orderdate" >= cut).as("is_cur"))
       .groupBy($"cents")
       .agg(sum(when(!$"is_cur", 1L).otherwise(0L)).as("n_ref"),
         sum(when($"is_cur", 1L).otherwise(0L)).as("n_cur"))
       .withColumn("bucket", shiftright($"cents", 20))
-      // distinct-value-sized, consumed three times (byBucket / totals /
-      // cdf): pin it rather than rely on exchange reuse (house pattern)
       .localCheckpoint(false)
+  }
+
+  private val ksDrift: Q = (spark, dir) => {
+    import spark.implicits._
+    val byVal = refCurValueCounts(spark, dir)
     val byBucket = byVal.groupBy($"bucket")
       .agg(sum($"n_ref").as("b_ref"), sum($"n_cur").as("b_cur"))
     val wB = Window.orderBy($"bucket")
@@ -646,17 +654,9 @@ object Analytics {
   // arithmetic, is the first limiter).
   private val mannWhitney: Q = (spark, dir) => {
     import spark.implicits._
-    val cut = lit("1998-01-01").cast("timestamp")
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val byVal = Tables.load(spark, dir, "orders")
-      .select((dec2($"o_totalprice") * 100).cast("long").as("cents"),
-        ($"o_orderdate" >= cut).as("is_cur"))
-      .groupBy($"cents")
-      .agg(sum(when(!$"is_cur", 1L).otherwise(0L)).as("n_ref"),
-        sum(when($"is_cur", 1L).otherwise(0L)).as("n_cur"))
+    val byVal = refCurValueCounts(spark, dir)
       .withColumn("t", $"n_ref" + $"n_cur")
-      .withColumn("bucket", shiftright($"cents", 20))
-      .localCheckpoint(false)
     val wB = Window.orderBy($"bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = byVal.groupBy($"bucket").agg(sum($"t").as("b_n"))
@@ -690,10 +690,6 @@ object Analytics {
       .groupBy($"dow")
       .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
     val tot = byDow.agg(sum($"n").as("t_n"), sum($"sum_cents").as("t_c"))
-    def ppm(num: Column, den: Column): Column = {
-      val n = num.cast("decimal(38,0)") * 1000000L
-      ((n - pmod(n, den)) / den).cast("long")
-    }
     byDow.crossJoin(broadcast(tot))
       .select($"dow", $"n", $"sum_cents",
         ppm($"n", $"t_n").as("row_share_ppm"),

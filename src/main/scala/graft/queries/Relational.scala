@@ -1171,13 +1171,11 @@ object Relational {
       })
     e.groupBy($"r".cast("long").as("replicate"))
       .agg(sum($"w").as("n_eff"), sum($"w" * $"cents").as("sum_cents"))
-      .select($"replicate", $"n_eff", $"sum_cents", {
+      .select($"replicate", $"n_eff", $"sum_cents",
         // scale up in DECIMAL before the multiply (the m13 headroom
         // lesson): sum_cents·1000 wraps int64 around sf100
-        val n = $"sum_cents".cast("decimal(38,0)") * 1000
-        ((n - pmod(n, $"n_eff")) / $"n_eff").cast("long")
-          .as("mean_cents_milli")
-      })
+        floorDiv($"sum_cents".cast("decimal(38,0)") * 1000, $"n_eff")
+          .cast("long").as("mean_cents_milli"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -54,6 +54,21 @@ object Cols {
     (when(r2 > den, q + 1).when(r2 < den, q).otherwise(q + q % 2)) / 100.0
   }
 
+  /** Exact floor(num/den) via the positive-mod subtraction — correct on
+    * long AND decimal columns, negative numerators included (plain
+    * integer division truncates toward zero and disagrees with DuckDB's
+    * // on the negative half). Callers cast the result width. */
+  def floorDiv(num: Column, den: Column): Column =
+    (num - pmod(num, den)) / den
+
+  /** Exact parts-per-million floor num·10⁶/den with the scale-up in
+    * DECIMAL BEFORE the multiply (a long·long product wraps first at
+    * ~10¹²-row aggregates — the m13 headroom lesson); den ≤ 0 pins 0. */
+  def ppm(num: Column, den: Column): Column =
+    when(den > 0,
+      floorDiv(num.cast(DecimalType(38, 0)) * 1000000L, den).cast("long"))
+      .otherwise(lit(0L))
+
   /** DuckDB spellings of the two helpers (kept adjacent so they never
     * drift from the Spark forms above). */
   def roundRatio2Sql(num100: String, den: String): String =

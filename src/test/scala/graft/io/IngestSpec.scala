@@ -125,9 +125,11 @@ class IngestSpec extends SparkSpec {
     // write untouched — static-mode semantics would have deleted them
     assert(out == Map("F" -> ((2L, 7500L)), "O" -> ((1L, 7000L)),
       "P" -> ((1L, 3000L))))
-    // the session flag is restored after the query
-    assert(!spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-      .equalsIgnoreCase("dynamic"))
+    // the dynamic mode rides a per-write option — the SESSION conf must
+    // never have been flipped (a leaked session-global dynamic mode
+    // would silently change every later overwrite-write's semantics)
+    assert(!spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+      "STATIC").equalsIgnoreCase("dynamic"))
   }
 
   test("s15 quarantine counts corrupt lines and keeps them out of the good sum") {
