@@ -195,6 +195,48 @@ object Analytics {
       .orderBy($"rank_ppb".desc, $"p_partkey".asc).limit(25)
   }
 
+  // ---- g6_hits: HITS hubs/authorities over the customer↔part
+  // BIPARTITE graph (Kleinberg) — the mutual-reinforcement score
+  // PageRank can't express: a part is authoritative when BROAD
+  // customers buy it, a customer is a hub when they buy authoritative
+  // parts. Two full rounds, each an edge join + aggregate +
+  // integer ppb NORMALIZATION (x·10⁹/max floor — HITS without
+  // normalization overflows/degenerates; max is a 1-row broadcast, the
+  // integer twin of the L∞ norm). All compared columns exact integers;
+  // DECIMAL(38,0) carries raw·10⁹ (the round-2 raws are ~deg·10⁹
+  // already). Fixed rounds keep it deterministic and oracle-able (the
+  // g3/g4 contract). Scale shape: ONE fact join builds the distinct
+  // edge list (pinned, multiply-consumed, size-adaptive level like
+  // g1); each round is one edge-keyed join + node-sized aggregate —
+  // the Pregel-round shape; output is TakeOrdered top-20.
+  private val hits: Q = (spark, dir) => {
+    import spark.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val edges = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey")
+      .join(Tables.load(spark, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_partkey".as("p")).distinct()
+      .localCheckpoint(true, adaptiveLevel(dir))
+    def normalize(raw: DataFrame, key: String, out: String): DataFrame = {
+      val mx = raw.agg(max($"raw").as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col(key), $"raw",
+          floorDiv(dec($"raw") * 1000000000L, $"mx").cast("long").as(out))
+    }
+    val a1 = normalize(edges.groupBy($"p").agg(count(lit(1)).as("raw")),
+      "p", "a").localCheckpoint(false)
+    val h1 = normalize(edges.join(a1.select($"p", $"a"), "p")
+      .groupBy($"c").agg(sum($"a").as("raw")), "c", "h")
+      .localCheckpoint(false)
+    val a2 = normalize(edges.join(h1.select($"c", $"h"), "c")
+      .groupBy($"p").agg(sum($"h").as("raw")), "p", "auth_ppb")
+    a2.select($"p".as("p_partkey"), $"raw".cast("long").as("auth_raw"),
+        $"auth_ppb")
+      .orderBy($"auth_ppb".desc, $"p_partkey".asc).limit(20)
+  }
+
   // ---- t7_scd2: build a type-2 slowly-changing dimension from the
   // event stream — the warehouse-modeling op every feature store needs
   // to answer "what was this user's state AS OF time t" without
@@ -1230,6 +1272,7 @@ object Analytics {
     "ev_survival_table"   -> survivalTable,
     "ev_changepoint"      -> changepoint,
     "ev_attribution"      -> attribution,
+    "g6_hits"             -> hits,
     "g1_pagerank"         -> pagerank,
     "g2_triangles"        -> triangles,
     "g3_communities"      -> communities,
@@ -1265,6 +1308,30 @@ object Analytics {
       |FROM g""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same two normalized rounds as chained CTEs; // on positive
+    // HUGEINTs is the floorDiv twin
+    "g6_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |a1r AS (SELECT p, COUNT(*) AS raw FROM e GROUP BY 1),
+        |a1m AS (SELECT MAX(raw) AS mx FROM a1r),
+        |a1 AS (SELECT p, CAST((CAST(raw AS HUGEINT) * 1000000000) // mx
+        |         AS BIGINT) AS a
+        |       FROM a1r, a1m),
+        |h1r AS (SELECT c, CAST(SUM(a) AS HUGEINT) AS raw
+        |        FROM e JOIN a1 USING (p) GROUP BY 1),
+        |h1m AS (SELECT MAX(raw) AS mx FROM h1r),
+        |h1 AS (SELECT c, CAST((raw * 1000000000) // mx AS BIGINT) AS h
+        |       FROM h1r, h1m),
+        |a2r AS (SELECT p, CAST(SUM(h) AS HUGEINT) AS raw
+        |        FROM e JOIN h1 USING (c) GROUP BY 1),
+        |a2m AS (SELECT MAX(raw) AS mx FROM a2r)
+        |SELECT p AS p_partkey, CAST(raw AS BIGINT) AS auth_raw,
+        |       CAST((raw * 1000000000) // mx AS BIGINT) AS auth_ppb
+        |FROM a2r, a2m
+        |ORDER BY auth_ppb DESC, p_partkey ASC LIMIT 20""".stripMargin,
+
     // isodow − 1 anchors Monday = 0 like Spark's weekday()
     "ev_seasonality_dow" ->
       """WITH d AS (

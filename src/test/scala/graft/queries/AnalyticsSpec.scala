@@ -238,6 +238,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("hits: hand-computed two-round hubs/authorities on a planted bipartite graph") {
+    import spark.implicits._
+    // c1 buys {10,11,12}, c2 buys {10}: auth¹ = deg/max → (1e9, 5e8,
+    // 5e8); hub¹ = (2e9, 1e9)/2e9 → (1e9, 5e8); auth² raw = (1.5e9,
+    // 1e9, 1e9), max 1.5e9 → ppb (1e9, 666666666, 666666666)
+    val orders = Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+    val d = Files.createTempDirectory("an-hits").toString
+    orders.write.mode("overwrite").parquet(s"$d/orders.parquet")
+    li.write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = Analytics.queries("g6_hits")(spark, d)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(
+      10L -> ((1500000000L, 1000000000L)),
+      11L -> ((1000000000L, 666666666L)),
+      12L -> ((1000000000L, 666666666L))))
+  }
+
   test("seasonality: Monday-anchored dow index, exact ppm shares") {
     import spark.implicits._
     // 2024-01-01 is a Monday (dow 0); 2024-01-02 Tuesday (dow 1)
