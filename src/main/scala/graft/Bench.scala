@@ -61,6 +61,18 @@ object Bench {
       // blocks (gc) BEFORE the timed region, so every entry starts from
       // the same storage state it would see in isolation.
       spark.catalog.clearCache()
+      // localCheckpoint pins live OUTSIDE the SQL cache: they are
+      // persisted RDD blocks that clearCache() never touches, and
+      // System.gc() only QUEUES them for the ContextCleaner's async
+      // thread — whether they're gone when the timed region starts is a
+      // race. That race was the r9 g1_pagerank swing (12.2 s in-suite vs
+      // 4.8 s anchored, same plan): the checkpoint-heavy dedup block runs
+      // alphabetically just before g1 and its pinned blocks were still
+      // squeezing the storage pool. Drop them synchronously — nothing
+      // from a finished entry is ever re-read, so a blanket blocking
+      // unpersist is safe and makes entry isolation deterministic.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       // Order independence (VERDICT r4 #5): every query — ML fits included
       // since r9 (VERDICT r8 #4: the fits were 143 s of the driver's 288 s

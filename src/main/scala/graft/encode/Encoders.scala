@@ -301,13 +301,20 @@ object Encoders {
     val tot = base.agg(count(lit(1)).as("n"), sum($"pos").as("p"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
     // one cell-term column per class, then summed per feature
+    // degenerate-class guard: a single-class label (no urgent orders, or
+    // all urgent) makes nc=0 → den=0; unguarded, Spark's non-ANSI decimal
+    // division yields NULL while DuckDB's // raises — the engines would
+    // fail DIFFERENTLY. The cell's true χ² contribution is 0 there (o=0
+    // forces d=0), so pin 0 explicitly; the oracle mirrors the CASE.
     def cellMilli(o: Column, nc: Column, nv: Column, n: Column): Column = {
       val d = dec(o) * n - dec(nv) * nc
       val d2 = d * d
       val den = dec(n) * nv * nc
       val q = (d2 - pmod(d2, den)) / den
       val r = pmod(d2, den)
-      (q * 1000 + (r * 1000 - pmod(r * 1000, den)) / den).cast("long")
+      when(nc > 0 && nv > 0,
+        (q * 1000 + (r * 1000 - pmod(r * 1000, den)) / den).cast("long"))
+        .otherwise(lit(0L))
     }
     cells.crossJoin(broadcast(tot))
       .withColumn("nv", $"o1" + $"o0")
@@ -346,8 +353,9 @@ object Encoders {
         sum(when($"is_missing", 1L).otherwise(0L)).as("n_missing"),
         sum(when(!$"is_missing", $"cents").otherwise(0L)).as("sum_cents"))
       .select($"c_mktsegment", $"n_obs", $"n_missing",
-        (($"sum_cents" - pmod($"sum_cents", $"n_obs")) / $"n_obs")
-          .cast("long").as("mean_fill_cents"))
+        // floorDiv (decimal-exact) rather than the inline long/long
+        // spelling: long/long divides in double, exact only below 2^53
+        floorDiv($"sum_cents", $"n_obs").cast("long").as("mean_fill_cents"))
     val mode = c.groupBy($"c_mktsegment", $"c_nationkey")
       .agg(count(lit(1)).as("cnt"))
       .groupBy($"c_mktsegment")
@@ -372,8 +380,13 @@ object Encoders {
     * r²_ppm = ⌊⌊|num|·10⁶ / var_x⌋ · |num| / var_y⌋ — two pmod-floor
     * divisions, never num² (which exceeds 38 digits at sf0.1 already).
     * Cauchy-Schwarz bounds every intermediate: |num| ≤ √(var_x·var_y),
-    * so |num|·10⁶ ≤ 10⁶·max(var) < 10³⁶ and q·|num| ≤ 10⁶·var_y < 10³⁶
-    * at sf1000's ~6·10⁹ rows. The sign rides separately (sgn column).
+    * so |num|·10⁶ ≤ 10⁶·max(var) and q·|num| ≤ 10⁶·var_y. Headroom is
+    * ~sf100, not sf1000: extendedprice cents ≈ 10⁷, so at sf100's
+    * ~6·10⁸ rows var_e = n·Σe²−(Σe)² ≈ 6·10⁸·6·10²² ≈ 4·10³¹ and
+    * 10⁶·var_e ≈ 4·10³⁷ < 10³⁸; one more decade (sf1000, ~4·10³⁹)
+    * overflows DECIMAL(38,0) to NULL on the Spark side while HUGEINT
+    * still fits it — past sf100, pre-divide the variance factors by n
+    * before the quotient. The sign rides separately (sgn column).
     *
     * Scale shape: ONE scan, ONE 1-row aggregate (partial-agg friendly —
     * nine independent SUMs), and the 3-pair assembly is a 3-row literal
@@ -632,11 +645,16 @@ object Encoders {
          |         CAST(o AS HUGEINT) * n - CAST(nv AS HUGEINT) * nc AS d,
          |         CAST(n AS HUGEINT) * nv * nc AS den
          |  FROM cls),
-         |m AS (SELECT feature, (d * d) // den AS q, (d * d) % den AS r, den
+         |m AS (SELECT feature,
+         |             CASE WHEN den > 0 THEN (d * d) // den ELSE 0 END AS q,
+         |             CASE WHEN den > 0 THEN (d * d) % den ELSE 0 END AS r,
+         |             den
          |      FROM term),
          |agg AS (
          |  SELECT feature,
-         |         CAST(SUM(q * 1000 + (r * 1000) // den) AS BIGINT) AS chi2_milli
+         |         CAST(SUM(q * 1000 +
+         |           CASE WHEN den > 0 THEN (r * 1000) // den ELSE 0 END)
+         |           AS BIGINT) AS chi2_milli
          |  FROM m GROUP BY 1),
          |nvals AS (SELECT feature, COUNT(*) AS n_values FROM cells GROUP BY 1)
          |SELECT feature, n_values, n_values - 1 AS dof, chi2_milli

@@ -623,20 +623,27 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
   }
 
-  /** Embedding-cosine near-dup on a deterministic probe subset
-    * (vec_id % 10 = 0). Dot product = cosine (unit-norm corpus), computed
-    * as an explicit left fold in DOUBLE so Spark and DuckDB agree
-    * bit-for-bit. */
+  /** Embedding-cosine near-dup, exact, on a FIXED-COUNT probe set
+    * (vec_id < [[Similarity.NumQueryVecs]] — the Similarity convention)
+    * against the FULL corpus. This is the oracle-checkable brute twin of
+    * `dedup_embedding_lsh`; the earlier fixed-FRACTION spelling
+    * (vec_id % 10 = 0, probe×probe) was O((n/10)²) — still quadratic in
+    * corpus size, i.e. the twin itself wouldn't survive 100×. Fixed-count
+    * makes it O(K·n): K vectors broadcast into a nested-loop join over
+    * one corpus scan, cost flat per corpus row at any sf. Dot product =
+    * cosine (unit-norm corpus), computed as an explicit left fold in
+    * DOUBLE so Spark and DuckDB agree bit-for-bit. */
   def embeddingNearDup(spark: SparkSession, dir: String,
                        threshold: Double = 0.30): DataFrame = {
     import spark.implicits._
     val e = Tables.load(spark, dir, "embeddings")
-      .filter($"vec_id" % 10 === 0)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
-    val pairs = e.select($"vec_id".as("id_a"), $"v".as("va"))
-      .crossJoin(e.select($"vec_id".as("id_b"), $"v".as("vb")))
-      .filter($"id_a" < $"id_b")
-    pairs
+    val probe = e.filter($"vec_id" < Similarity.NumQueryVecs)
+      .select($"vec_id".as("id_a"), $"v".as("va"))
+    // probe ids are the K smallest, so id_a < id_b covers every pair
+    // involving a probe exactly once (probe-probe pairs included)
+    e.select($"vec_id".as("id_b"), $"v".as("vb"))
+      .join(broadcast(probe), $"id_a" < $"id_b")
       .withColumn("cosine", Similarity.dot($"va", $"vb"))
       .filter($"cosine" >= threshold)
       .select($"id_a", $"id_b", $"cosine")
@@ -1100,15 +1107,16 @@ object Dedup {
          |${ccLabelTailSql("vec_id", "embeddings")}""".stripMargin,
 
     "dedup_embedding" ->
-      """WITH e AS (
+      s"""WITH p AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |  WHERE vec_id % 10 = 0)
+        |  WHERE vec_id < ${Similarity.NumQueryVecs}),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  list_reduce(list_prepend(0.0::DOUBLE,
-        |    list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
+        |    list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])),
         |    (acc, x) -> acc + x) AS cosine
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |FROM p a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_reduce(list_prepend(0.0::DOUBLE,
-        |    list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
+        |    list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])),
         |    (acc, x) -> acc + x) >= 0.30""".stripMargin)
 }

@@ -129,16 +129,16 @@ object Retrieval {
     val m2 = idealTop.agg(
       sum($"grade" * element_at(w, $"irk".cast("int"))).as("idcg_micro"))
     val m3 = grades.agg(count(lit(1)).as("n_rel_total"))
-    def floorDiv(num: Column, den: Column): Column =
-      ((num - pmod(num, den)) / den).cast("long")
+    def fdl(num: Column, den: Column): Column =
+      graft.util.Cols.floorDiv(num, den).cast("long")
     m1.crossJoin(m2).crossJoin(m3)
       .select($"n_ret", $"n_rel_total", $"n_rel_ret",
         $"dcg_micro", $"idcg_micro",
-        floorDiv($"dcg_micro" * 1000000L, $"idcg_micro").as("ndcg_ppm"),
-        coalesce(floorDiv(lit(1000000L), $"first_rel"), lit(0L))
+        fdl($"dcg_micro" * 1000000L, $"idcg_micro").as("ndcg_ppm"),
+        coalesce(fdl(lit(1000000L), $"first_rel"), lit(0L))
           .as("mrr_micro"),
         ($"n_rel_ret" * 100000L).as("p_at10_ppm"),
-        floorDiv($"n_rel_ret" * 1000000L, $"n_rel_total").as("recall_ppm"))
+        fdl($"n_rel_ret" * 1000000L, $"n_rel_total").as("recall_ppm"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -1009,25 +1009,34 @@ object TextOps {
     (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
-    // per-position rows via generate_series + string_agg ORDER BY i;
-    // string_agg skips NULLs (the unmasked positions) and COALESCE
-    // pins the no-masked-token doc to '' like Spark's empty array_join
+    // HOF spelling, mirroring the Spark plan shape: per-doc
+    // list_transform over generate_series — NO per-position row
+    // explosion. The earlier unnest + ordered-string_agg spelling blew
+    // DuckDB's mmap allocator at sf10 (10⁸ position rows re-sorted per
+    // doc); this one's memory is per-document, so the oracle survives
+    // every sf the Spark side does. COALESCE pins the no-masked-token
+    // doc to '' like Spark's empty array_join (array_to_string of the
+    // empty filtered list is NULL in DuckDB).
     "d_mask_tokens" -> {
       val h = hash48Sql(
         "'mk:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")
       s"""WITH d AS (
          |  SELECT doc_id, $ToksSql AS ts FROM documents),
-         |t AS (
-         |  SELECT doc_id, i, ts[i] AS tok, $h % 100 < 15 AS m
-         |  FROM d, unnest(generate_series(1, len(ts))) AS u(i)
-         |  WHERE len(ts) >= 1)
+         |f AS (
+         |  SELECT doc_id, ts,
+         |         list_transform(generate_series(1, len(ts)),
+         |           i -> $h % 100 < 15) AS flags
+         |  FROM d WHERE len(ts) >= 1)
          |SELECT doc_id,
-         |       string_agg(CASE WHEN m THEN '<mask>' ELSE tok END, ' '
-         |         ORDER BY i) AS input_text,
-         |       COALESCE(string_agg(CASE WHEN m THEN tok END, ' '
-         |         ORDER BY i), '') AS target_text,
-         |       CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
-         |FROM t GROUP BY 1""".stripMargin
+         |       array_to_string(list_transform(generate_series(1, len(ts)),
+         |         i -> CASE WHEN flags[i] THEN '<mask>' ELSE ts[i] END),
+         |         ' ') AS input_text,
+         |       COALESCE(array_to_string(list_filter(list_transform(
+         |         generate_series(1, len(ts)),
+         |         i -> CASE WHEN flags[i] THEN ts[i] ELSE NULL END),
+         |         x -> x IS NOT NULL), ' '), '') AS target_text,
+         |       CAST(len(list_filter(flags, x -> x)) AS BIGINT) AS n_masked
+         |FROM f""".stripMargin
     },
 
     // 1-based list indexing (ts[i], ts[i+1]) mirrors Spark's 0-based

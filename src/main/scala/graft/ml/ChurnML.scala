@@ -291,17 +291,29 @@ object ChurnML {
       pmod(graft.llm.TextOps.hash48(col("USR_NUM_ID").cast("string")),
         lit(k.toLong)))
     wide.cache(); wide.count()
-    val rows = (0 until k).map { f =>
-      val train = wide.filter($"fold" =!= f)
-      val model = pipeline("lr", lrIter = lrIter).fit(train)
-      val pred = model.transform(wide.filter($"fold" === f))
-        .withColumn("prob1", Metrics.positiveProb(col("probability")))
-        .cache()
-      val aucV = Metrics.auc(pred)
-      val (nTr, nTe) = (train.count(), pred.count())
-      pred.unpersist()
-      (f.toLong, nTr, nTe, aucV)
-    }
+    // the k fold fits are independent jobs over the SAME cached frame —
+    // submit them from concurrent threads (the PQ sub-fit pattern,
+    // Similarity.scala; CrossValidator's own `parallelism` knob does the
+    // same) instead of serializing k× the fit wall. Each thread builds
+    // its own pipeline instance, so fits share nothing but the cache;
+    // per-fold metrics are deterministic and Future.sequence keeps the
+    // emitted fold order.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rows = Await.result(Future.sequence((0 until k).map { f =>
+      Future {
+        val train = wide.filter($"fold" =!= f)
+        val model = pipeline("lr", lrIter = lrIter).fit(train)
+        val pred = model.transform(wide.filter($"fold" === f))
+          .withColumn("prob1", Metrics.positiveProb(col("probability")))
+          .cache()
+        val aucV = Metrics.auc(pred)
+        val (nTr, nTe) = (train.count(), pred.count())
+        pred.unpersist()
+        (f.toLong, nTr, nTe, aucV)
+      }
+    }), Duration.Inf)
     wide.unpersist()
     rows.toDF("fold", "n_train", "n_test", "auc")
   }

@@ -602,17 +602,15 @@ object Relational {
       .select($"part_a".as("ante"), $"part_b".as("cons"), $"sup_pair")
       .union(pairSup
         .select($"part_b".as("ante"), $"part_a".as("cons"), $"sup_pair"))
-    def floorDiv(num: Column, den: Column): Column =
-      ((num - pmod(num, den)) / den).cast("long")
     rules
       .join(broadcast(itemSup.select($"pk".as("ante"), $"sup_item".as("sup_ante"))), "ante")
       .join(broadcast(itemSup.select($"pk".as("cons"), $"sup_item".as("sup_cons"))), "cons")
       .crossJoin(broadcast(baskets))
       .withColumn("conf_ppm",
-        floorDiv($"sup_pair" * 1000000L, $"sup_ante"))
+        floorDiv($"sup_pair" * 1000000L, $"sup_ante").cast("long"))
       .withColumn("lift_ppm",
         floorDiv($"sup_pair".cast("decimal(38,0)") * $"n_baskets" * 1000000L,
-          $"sup_ante".cast("decimal(38,0)") * $"sup_cons"))
+          $"sup_ante".cast("decimal(38,0)") * $"sup_cons").cast("long"))
       .filter($"conf_ppm" >= 100000L)
       .select($"ante", $"cons", $"sup_pair", $"sup_ante", $"sup_cons",
         $"conf_ppm", $"lift_ppm")

@@ -22,6 +22,22 @@ import graft.util.Cols._
   * explicit timeout — the pattern for state Spark's built-ins can't
   * express.
   */
+/** µs-held timestamp codec shared by the stateful ops (the
+  * latestState/sessionize lesson: getTime-millis folding silently
+  * truncates emitted timestamps against µs event data). A standalone
+  * Serializable object — NOT methods on StreamingWindows — so that
+  * state-function closures capture only this tiny module instead of
+  * dragging the non-serializable enclosing object onto executors. */
+private[streaming] object Micros extends Serializable {
+  def toMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+  def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+}
+
 object StreamingWindows {
 
   val EventSchema: StructType = StructType(Seq(
@@ -132,16 +148,7 @@ object StreamingWindows {
 
   def runningCounts(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    // µs-held state (the latestState/sessionize lesson, applied to the
-    // third stateful op): getTime-millis folding silently truncates the
-    // emitted last_ts against µs event data.
-    def toMicros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
-    def fromMicros(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
+    import Micros.{toMicros, fromMicros}
     typedRows(spark, events)
       .groupByKey(_.user_id)
       .mapGroupsWithState[UserState, UserCount](GroupStateTimeout.NoTimeout) {
@@ -262,15 +269,7 @@ object StreamingWindows {
                  gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
     val gapUs = gapMinutes * 60000000L
-    // local defs: a method on the enclosing (non-serializable) object
-    // would drag StreamingWindows$ into the state-function closure
-    def toMicros(t: java.sql.Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
-    def fromMicros(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
+    import Micros.{toMicros, fromMicros}
     def out(u: Long, s: SessState): SessionOut =
       SessionOut(u, fromMicros(s.start),
         fromMicros(s.last + gapUs), s.n, s.sumCents / 100.0)

@@ -57,9 +57,15 @@ object Cols {
   /** Exact floor(num/den) via the positive-mod subtraction — correct on
     * long AND decimal columns, negative numerators included (plain
     * integer division truncates toward zero and disagrees with DuckDB's
-    * // on the negative half). Callers cast the result width. */
-  def floorDiv(num: Column, den: Column): Column =
-    (num - pmod(num, den)) / den
+    * // on the negative half). The numerator is forced into DECIMAL(38,0)
+    * FIRST: Spark's Divide casts two integral operands to double, which
+    * is exact only below 2^53 — decimal/integral division stays
+    * decimal-exact at any magnitude the type holds. Callers cast the
+    * result width. */
+  def floorDiv(num: Column, den: Column): Column = {
+    val n = num.cast(DecimalType(38, 0))
+    (n - pmod(n, den)) / den
+  }
 
   /** Exact parts-per-million floor num·10⁶/den with the scale-up in
     * DECIMAL BEFORE the multiply (a long·long product wraps first at

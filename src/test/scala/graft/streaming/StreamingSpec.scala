@@ -318,6 +318,85 @@ class StreamingSpec extends SparkSpec {
     assert(sinkIds() == Seq(1L, 2L, 3L))
   }
 
+  test("STATEFUL restart from checkpoint: window state recovers, final sink equals the uninterrupted run") {
+    import spark.implicits._
+    // The recovery property a 100 TB ingest actually relies on, beyond
+    // the stateless offset-log test above: the AGGREGATION STATE STORE
+    // (open windows + watermark) is restored from the checkpoint, so a
+    // window whose events straddle the kill/restart boundary still
+    // aggregates ALL of them, and the final file-sink contents are
+    // byte-identical to a run that was never interrupted (exactly-once:
+    // nothing lost, nothing duplicated, nothing double-counted).
+    val root = Files.createTempDirectory("stream-state-ckpt")
+    def mkdir(p: String): String = { Files.createDirectories(Paths.get(p)); p }
+    def addFile(dir: String, name: String,
+                rows: Seq[(Timestamp, String, Double)]): Unit = {
+      val stage = Files.createTempDirectory("stage").toString
+      rows.toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    def drain(src: String, out: String, ckpt: String): Unit = {
+      val q = StreamingWindows.tumbling(
+          spark.readStream.schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+            .parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sink(out: String): Seq[(Timestamp, Timestamp, String, Long, Double)] =
+      spark.read.schema(
+          "w_start TIMESTAMP, w_end TIMESTAMP, event_type STRING, n BIGINT, sum_value DOUBLE")
+        .parquet(out)
+        .as[(Timestamp, Timestamp, String, Long, Double)]
+        .collect().sortBy(r => (r._1.getTime, r._3)).toSeq
+
+    // batch1 leaves window [12:00,13:00) OPEN in state (watermark 11:59);
+    // batch2's 12:30 click must merge into that recovered state.
+    val batch1 = Seq(
+      (ts("2024-01-01 10:10:00"), "click", 1.0),
+      (ts("2024-01-01 10:50:00"), "click", 2.0),
+      (ts("2024-01-01 11:20:00"), "view",  3.0),
+      (ts("2024-01-01 12:10:00"), "click", 4.0),
+      (ts("2024-01-01 12:59:00"), "view",  5.0))
+    val batch2 = Seq(
+      (ts("2024-01-01 12:30:00"), "click", 6.0),
+      (ts("2024-01-01 13:40:00"), "view",  7.0),
+      (ts("2024-01-01 16:00:00"), "click", 8.0))
+
+    // interrupted: half the files, stop, add the rest, restart from ckpt
+    val in = mkdir(s"$root/in")
+    addFile(in, "f1.parquet", batch1)
+    drain(in, s"$root/out", s"$root/ckpt")
+    val afterKill = sink(s"$root/out")
+    // only [10,11) click is finalized at watermark 11:59 — the spanning
+    // window must still be open state, not emitted output
+    assert(afterKill.map(_._1) == Seq(ts("2024-01-01 10:00:00")), s"run1 emitted $afterKill")
+    addFile(in, "f2.parquet", batch2)
+    drain(in, s"$root/out", s"$root/ckpt")
+
+    // uninterrupted: same data, one run, fresh sink + checkpoint
+    val inFull = mkdir(s"$root/in_full")
+    addFile(inFull, "f1.parquet", batch1)
+    addFile(inFull, "f2.parquet", batch2)
+    drain(inFull, s"$root/out_full", s"$root/ckpt_full")
+
+    val got  = sink(s"$root/out")
+    val want = sink(s"$root/out_full")
+    assert(got == want && got.nonEmpty, s"restart run $got != uninterrupted $want")
+    // the boundary-spanning window aggregated BOTH sides of the restart
+    val spanning = got.filter(r => r._1 == ts("2024-01-01 12:00:00") && r._3 == "click")
+    assert(spanning == Seq((ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00"), "click", 2L, 10.0)),
+      s"spanning window $spanning")
+    // exactly-once: no window emitted twice across the two runs
+    assert(got.map(r => (r._1, r._3)).distinct.size == got.size)
+  }
+
   test("foreachBatch JDBC sink stays idempotent under batch replay") {
     import spark.implicits._
     // The production streaming→warehouse pattern: foreachBatch gives
