@@ -129,6 +129,10 @@ object Retrieval {
     val m2 = idealTop.agg(
       sum($"grade" * element_at(w, $"irk".cast("int"))).as("idcg_micro"))
     val m3 = grades.agg(count(lit(1)).as("n_rel_total"))
+    // the long-space ·10⁶ pre-multiplies below are safe at ANY corpus
+    // size: every numerator is @10-bounded (DCG/hit counts over the
+    // top-10 ranking), never fact-scaled — the m13 headroom lesson
+    // doesn't apply to rank-truncated scalars
     def fdl(num: Column, den: Column): Column =
       graft.util.Cols.floorDiv(num, den).cast("long")
     m1.crossJoin(m2).crossJoin(m3)

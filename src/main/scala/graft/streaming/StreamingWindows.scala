@@ -8,20 +8,6 @@ import org.apache.spark.sql.types._
 
 import graft.util.Cols._
 
-/** Structured Streaming twins of the batch event-time windows
-  * ([[graft.llm.EventWindows]]): readStream → watermark → windowed agg →
-  * sink. The reference has no streaming (SURVEY §2.9 — its Kafka deps are
-  * dead pom weight); this is the extension surface for the `events`
-  * table, built so batch and stream produce IDENTICAL results on a
-  * finite input (verified in StreamingSpec).
-  *
-  * Scale notes: watermark bounds state; tumbling windows keyed by
-  * (window, type) shuffle once; session windows use Spark's native
-  * session_window state merging. mapGroupsWithState demonstrates the
-  * custom-state escape hatch (per-user running counters) with an
-  * explicit timeout — the pattern for state Spark's built-ins can't
-  * express.
-  */
 /** µs-held timestamp codec shared by the stateful ops (the
   * latestState/sessionize lesson: getTime-millis folding silently
   * truncates emitted timestamps against µs event data). A standalone
@@ -38,6 +24,20 @@ private[streaming] object Micros extends Serializable {
   }
 }
 
+/** Structured Streaming twins of the batch event-time windows
+  * ([[graft.llm.EventWindows]]): readStream → watermark → windowed agg →
+  * sink. The reference has no streaming (SURVEY §2.9 — its Kafka deps are
+  * dead pom weight); this is the extension surface for the `events`
+  * table, built so batch and stream produce IDENTICAL results on a
+  * finite input (verified in StreamingSpec).
+  *
+  * Scale notes: watermark bounds state; tumbling windows keyed by
+  * (window, type) shuffle once; session windows use Spark's native
+  * session_window state merging. mapGroupsWithState demonstrates the
+  * custom-state escape hatch (per-user running counters) with an
+  * explicit timeout — the pattern for state Spark's built-ins can't
+  * express.
+  */
 object StreamingWindows {
 
   val EventSchema: StructType = StructType(Seq(

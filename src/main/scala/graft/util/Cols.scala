@@ -59,9 +59,14 @@ object Cols {
     * integer division truncates toward zero and disagrees with DuckDB's
     * // on the negative half). The numerator is forced into DECIMAL(38,0)
     * FIRST: Spark's Divide casts two integral operands to double, which
-    * is exact only below 2^53 — decimal/integral division stays
-    * decimal-exact at any magnitude the type holds. Callers cast the
-    * result width. */
+    * is exact only below 2^53 — decimal division is exact while the
+    * QUOTIENT fits 32 digits (Spark's precision-loss rule keeps 6
+    * fractional digits on a capped decimal divide, leaving 10³² integer
+    * headroom — far above every ppm/milli chain here; past it the
+    * division NULLs rather than wraps). Precondition: den > 0 (or the
+    * caller guards den ≤ 0 — m20's degenerate-class CASE is the model;
+    * an unguarded 0 is a silent Spark NULL vs a DuckDB raise).
+    * Callers cast the result width. */
   def floorDiv(num: Column, den: Column): Column = {
     val n = num.cast(DecimalType(38, 0))
     (n - pmod(n, den)) / den
