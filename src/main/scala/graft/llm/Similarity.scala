@@ -394,6 +394,122 @@ object Similarity {
         $"rank".cast("long").as("rank"))
   }
 
+  /** IVF-PQ — the production trillion-vector ANN layout, composing the
+    * two tiers above: IVF bounds WHICH vectors are scored (nprobe
+    * coarse lists per query instead of the corpus) and PQ bounds WHAT
+    * is read per candidate (m sub-codes instead of the raw vector).
+    * Codes are trained and assigned on RESIDUALS (v − coarse centroid),
+    * the IVFADC layout of Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search" (TPAMI 2011), §IV: residuals concentrate
+    * near 0, so a 16-entry-per-subspace book quantizes them far tighter
+    * than raw vectors at equal bits.
+    *
+    * TRAIN: one coarse KMeans(nlist) + m per-subspace KMeans(ncodes)
+    * fits on a deterministic hash-sample of residuals (codebooks are
+    * driver metadata — the PQ convention; sub-fits submitted from
+    * concurrent threads like topkPq's). ENCODE: one 16-row broadcast
+    * join attaches centroids, one map-side zip_with forms residuals,
+    * m assigns — the (vec_id, list_id, c0..c7) code table is the
+    * artifact a real pipeline persists. SCORE: probe routing and the
+    * per-(query, probed-list) ADC tables are driver-built from the
+    * query's OWN residual against that list's centroid (nprobe·m·ncodes
+    * doubles per query); candidates attach by an equi-join on list_id
+    * to the broadcast probe rows — only probed lists are ever touched
+    * (the IVF economy), each candidate costs m array lookups (the PQ
+    * economy) — then the 10·k ADC shortlist is exactly re-ranked
+    * against raw vectors, never the corpus.
+    *
+    * No DuckDB oracle (two layers of engine-internal KMeans, like
+    * sim_topk_ivf/sim_topk_pq); SimilaritySpec floors recall@k vs the
+    * hash-green brute twin and pins re-run determinism. */
+  def topkIvfPq(spark: SparkSession, dir: String, k: Int = TopK,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ncodes: Int = 16): DataFrame = {
+    import spark.implicits._
+    val subDim = 64 / m
+    val e = emb(spark, dir)
+    val coarse = new KMeans().setK(nlist).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("list_id")
+      .fit(e.withColumn("fv", array_to_vector($"v")))
+    val centArr: Array[Array[Double]] = coarse.clusterCenters.map(_.toArray)
+    val centDf = centArr.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("list_id", "cent")
+    // ONE coarse-assigned + residual lineage feeds both the codebook
+    // training sample and the full encode (the house pinned-base rule)
+    val assigned = coarse
+      .transform(e.withColumn("fv", array_to_vector($"v")))
+      .select($"vec_id", $"v", $"list_id")
+      .join(broadcast(centDf), "list_id")
+      .withColumn("res", zip_with($"v", $"cent", (x, y) => x - y))
+      .select($"vec_id", $"list_id", $"v", $"res")
+      .localCheckpoint(false)
+    def sliceCol(s: Int): Column =
+      array_to_vector(slice($"res", lit(s * subDim + 1), lit(subDim)))
+    val trainSet = assigned.filter(
+      TextOps.hash48(concat(lit("ivfpq:"), $"vec_id".cast("string"))) % 5 === 0)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val books = Await.result(Future.sequence((0 until m).map { s =>
+      Future {
+        new KMeans().setK(ncodes).setSeed(142L + s).setMaxIter(10)
+          .setFeaturesCol("fv").setPredictionCol(s"c$s")
+          .fit(trainSet.select(sliceCol(s).as("fv")))
+      }
+    }), Duration.Inf)
+    var coded = assigned
+    books.zipWithIndex.foreach { case (b, s) =>
+      coded = b.transform(coded.withColumn("fv", sliceCol(s))).drop("fv")
+    }
+    val codes = coded.select(
+        $"vec_id" +: $"list_id" +: (0 until m).map(s => col(s"c$s")): _*)
+      .localCheckpoint(false)
+    // driver-side probe routing + residual ADC tables — bounded at
+    // NumQueryVecs·nprobe·m·ncodes doubles (the IVF/PQ metadata rule)
+    val qvs = e.filter($"vec_id" < NumQueryVecs)
+      .select($"vec_id", $"v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeRows = qvs.toSeq.flatMap { case (qid, qv) =>
+      val near = centArr.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < qv.length) { val x = qv(j) - c(j); d += x * x; j += 1 }
+        (i, d)
+      }.sortBy(t => (t._2, t._1)).take(nprobe).map(_._1)
+      near.map { li =>
+        val qres = Array.tabulate(qv.length)(j => qv(j) - centArr(li)(j))
+        val dt: Seq[Seq[Double]] = (0 until m).map { s =>
+          val qs = qres.slice(s * subDim, (s + 1) * subDim)
+          books(s).clusterCenters.toSeq.map { c =>
+            val ca = c.toArray; var d = 0.0; var i = 0
+            while (i < subDim) { val x = qs(i) - ca(i); d += x * x; i += 1 }
+            d
+          }
+        }
+        (qid, li, dt)
+      }
+    }
+    val probeDf = probeRows.toDF("query_id", "list_id", "dt")
+    val adc = (0 until m).map(s =>
+      element_at(element_at($"dt", s + 1), col(s"c$s") + 1)).reduce(_ + _)
+    val scored = codes.join(broadcast(probeDf), Seq("list_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("adc_l2sq", adc)
+    val wAdc = Window.partitionBy($"query_id")
+      .orderBy($"adc_l2sq".asc, $"vec_id".asc)
+    val shortlist = scored.withColumn("r0", row_number().over(wAdc))
+      .filter($"r0" <= k * 10)
+      .select($"query_id", $"vec_id")
+    val q = e.filter($"vec_id" < NumQueryVecs)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val refined = shortlist.join(e, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("cosine", dot($"qv", $"v"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)
+    refined.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cosine",
+        $"rank".cast("long").as("rank"))
+  }
+
   /** f13: per-vector array analytics via higher-order functions — norm,
     * sparsity, max, clipped mean, all computed INSIDE the array column
     * (no explode → no row blowup, no shuffle; a pure map-side op like
@@ -496,6 +612,7 @@ object Similarity {
     "sim_topk_lsh"   -> ((s, d) => topkLsh(s, d)),
     "sim_topk_ivf"   -> ((s, d) => topkIvf(s, d)),
     "sim_topk_pq"    -> ((s, d) => topkPq(s, d)),
+    "sim_topk_ivfpq" -> ((s, d) => topkIvfPq(s, d)),
     "sim_knn_graph"  -> ((s, d) => knnGraph(s, d)),
     "f13_higher_order" -> hof,
     "f14_quantize"   -> quant)

@@ -1176,7 +1176,55 @@ object Relational {
           .cast("long").as("mean_cents_milli"))
   }
 
+  // ---- O9 (extension): WALK-FORWARD time split — the leakage-safe CV
+  // for temporal data (the churn label is a FUTURE window, so a random
+  // k-fold split leaks future purchases into training; sklearn
+  // TimeSeriesSplit semantics with an embargo gap). The timeline is cut
+  // into k+1 equal segments; fold i trains on everything STRICTLY
+  // before segment i's start minus a 7-day embargo (events whose
+  // influence straddles the boundary would otherwise leak label
+  // information backwards) and tests on segment i, with the last fold's
+  // test window absorbing the division remainder. All boundaries are
+  // exact integer day-offsets (floorDiv of the span), so both engines
+  // compute identical fold frames. Scale shape: one stats pass (1-row
+  // min/span broadcast) + ONE conditional aggregate carrying all 2k
+  // fold counts — the fact is never replicated k× (the oracle's
+  // fold-cross-join spelling is the naive twin, not the plan).
+  private val o9: Q = (spark, dir) => {
+    import spark.implicits._
+    val k = 4
+    val embargo = 7
+    val o = Tables.load(spark, dir, "orders")
+      .select(to_date($"o_orderdate").as("d"))
+    val stats = o.agg(min($"d").as("dmin"),
+      (datediff(max($"d"), min($"d")) + 1).cast("long").as("t_days"))
+    val withDay = o.crossJoin(broadcast(stats))
+      .select(datediff($"d", $"dmin").cast("long").as("day"), $"t_days",
+        floorDiv($"t_days", lit((k + 1).toLong)).cast("long").as("seg"))
+    def testEnd(i: Int): Column =
+      if (i == k) $"t_days" else $"seg" * (i + 1)
+    val aggCols = (1 to k).flatMap { i =>
+      Seq(
+        sum(when($"day" < $"seg" * i - embargo, 1L).otherwise(0L)).as(s"tr$i"),
+        sum(when($"day" >= $"seg" * i && $"day" < testEnd(i), 1L)
+          .otherwise(0L)).as(s"te$i"))
+    }
+    val one = withDay.groupBy($"t_days", $"seg")
+      .agg(aggCols.head, aggCols.tail: _*)
+    val folds = (1 to k).map { i =>
+      struct(lit(i.toLong).as("fold"),
+        col(s"tr$i").as("train_n"), col(s"te$i").as("test_n"),
+        ($"seg" * i - embargo).cast("long").as("train_end_day"),
+        ($"seg" * i).cast("long").as("test_start_day"),
+        testEnd(i).cast("long").as("test_end_day"))
+    }
+    one.select(explode(array(folds: _*)).as("f"))
+      .select($"f.fold", $"f.train_n", $"f.test_n",
+        $"f.train_end_day", $"f.test_start_day", $"f.test_end_day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "o9_walkforward_split" -> o9,
     "o8_poisson_bootstrap" -> o8,
     "a22_unpivot"        -> a22,
     "s1_scan_dates"      -> s1,
@@ -1232,6 +1280,34 @@ object Relational {
     "t2_recency_window"  -> t2)
 
   val oracles: Map[String, String] = Map(
+    // the naive fold-cross-join twin of the Spark side's single
+    // conditional aggregate: identical integer day-offset boundaries
+    // (seg = t_days // 5), last fold's test end = t_days
+    "o9_walkforward_split" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders),
+        |st AS (SELECT MIN(d) AS dmin,
+        |              CAST(date_diff('day', MIN(d), MAX(d)) + 1 AS BIGINT)
+        |                AS t_days
+        |       FROM o),
+        |cfg AS (SELECT t_days, t_days // 5 AS seg FROM st),
+        |dy AS (SELECT CAST(date_diff('day', st.dmin, o.d) AS BIGINT) AS day
+        |       FROM o, st),
+        |f AS (SELECT CAST(i AS BIGINT) AS fold
+        |      FROM unnest(generate_series(1, 4)) AS u(i))
+        |SELECT f.fold,
+        |  CAST(SUM(CASE WHEN dy.day < cfg.seg * f.fold - 7
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS train_n,
+        |  CAST(SUM(CASE WHEN dy.day >= cfg.seg * f.fold AND dy.day <
+        |           (CASE WHEN f.fold = 4 THEN cfg.t_days
+        |                 ELSE cfg.seg * (f.fold + 1) END)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS test_n,
+        |  CAST(cfg.seg * f.fold - 7 AS BIGINT) AS train_end_day,
+        |  CAST(cfg.seg * f.fold AS BIGINT) AS test_start_day,
+        |  CAST(CASE WHEN f.fold = 4 THEN cfg.t_days
+        |            ELSE cfg.seg * (f.fold + 1) END AS BIGINT) AS test_end_day
+        |FROM dy, cfg, f
+        |GROUP BY f.fold, cfg.seg, cfg.t_days""".stripMargin,
+
     // same integer CDF thresholds; CASE tests ascending so the smallest
     // matching threshold wins, mirroring the Spark fold
     "o8_poisson_bootstrap" -> {

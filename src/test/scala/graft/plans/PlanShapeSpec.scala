@@ -186,7 +186,11 @@ class PlanShapeSpec extends SparkSpec {
     // pair frame — nothing after the scan is row-scaled
     ("m22_corr", 3),
     // PSI: a19's bin-agg shape + the 1-row (totals, B) attach
-    ("m24_psi", 5))) {
+    ("m24_psi", 5),
+    // walk-forward split: 1-row (dmin, span) attach + ONE conditional
+    // aggregate carrying all 2k fold counts — the fact is never
+    // replicated k× (that's the oracle's naive spelling, not the plan)
+    ("o9_walkforward_split", 4))) {
     test(s"$name plan: one-row stat attach only, ≤$maxExchanges exchanges") {
       val p = planOf(name)
       assert(count(p, "Expand") == 0 && count(p, "CartesianProduct") == 0)
