@@ -56,12 +56,88 @@ object EventWindows {
         $"n_events", $"sum_value")
   }
 
+  /** ev_lateness_audit: OUT-OF-ORDERNESS measurement — the datum a
+    * watermark delay is sized FROM. The streaming twins
+    * ([[graft.streaming.StreamingWindows]]) all declare a delay
+    * ("1 hour", "30 minutes"); in production that number comes from
+    * measuring how late events actually arrive, or the watermark
+    * silently drops the tail. Per user, in ARRIVAL order (event_id is
+    * the ingest-sequence proxy), an event's lateness is how far the
+    * already-seen event-time high-water mark is ahead of it:
+    * late_us = max(0, max(ts) over previous arrivals − ts), exact µs
+    * integers. Emitted as a bucketed histogram (in-order / ≤1m / ≤10m /
+    * ≤1h / ≤12h / beyond) with per-bucket max — read off the bucket
+    * that bounds your tolerated drop rate and that's the delay.
+    *
+    * The testdata generator emits events in event-time order, so a raw
+    * event_id arrival order measures a vacuous all-in-order stream;
+    * ingest disorder is therefore PLANTED (the m21/d_pii_scrub planted-
+    * mask convention): each event's arrival sequence is its event time
+    * plus a deterministic 0–2 h hash jitter — the "events reach the
+    * collector within two hours, out of order" regime. On a real stream
+    * drop the jitter and order by the ingest sequence column.
+    * Scale shape: ONE bounded-key window pass (partition = user, the
+    * per-key arrival order a sharded ingest actually guarantees — a
+    * GLOBAL arrival order would be a single-partition sort at 100 TB)
+    * + one tiny aggregate. */
+  private val lateness: Q = (spark, dir) => {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"arr_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("arr_us", $"us" +
+        pmod(graft.llm.TextOps.hash48(
+          concat(lit("arr:"), $"event_id".cast("string"))), lit(7200L))
+          * 1000000L)
+      .withColumn("late_us",
+        greatest(lit(0L), coalesce(max($"us").over(w), $"us") - $"us"))
+    val bucket = when($"late_us" === 0L, "0_inorder")
+      .when($"late_us" <= 60000000L, "1_le_1m")
+      .when($"late_us" <= 600000000L, "2_le_10m")
+      .when($"late_us" <= 3600000000L, "3_le_1h")
+      .when($"late_us" <= 43200000000L, "4_le_12h")
+      .otherwise("5_gt_12h")
+    late.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), max($"late_us").as("max_late_us"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_lateness_audit" -> lateness,
     "ev_tumbling" -> tumbling,
     "ev_sliding"  -> sliding,
     "ev_session"  -> session)
 
   val oracles: Map[String, String] = Map(
+    // same per-user previous-arrivals running max in exact µs integers,
+    // same planted 0-2h arrival jitter
+    "ev_lateness_audit" -> {
+      val hj = graft.llm.TextOps.hash48Sql(
+        "'arr:' || CAST(event_id AS VARCHAR)")
+      s"""WITH e AS (
+        |  SELECT user_id, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) +
+        |           ((($hj % 7200) + 7200) % 7200) * 1000000 AS arr_us
+        |  FROM events),
+        |l AS (
+        |  SELECT GREATEST(0, COALESCE(
+        |           MAX(us) OVER (PARTITION BY user_id
+        |             ORDER BY arr_us, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           us) - us) AS late_us
+        |  FROM e)
+        |SELECT CASE WHEN late_us = 0 THEN '0_inorder'
+        |            WHEN late_us <= 60000000 THEN '1_le_1m'
+        |            WHEN late_us <= 600000000 THEN '2_le_10m'
+        |            WHEN late_us <= 3600000000 THEN '3_le_1h'
+        |            WHEN late_us <= 43200000000 THEN '4_le_12h'
+        |            ELSE '5_gt_12h' END AS bucket,
+        |       COUNT(*) AS n, CAST(MAX(late_us) AS BIGINT) AS max_late_us
+        |FROM l GROUP BY 1""".stripMargin
+    },
+
     "ev_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
         |       time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS w_end,

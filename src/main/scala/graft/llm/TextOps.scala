@@ -947,7 +947,38 @@ object TextOps {
       size(filter($"flags", f => f)).cast("long").as("n_masked"))
   }
 
+  /** d_pii_scrub: PII REDACTION — the compliance pass every pretraining
+    * corpus runs before release (emails/phones → placeholder tokens),
+    * with per-doc detection counts for the removal audit. The synthetic
+    * corpus carries no real PII, so matches are PLANTED under the m21
+    * convention (a deterministic hash mask makes the scrub
+    * oracle-checkable instead of vacuous): every 7th-hash doc gains two
+    * emails, every 11th-hash doc a phone number, then the scrubber runs
+    * over the augmented text exactly as it would over a real crawl.
+    * Patterns stay in the character-class subset where Java regex
+    * (Spark) and RE2 (DuckDB) agree; Spark's regexp_replace is
+    * all-occurrences by default, DuckDB needs the 'g' flag — both
+    * spelled. Pure map-side: ZERO exchanges, re-runnable per shard. */
+  private val piiScrub: Q = (spark, dir) => {
+    import spark.implicits._
+    val emailRe = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val aug = Tables.load(spark, dir, "documents")
+      .select($"doc_id", concat($"text",
+        when(hash48(concat(lit("pii:"), $"doc_id".cast("string"))) % 7 === 0,
+          lit(" contact john.doe@example.com or jane@mail.example.org now"))
+          .otherwise(lit("")),
+        when(hash48(concat(lit("piiph:"), $"doc_id".cast("string"))) % 11 === 0,
+          lit(" call 555-123-4567")).otherwise(lit(""))).as("aug"))
+    aug.select($"doc_id",
+      regexp_count($"aug", lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count($"aug", lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace($"aug", emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>").as("clean_text"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d_pii_scrub"      -> piiScrub,
     "d_mask_tokens"    -> maskTokens,
     "d_bigram_lm"      -> bigramLm,
     "d_dataset_card"   -> datasetCard,
@@ -1009,6 +1040,29 @@ object TextOps {
     (0 until MinHashK).map(j => s"${minhashSigSql(j)} AS s$j").mkString(",\n    ")
 
   val oracles: Map[String, String] = Map(
+    // same planted augmentation, same RE2-safe patterns; DuckDB's
+    // regexp_replace is first-match-only without the 'g' flag
+    "d_pii_scrub" -> {
+      val he = hash48Sql("'pii:' || CAST(doc_id AS VARCHAR)")
+      val hp = hash48Sql("'piiph:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH a AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN $he % 7 = 0
+         |      THEN ' contact john.doe@example.com or jane@mail.example.org now'
+         |      ELSE '' END ||
+         |    CASE WHEN $hp % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+         |      AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+'))
+         |    AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+         |    AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(aug,
+         |    '[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+', '<EMAIL>', 'g'),
+         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+         |FROM a""".stripMargin
+    },
     // HOF spelling, mirroring the Spark plan shape: per-doc
     // list_transform over generate_series — NO per-position row
     // explosion. The earlier unnest + ordered-string_agg spelling blew

@@ -59,4 +59,19 @@ class EventWindowsSpec extends SparkSpec {
       .agg(sum($"n")).head().getLong(0)
     assert(n == 5 * 4)
   }
+
+  test("lateness audit: buckets partition the events; in-order bucket has max 0") {
+    import spark.implicits._
+    val out = EventWindows.queries("ev_lateness_audit")(spark, dir)
+      .select($"bucket", $"n", $"max_late_us")
+      .as[(String, Long, Long)].collect()
+    val total = graft.Tables.load(spark, dir, "events").count()
+    // conservation: every event lands in exactly one bucket
+    assert(out.map(_._2).sum == total)
+    assert(out.map(_._1).distinct.length == out.length)
+    out.foreach { case (b, _, mx) =>
+      if (b == "0_inorder") assert(mx == 0L, s"in-order bucket max $mx")
+      else assert(mx > 0L, s"bucket $b with zero max lateness")
+    }
+  }
 }

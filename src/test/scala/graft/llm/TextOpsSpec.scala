@@ -389,4 +389,27 @@ class TextOpsSpec extends SparkSpec {
       assert(est >= n, s"one-sided error, term=$t")
     }
   }
+
+  test("pii scrub: planted PII is fully redacted, untouched docs pass through verbatim") {
+    import spark.implicits._
+    val out = TextOps.queries("d_pii_scrub")(spark, dir)
+      .select($"doc_id", $"n_emails", $"n_phones", $"clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.length == 3)
+    out.foreach { case (id, ne, np, clean) =>
+      // the redaction LAW the oracle's value-parity can't state: no
+      // email/phone survives the scrub, counts equal the placeholders
+      assert(!clean.contains("@"), s"doc $id leaked an email: $clean")
+      assert(!clean.matches(".*[0-9]{3}-[0-9]{3}-[0-9]{4}.*"),
+        s"doc $id leaked a phone: $clean")
+      assert(ne == "<EMAIL>".r.findAllIn(clean).length.toLong, s"doc $id email count")
+      assert(np == "<PHONE>".r.findAllIn(clean).length.toLong, s"doc $id phone count")
+      // a doc with no planted PII must come through byte-identical
+      if (ne == 0 && np == 0) {
+        val orig = Map(0L -> "ab cd ab cd ab cd ab cd ab cd",
+          1L -> "one two three four five six", 2L -> "lonely")(id)
+        assert(clean == orig, s"doc $id mutated without PII: $clean")
+      }
+    }
+  }
 }

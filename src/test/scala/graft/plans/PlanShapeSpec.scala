@@ -201,6 +201,18 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   // r9 third wave: the new operators' scale contracts, pinned.
+  test("ev_lateness_audit: one bounded-key window pass, no global sort") {
+    val p = planOf("ev_lateness_audit")
+    // the contract: arrival order is PER-USER (partitionBy user_id) —
+    // a refactor to a global arrival order would plan a single-
+    // partition sort, the 100 TB killer this op's scaladoc names
+    assert(p.contains("Window"), s"lateness lost its window pass:\n$p")
+    assert(count(p, "Exchange") <= 3, s"lateness exchange budget:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"lateness fell into a single-partition global order:\n$p")
+    assert(count(p, "CartesianProduct") == 0 && count(p, "Expand") == 0)
+  }
+
   test("j9_assoc_rules: dimension supports broadcast, one 1-row basket attach") {
     val p = planOf("j9_assoc_rules")
     assert(count(p, "Expand") == 0 && count(p, "CartesianProduct") == 0)
@@ -400,7 +412,8 @@ class PlanShapeSpec extends SparkSpec {
 
   for (name <- Seq("d_text_stats", "d_lang_id", "d_fingerprint",
                    "d_token_counts", "d_quality_filter",
-                   "f12_json_extract", "d_chunk", "d_winnow")) {
+                   "f12_json_extract", "d_chunk", "d_winnow",
+                   "d_pii_scrub")) {
     test(s"$name stays a pure map-side op: ZERO exchanges") {
       // TextOps' design contract: per-doc text analysis never shuffles.
       val p = planOf(name)
