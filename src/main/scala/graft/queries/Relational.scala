@@ -522,6 +522,31 @@ object Relational {
         dsum($"l_extendedprice").as("revenue"))
   }
 
+  // ---- J17 (extension): RUNTIME BLOOM-FILTER semi-join reduction —
+  // the fourth leg of the runtime-filter family (j16 = Spark's DPP on
+  // partition columns, j12 = manual min-max/IN pushdown to the scan,
+  // AqeSkewSpec = AQE skew split): Spark's InjectRuntimeFilter builds a
+  // bloom over the SELECTIVE dim's join keys and filters the fact rows
+  // BEFORE they shuffle into the join — on a 100 TB fact that is most
+  // of the join's exchange deleted for keys that can't match. The
+  // query itself is a plain selective-dim join (the oracle spells
+  // exactly that); the FEATURE is plan-shaped and threshold-gated
+  // (application side must scan > 10 GB by default, creation side
+  // < 10 MB — i.e. it arms exactly at warehouse scale, not at bench
+  // scale), so PlanShapeSpec pins it by lowering the thresholds and
+  // asserting bloom_filter_might_contain reaches the fact side.
+  private val j17: Q = (spark, dir) => {
+    import spark.implicits._
+    val sel = Tables.load(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    Tables.load(spark, dir, "lineitem")
+      .join(sel, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("long")).as("sum_qty"))
+  }
+
   // post-join aggregate re-combines over (key) exactly like a1's
   // final pass. S=8 turns 3 live reducers into 24 — at 1000 executors
   // you'd size S to the cluster, a config knob, not a plan change.
@@ -1262,6 +1287,7 @@ object Relational {
     "j9_assoc_rules"     -> j9,
     "j11_salted_join"    -> j11,
     "j12_minmax_prune"   -> j12,
+    "j17_bloom_join"     -> j17,
     "w18_rank_suite"     -> w18,
     "a15_histogram"      -> a15,
     "j7_fuzzy_block"     -> j7,
@@ -1586,6 +1612,14 @@ object Relational {
         |SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS support
         |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+
+    "j17_bloom_join" ->
+      """SELECT l_returnflag,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
 
     "j11_salted_join" ->
       """WITH dim AS (SELECT DISTINCT l_returnflag AS rf FROM lineitem)

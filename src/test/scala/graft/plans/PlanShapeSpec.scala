@@ -201,6 +201,30 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   // r9 third wave: the new operators' scale contracts, pinned.
+  test("j17_bloom_join: runtime bloom semi-join reduction reaches the fact side") {
+    // The feature is threshold-gated to warehouse scale (application
+    // side must scan > 10 GB by default) — lower the gates so the
+    // test-sized fact trips the same InjectRuntimeFilter path a 100 TB
+    // fact would, and force the shuffle join the filter exists for
+    // (a broadcast dim needs no bloom).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = planOf("j17_bloom_join")
+      assert(p.contains("might_contain"),
+        s"j17: InjectRuntimeFilter did not arm a bloom on the fact side:\n$p")
+      assert(count(p, "CartesianProduct") == 0 && count(p, "Expand") == 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("ev_lateness_audit: one bounded-key window pass, no global sort") {
     val p = planOf("ev_lateness_audit")
     // the contract: arrival order is PER-USER (partitionBy user_id) —
