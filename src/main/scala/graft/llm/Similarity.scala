@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -312,6 +312,43 @@ object Similarity {
     * No DuckDB oracle (KMeans codebooks are engine-internal, like
     * sim_topk_ivf); SimilaritySpec floors recall@k vs the hash-green
     * exact brute twin and pins determinism. */
+  /** Per-subspace ADC table entry: ‖qs − c‖² for every codebook
+    * centroid — the driver-side kernel shared by the two PQ tiers
+    * (raw-vector PQ and residual IVF-PQ feed it different qs). */
+  private def subspaceDists(qs: Array[Double],
+                            model: KMeansModel): Seq[Double] =
+    model.clusterCenters.toSeq.map { c =>
+      val ca = c.toArray; var d = 0.0; var i = 0
+      while (i < qs.length) { val x = qs(i) - ca(i); d += x * x; i += 1 }
+      d
+    }
+
+  /** The ADC-shortlist → exact-re-rank tail shared by the PQ tiers:
+    * 10·k best code-distance candidates per query (two-phase
+    * WindowGroupLimit), then exact cosines of JUST the shortlist
+    * against raw vectors — shortlist-many dots per query, never
+    * corpus-many, which is the whole economy of PQ at scale. ONE home
+    * so the shortlist factor / tie-break / re-rank join can never
+    * silently diverge between the tiers. */
+  private def shortlistRerank(scored: DataFrame, e: DataFrame,
+                              k: Int): DataFrame = {
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_l2sq").asc, col("vec_id").asc)
+    val shortlist = scored.withColumn("r0", row_number().over(wAdc))
+      .filter(col("r0") <= k * 10)
+      .select(col("query_id"), col("vec_id"))
+    val q = e.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val refined = shortlist.join(e, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("cosine", dot(col("qv"), col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    refined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("rank").cast("long").as("rank"))
+  }
+
   def topkPq(spark: SparkSession, dir: String, k: Int = TopK,
              m: Int = 8, ncodes: Int = 16): DataFrame = {
     import spark.implicits._
@@ -353,14 +390,7 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val probeDf = qvs.toSeq.map { case (qid, qv) =>
       val dt: Seq[Seq[Double]] = (0 until m).map { s =>
-        val qs = qv.slice(s * subDim, (s + 1) * subDim)
-        models(s).clusterCenters.toSeq.map { c =>
-          val ca = c.toArray
-          var d = 0.0
-          var i = 0
-          while (i < subDim) { val x = qs(i) - ca(i); d += x * x; i += 1 }
-          d
-        }
+        subspaceDists(qv.slice(s * subDim, (s + 1) * subDim), models(s))
       }
       (qid, dt)
     }.toDF("query_id", "dt")
@@ -372,26 +402,8 @@ object Similarity {
       .withColumn("adc_l2sq", adc)
     // ADC is a SHORTLIST stage, not the final ranking (the standard
     // ADC+refine layout): quantization error makes code distances too
-    // coarse to order the head exactly, so take a 10·k-candidate
-    // shortlist by ADC (50 here), then re-rank JUST the shortlist against raw
-    // vectors — per query that is shortlist-many exact dots, not
-    // corpus-many, which is the whole economy of PQ at scale.
-    val wAdc = Window.partitionBy($"query_id")
-      .orderBy($"adc_l2sq".asc, $"vec_id".asc)
-    val shortlist = scored.withColumn("r0", row_number().over(wAdc))
-      .filter($"r0" <= k * 10)
-      .select($"query_id", $"vec_id")
-    val q = e.filter($"vec_id" < NumQueryVecs)
-      .select($"vec_id".as("query_id"), $"v".as("qv"))
-    val refined = shortlist
-      .join(e, "vec_id")
-      .join(broadcast(q), "query_id")
-      .withColumn("cosine", dot($"qv", $"v"))
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)
-    refined.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"cosine",
-        $"rank".cast("long").as("rank"))
+    // coarse to order the head exactly — see [[shortlistRerank]].
+    shortlistRerank(scored, e, k)
   }
 
   /** IVF-PQ — the production trillion-vector ANN layout, composing the
@@ -478,12 +490,7 @@ object Similarity {
       near.map { li =>
         val qres = Array.tabulate(qv.length)(j => qv(j) - centArr(li)(j))
         val dt: Seq[Seq[Double]] = (0 until m).map { s =>
-          val qs = qres.slice(s * subDim, (s + 1) * subDim)
-          books(s).clusterCenters.toSeq.map { c =>
-            val ca = c.toArray; var d = 0.0; var i = 0
-            while (i < subDim) { val x = qs(i) - ca(i); d += x * x; i += 1 }
-            d
-          }
+          subspaceDists(qres.slice(s * subDim, (s + 1) * subDim), books(s))
         }
         (qid, li, dt)
       }
@@ -494,20 +501,7 @@ object Similarity {
     val scored = codes.join(broadcast(probeDf), Seq("list_id"))
       .filter($"vec_id" =!= $"query_id")
       .withColumn("adc_l2sq", adc)
-    val wAdc = Window.partitionBy($"query_id")
-      .orderBy($"adc_l2sq".asc, $"vec_id".asc)
-    val shortlist = scored.withColumn("r0", row_number().over(wAdc))
-      .filter($"r0" <= k * 10)
-      .select($"query_id", $"vec_id")
-    val q = e.filter($"vec_id" < NumQueryVecs)
-      .select($"vec_id".as("query_id"), $"v".as("qv"))
-    val refined = shortlist.join(e, "vec_id").join(broadcast(q), "query_id")
-      .withColumn("cosine", dot($"qv", $"v"))
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)
-    refined.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"cosine",
-        $"rank".cast("long").as("rank"))
+    shortlistRerank(scored, e, k)
   }
 
   /** f13: per-vector array analytics via higher-order functions — norm,

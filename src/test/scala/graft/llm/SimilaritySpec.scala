@@ -132,14 +132,17 @@ class SimilaritySpec extends SparkSpec {
     // router or encoder by two orders of magnitude (random ≈ 0.003)
     assert(hit.toDouble / brute.size >= 0.4,
       s"IVF-PQ recall $hit/${brute.size} under floor 0.4")
-    // fixed seeds ⇒ coarse lists ⇒ codebooks ⇒ codes ⇒ identical set
-    val r2 = topkSet(Similarity.topkIvfPq(spark, dir))
-    assert(r1 == r2, "IVF-PQ not deterministic under re-run")
-    // every query emits exactly k rows (shortlist ≥ k by construction)
+    // fixed seeds ⇒ coarse lists ⇒ codebooks ⇒ codes ⇒ identical set;
+    // collect the re-run ONCE and derive both the set and the
+    // per-query counts from it (a third call would re-fit all 9 KMeans
+    // models just to count rows)
     import spark.implicits._
-    val counts = Similarity.topkIvfPq(spark, dir)
-      .groupBy($"query_id").count().select($"count").as[Long].collect()
-    assert(counts.nonEmpty && counts.forall(_ == 5L))
+    val rows2 = Similarity.topkIvfPq(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(r1 == rows2.toSet, "IVF-PQ not deterministic under re-run")
+    // every query emits exactly k rows (shortlist ≥ k by construction)
+    val counts = rows2.groupBy(_._1).values.map(_.length)
+    assert(counts.nonEmpty && counts.forall(_ == 5))
   }
 
   test("knn graph: identical vectors are mutual rank-1; probe rows equal tier-2") {

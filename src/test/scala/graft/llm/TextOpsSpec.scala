@@ -392,10 +392,26 @@ class TextOpsSpec extends SparkSpec {
 
   test("pii scrub: planted PII is fully redacted, untouched docs pass through verbatim") {
     import spark.implicits._
-    val out = TextOps.queries("d_pii_scrub")(spark, dir)
+    // OWN fixture so BOTH plant paths provably fire (hash48-computed:
+    // doc 19 trips the email plant, 'pii:19' ≡ 0 mod 7; doc 2 trips the
+    // phone plant, 'piiph:2' ≡ 0 mod 11; docs 0/1 trip neither) — with
+    // only non-planted ids the email assertions would be VACUOUS and a
+    // paired Spark+oracle regression in the email pattern would pass.
+    val texts = Map(0L -> "ab cd ab cd ab cd ab cd ab cd",
+      1L -> "one two three four five six", 2L -> "lonely",
+      19L -> "mail me maybe")
+    val pdir = Files.createTempDirectory("pii-spec").toString
+    texts.toSeq.map { case (i, t) => (i, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$pdir/documents.parquet")
+    val out = TextOps.queries("d_pii_scrub")(spark, pdir)
       .select($"doc_id", $"n_emails", $"n_phones", $"clean_text")
       .as[(Long, Long, Long, String)].collect()
-    assert(out.length == 3)
+    assert(out.length == 4)
+    val byId = out.map(r => r._1 -> r).toMap
+    // both plant paths demonstrably fired
+    assert(byId(19L)._2 == 2L, s"email plant did not fire: ${byId(19L)}")
+    assert(byId(2L)._3 == 1L, s"phone plant did not fire: ${byId(2L)}")
     out.foreach { case (id, ne, np, clean) =>
       // the redaction LAW the oracle's value-parity can't state: no
       // email/phone survives the scrub, counts equal the placeholders
@@ -405,11 +421,8 @@ class TextOpsSpec extends SparkSpec {
       assert(ne == "<EMAIL>".r.findAllIn(clean).length.toLong, s"doc $id email count")
       assert(np == "<PHONE>".r.findAllIn(clean).length.toLong, s"doc $id phone count")
       // a doc with no planted PII must come through byte-identical
-      if (ne == 0 && np == 0) {
-        val orig = Map(0L -> "ab cd ab cd ab cd ab cd ab cd",
-          1L -> "one two three four five six", 2L -> "lonely")(id)
-        assert(clean == orig, s"doc $id mutated without PII: $clean")
-      }
+      if (ne == 0 && np == 0)
+        assert(clean == texts(id), s"doc $id mutated without PII: $clean")
     }
   }
 }
