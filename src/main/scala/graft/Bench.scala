@@ -52,28 +52,57 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors  = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    selected.foreach { case (name, fn) =>
-      // Entry isolation (VERDICT r8 #5): the driver's in-suite timings ran
-      // up to 5× the isolated ones (j7 18.5 s vs 3.46) because cached wide
-      // tables / broadcasts / localCheckpoint blocks from the preceding
-      // ML+dedup block squeeze the storage pool and GC. Clear the SQL
-      // cache and let the ContextCleaner reap orphaned checkpoint/broadcast
-      // blocks (gc) BEFORE the timed region, so every entry starts from
-      // the same storage state it would see in isolation.
+    // Per-entry diagnostics (VERDICT r10 #1b): the driver's r10 run showed
+    // g1/g2 at ~3× their local numbers with identical plans — a contended
+    // run must be DIAGNOSABLE FROM THE RECORD, so each entry reports its
+    // own GC wall, heap high-water, and storage-pool occupancy before the
+    // timed region / after the last pass. High gc_ms + high heap peak with
+    // storage_pre ≈ 0 reads "external memory pressure, not leaked pins".
+    val diags = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    import scala.jdk.CollectionConverters._
+    import java.lang.management.ManagementFactory
+    val gcBeans = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    def gcMs: Long = gcBeans.map(_.getCollectionTime).sum
+    val heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def storageBytes: Long =
+      spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+
+    // Isolation invariant guard (ADVICE r10): the blanket per-pass
+    // unpersist below assumes no entry reuses persisted state set up
+    // OUTSIDE its own timed region. Persistent RDDs existing before the
+    // first entry (e.g. a future warmup-cached shared frame) would be
+    // silently recomputed by every entry — warn loudly instead.
+    val preExisting = spark.sparkContext.getPersistentRDDs
+    if (preExisting.nonEmpty)
+      System.err.println(s"[bench] WARNING: ${preExisting.size} persistent " +
+        "RDDs exist before the timed loop; per-pass isolation will drop " +
+        "them and their consumers will silently recompute: " +
+        preExisting.values.map(_.name).mkString(", "))
+
+    def isolate(): Unit = {
+      // Entry/pass isolation (VERDICT r8 #5, r10 #1a): cached wide tables /
+      // broadcasts / localCheckpoint blocks from a preceding pass or entry
+      // squeeze the storage pool and GC of the next timed region (the r9
+      // g1_pagerank swing: 12.2 s in-suite vs 4.8 s anchored, same plan —
+      // the checkpoint-heavy dedup block's pins were still resident).
+      // localCheckpoint pins live OUTSIDE the SQL cache and the
+      // ContextCleaner reaps them ASYNCHRONOUSLY after gc — a race — so
+      // drop them synchronously. Since r11 this runs before EVERY pass,
+      // not just every entry: pass 2 of a checkpoint-heavy query used to
+      // run with pass 1's pins still resident (g1 held items+edges+3 rank
+      // checkpoints twice over). Safe: nothing persisted by a finished
+      // pass is ever re-read — queries that deliberately reuse
+      // materialized state across passes do it through DISK artifacts
+      // (scratch parquet / the ANN index store), which isolation never
+      // touches.
       spark.catalog.clearCache()
-      // localCheckpoint pins live OUTSIDE the SQL cache: they are
-      // persisted RDD blocks that clearCache() never touches, and
-      // System.gc() only QUEUES them for the ContextCleaner's async
-      // thread — whether they're gone when the timed region starts is a
-      // race. That race was the r9 g1_pagerank swing (12.2 s in-suite vs
-      // 4.8 s anchored, same plan): the checkpoint-heavy dedup block runs
-      // alphabetically just before g1 and its pinned blocks were still
-      // squeezing the storage pool. Drop them synchronously — nothing
-      // from a finished entry is ever re-read, so a blanket blocking
-      // unpersist is safe and makes entry isolation deterministic.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       System.gc()
+    }
+
+    selected.foreach { case (name, fn) =>
       // Order independence (VERDICT r4 #5): every query — ML fits included
       // since r9 (VERDICT r8 #4: the fits were 143 s of the driver's 288 s
       // and the entire r7→r8 driver-visible regression) — runs twice and
@@ -85,7 +114,12 @@ object Bench {
       // across consecutive runs).
       val passes = 2
       var i = 0
+      var storagePre = 0L
+      val gc0 = gcMs
+      heapPools.foreach(_.resetPeakUsage())
       while (i < passes && !errors.contains(name)) {
+        isolate()
+        if (i == 0) storagePre = storageBytes // post-clear: ≈0 or it leaked
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -100,6 +134,10 @@ object Bench {
         }
         i += 1
       }
+      val heapPeakMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+      diags(name) = s"""{"gc_ms":${gcMs - gc0},"heap_peak_mb":$heapPeakMb,""" +
+        s""""storage_pre_mb":${storagePre >> 20},""" +
+        s""""storage_post_mb":${storageBytes >> 20}}"""
     }
 
     def jstr(s: String): String =
@@ -110,9 +148,10 @@ object Bench {
       } + "\""
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val diagJson = diags.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_ok":${timings.size - errors.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_ok":${timings.size - errors.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"diag":$diagJson}"""
 
     Files.writeString(Paths.get("bench_result.json"), json)
     spark.stop()

@@ -66,9 +66,14 @@ object Cols {
     * division NULLs rather than wraps). Precondition: den > 0 (or the
     * caller guards den ≤ 0 — m20's degenerate-class CASE is the model;
     * an unguarded 0 is a silent Spark NULL vs a DuckDB raise).
-    * Callers cast the result width. */
+    * The numerator is floor()ed BEFORE the decimal cast (ADVICE r10):
+    * every current caller passes an integral num, where floor is the
+    * identity — but the bare cast rounds a fractional double HALF-UP,
+    * so a future fractional caller would silently get round-half-up
+    * semantics instead of a true floor division. Callers cast the
+    * result width. */
   def floorDiv(num: Column, den: Column): Column = {
-    val n = num.cast(DecimalType(38, 0))
+    val n = floor(num).cast(DecimalType(38, 0))
     (n - pmod(n, den)) / den
   }
 
