@@ -1,0 +1,278 @@
+package graft.llm
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Persisted ANN index artifacts (VERDICT r10 #2/#3).
+  *
+  * Until r10 the IVF / PQ / IVF-PQ tiers re-fit their KMeans codebooks
+  * inside every query invocation — fit-dominated cost on every call,
+  * where a production 100 TB engine trains ONCE and serves many. This
+  * store materializes the three artifact kinds as parquet tables:
+  *
+  *   ivf   : cents(list_id, cent DOUBLE[])            — coarse centroids
+  *           codes(vec_id, list_id)                   — inverted lists
+  *   pq    : books(sub, code, cent DOUBLE[])          — m×ncodes codebooks
+  *           codes(vec_id, c0..c{m-1})                — 4 B/vector codes
+  *   ivfpq : cents + books (residual) + codes(vec_id, list_id, c0..c{m-1})
+  *
+  * Layout contract:
+  *  - one directory per (kind, component, corpus signature):
+  *    `<tmpdir>/graft-index/<Version>/<kind>/<component>/sig=<n>_<Σvec_id>` —
+  *    the sig= spelling is DELIBERATE hive partitioning: a DuckDB oracle
+  *    reads the glob with hive_partitioning=1 and filters on the same
+  *    (count, Σvec_id) signature it computes from the embeddings table,
+  *    so the static oracle string finds the right corpus's artifact
+  *    without knowing the sfDir. That is what converts the PQ/IVF tiers
+  *    from "no oracle — KMeans is engine-internal" to hash-checked: the
+  *    codebooks become a pinned parquet input BOTH engines read, and the
+  *    ADC scan + shortlist + exact re-rank is plain arithmetic either
+  *    side can replay bit-exactly (doubles round-trip parquet exactly).
+  *  - [[Version]] pins the hyperparameters; any format/param change bumps
+  *    it rather than silently reusing a stale artifact.
+  *  - writes are write-to-temp + atomic rename, so a concurrent second
+  *    JVM can never observe a half-written index; the loser of the
+  *    rename race discards its copy (both trained the same artifact).
+  *  - ensure*() trains only when the artifact is absent; build/train*()
+  *    never reads the store — `sim_topk_ivfpq` stays the honest
+  *    build-cost benchmark while `sim_topk_ivfpq_cached` (and the pq/ivf
+  *    tiers) measure the serve path.
+  *
+  * At 100 TB the codes tables live wherever the corpus lives (they are
+  * the compressed corpus); only the codebooks/centroids — kilobytes —
+  * are driver metadata. Scoring reads nprobe lists' codes, never vectors.
+  */
+object AnnIndex {
+
+  // Hyperparameters — pinned into Version so artifacts can't go stale
+  // silently. Mirrors Similarity's declared-query configuration.
+  val NList = 16
+  val M = 8
+  val NCodes = 16
+  val Dim = 64
+  val SubDim: Int = Dim / M
+
+  val Version = s"v1-nlist$NList-m$M-nc$NCodes"
+
+  def base: String =
+    Paths.get(sys.props("java.io.tmpdir"), "graft-index", Version).toString
+
+  /** Corpus signature: row count + Σvec_id — cheap on both engines (one
+    * column scan), distinct across every sf tier, and recomputed per
+    * invocation so a regenerated corpus gets a fresh artifact. */
+  def sig(spark: SparkSession, dir: String): String = {
+    val r = Tables.load(spark, dir, "embeddings")
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sv")).head()
+    s"${r.getLong(0)}_${r.getLong(1)}"
+  }
+
+  /** The DuckDB spelling of [[sig]] as a one-row CTE body. */
+  val sigSql: String =
+    "SELECT CAST(count(*) AS VARCHAR) || '_' || CAST(sum(vec_id) AS VARCHAR) AS s FROM embeddings"
+
+  def componentPath(kind: String, component: String, s: String): String =
+    s"$base/$kind/$component/sig=$s"
+
+  /** Oracle-side glob for a component (all sigs; the oracle filters). */
+  def componentGlob(kind: String, component: String): String =
+    s"$base/$kind/$component/sig=*/*.parquet"
+
+  private def ready(p: String): Boolean =
+    Files.exists(Paths.get(p, "_SUCCESS"))
+
+  /** Write-to-temp + atomic rename; the rename loser (target appeared
+    * concurrently) discards its identical copy. */
+  private def writeAtomic(df: DataFrame, target: String): Unit = {
+    val tmp = target + s".tmp-${ProcessHandle.current().pid()}"
+    df.write.mode("overwrite").parquet(tmp)
+    try Files.move(Paths.get(tmp), Paths.get(target),
+      StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileSystemException =>
+        graft.util.Scratch.deleteRecursively(Paths.get(tmp))
+    }
+  }
+
+  // ---- training (shared with the inline-build query) ---------------
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private def coarseFit(e: DataFrame, seed: Long): KMeansModel =
+    new KMeans().setK(NList).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("list_id")
+      .fit(e.withColumn("fv", array_to_vector(col("v"))))
+
+  /** m independent per-subspace KMeans fits over `resCol` slices of the
+    * hash-sampled training set, submitted from concurrent threads (the
+    * fits are independent little jobs; serializing them pays m× the
+    * fixed job latency). Codebooks are trained on a deterministic
+    * ~20% hash sample — k·m centroids need thousands of points, not the
+    * corpus; at 100 TB the sample rate shrinks with corpus size, the
+    * fit cost doesn't grow. */
+  private def fitBooks(trainSet: DataFrame, resCol: String,
+                       seed0: Long): IndexedSeq[KMeansModel] = {
+    def sliceCol(s: Int): Column =
+      array_to_vector(slice(col(resCol), s * SubDim + 1, SubDim))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence((0 until M).map { s =>
+      Future {
+        new KMeans().setK(NCodes).setSeed(seed0 + s).setMaxIter(10)
+          .setFeaturesCol("fv").setPredictionCol(s"c$s")
+          .fit(trainSet.select(sliceCol(s).as("fv")))
+      }
+    }), Duration.Inf)
+  }
+
+  private def assignCodes(base: DataFrame, resCol: String,
+                          books: Seq[KMeansModel]): DataFrame = {
+    def sliceCol(s: Int): Column =
+      array_to_vector(slice(col(resCol), s * SubDim + 1, SubDim))
+    var coded = base
+    books.zipWithIndex.foreach { case (b, s) =>
+      coded = b.transform(coded.withColumn("fv", sliceCol(s))).drop("fv")
+    }
+    coded
+  }
+
+  private def centsDf(spark: SparkSession, m: KMeansModel): DataFrame = {
+    import spark.implicits._
+    m.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toDF("list_id", "cent")
+  }
+
+  private def booksDf(spark: SparkSession,
+                      books: Seq[KMeansModel]): DataFrame = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (b, s) =>
+      b.clusterCenters.zipWithIndex.map { case (c, j) =>
+        (s, j, c.toArray.toSeq)
+      }
+    }.toDF("sub", "code", "cent")
+  }
+
+  /** PQ (raw-vector) train: m per-subspace codebooks + per-vector codes.
+    * Exactly the r10 `sim_topk_pq` training path. */
+  def trainPq(spark: SparkSession,
+              dir: String): (IndexedSeq[KMeansModel], DataFrame) = {
+    val e = emb(spark, dir)
+    val trainSet = e.filter(
+      TextOps.hash48(concat(lit("pq:"), col("vec_id").cast("string"))) % 5 === 0)
+      .localCheckpoint(false)
+    val books = fitBooks(trainSet, "v", seed0 = 42L)
+    val codes = assignCodes(e, "v", books)
+      .select(col("vec_id") +: (0 until M).map(s => col(s"c$s")): _*)
+    (books, codes)
+  }
+
+  /** IVF train: coarse quantizer + inverted-list assignment. */
+  def trainIvf(spark: SparkSession,
+               dir: String): (KMeansModel, DataFrame) = {
+    val e = emb(spark, dir)
+    val model = coarseFit(e, seed = 42L)
+    val codes = model
+      .transform(e.withColumn("fv", array_to_vector(col("v"))))
+      .select(col("vec_id"), col("list_id"))
+    (model, codes)
+  }
+
+  /** IVF-PQ train (the Jégou IVFADC layout): coarse lists + residual
+    * codebooks + (list, code) table. Exactly the r10 `sim_topk_ivfpq`
+    * training path; see Similarity.topkIvfPq's scaladoc for the layout
+    * rationale. */
+  def trainIvfPq(spark: SparkSession, dir: String)
+      : (KMeansModel, IndexedSeq[KMeansModel], DataFrame) = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val coarse = coarseFit(e, seed = 42L)
+    val centDf = coarse.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toDF("list_id", "cent")
+    // ONE coarse-assigned + residual lineage feeds both the codebook
+    // training sample and the full encode (the house pinned-base rule)
+    val assigned = coarse
+      .transform(e.withColumn("fv", array_to_vector(col("v"))))
+      .select(col("vec_id"), col("v"), col("list_id"))
+      .join(broadcast(centDf), "list_id")
+      .withColumn("res", zip_with(col("v"), col("cent"), (x, y) => x - y))
+      .select(col("vec_id"), col("list_id"), col("v"), col("res"))
+      .localCheckpoint(false)
+    val trainSet = assigned.filter(
+      TextOps.hash48(concat(lit("ivfpq:"), col("vec_id").cast("string"))) % 5 === 0)
+    val books = fitBooks(trainSet, "res", seed0 = 142L)
+    val codes = assignCodes(assigned, "res", books)
+      .select(col("vec_id") +: col("list_id") +:
+        (0 until M).map(s => col(s"c$s")): _*)
+    (coarse, books, codes)
+  }
+
+  // ---- loaders ------------------------------------------------------
+
+  private def loadCents(spark: SparkSession,
+                        p: String): Array[Array[Double]] =
+    spark.read.parquet(p).select("list_id", "cent").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+
+  private def loadBooks(spark: SparkSession,
+                        p: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(p).select("sub", "code", "cent").collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+
+  // ---- ensure (train-if-absent, then load from the store) -----------
+  //
+  // Scoring ALWAYS reads the loaded parquet artifact — never the
+  // in-memory models — so the engine and the DuckDB oracle consume
+  // byte-identical codebooks even right after a fresh train.
+
+  def ensurePq(spark: SparkSession, dir: String)
+      : (Array[Array[Array[Double]]], DataFrame) = {
+    val s = sig(spark, dir)
+    val bp = componentPath("pq", "books", s)
+    val cp = componentPath("pq", "codes", s)
+    if (!ready(bp) || !ready(cp)) {
+      val (books, codes) = trainPq(spark, dir)
+      writeAtomic(booksDf(spark, books), bp)
+      writeAtomic(codes.coalesce(8), cp)
+    }
+    (loadBooks(spark, bp), spark.read.parquet(cp))
+  }
+
+  def ensureIvf(spark: SparkSession, dir: String)
+      : (Array[Array[Double]], DataFrame) = {
+    val s = sig(spark, dir)
+    val kp = componentPath("ivf", "cents", s)
+    val cp = componentPath("ivf", "codes", s)
+    if (!ready(kp) || !ready(cp)) {
+      val (model, codes) = trainIvf(spark, dir)
+      writeAtomic(centsDf(spark, model), kp)
+      writeAtomic(codes.coalesce(8), cp)
+    }
+    (loadCents(spark, kp), spark.read.parquet(cp))
+  }
+
+  def ensureIvfPq(spark: SparkSession, dir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
+    val s = sig(spark, dir)
+    val kp = componentPath("ivfpq", "cents", s)
+    val bp = componentPath("ivfpq", "books", s)
+    val cp = componentPath("ivfpq", "codes", s)
+    if (!ready(kp) || !ready(bp) || !ready(cp)) {
+      val (coarse, books, codes) = trainIvfPq(spark, dir)
+      writeAtomic(centsDf(spark, coarse), kp)
+      writeAtomic(booksDf(spark, books), bp)
+      writeAtomic(codes.coalesce(8), cp)
+    }
+    (loadCents(spark, kp), loadBooks(spark, bp), spark.read.parquet(cp))
+  }
+}

@@ -1,7 +1,5 @@
 package graft.llm
 
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -251,38 +249,58 @@ object Similarity {
         $"rank".cast("long").as("rank"))
   }
 
-  /** Tier 3: IVF — KMeans(16) coarse quantizer, assign every vector to
-    * its centroid list, probe the 2 nearest lists per query. Centroids
-    * are learned → no SQL oracle. */
-  def topkIvf(spark: SparkSession, dir: String, k: Int = TopK,
-              nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+  /** Probe-query vectors collected to the driver — ANN routing metadata
+    * (NumQueryVecs rows, the IVF/PQ convention). */
+  private def queryVecs(spark: SparkSession,
+                        dir: String): Array[(Long, Array[Double])] = {
     import spark.implicits._
-    val e = emb(spark, dir).withColumn("fv", array_to_vector($"v"))
-    val km = new KMeans().setK(nlist).setSeed(42L)
-      .setFeaturesCol("fv").setPredictionCol("list_id")
-    val model = km.fit(e)
-    val assigned = model.transform(e).select($"vec_id", $"v", $"list_id")
+    emb(spark, dir).filter($"vec_id" < NumQueryVecs)
+      .select($"vec_id", $"v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+  }
 
-    // Centroid table is tiny → collect to build the probe map, broadcast
-    // via literal join (the standard IVF layout: probe sets are driver
-    // metadata, vector lists stay distributed).
-    val cents = model.clusterCenters.zipWithIndex
-    val probes: Seq[(Long, Int)] = // (query centroid list) per query vec
-      assigned.filter($"vec_id" < NumQueryVecs)
-        .select($"vec_id", $"v").collect().flatMap { r =>
-          val qid = r.getLong(0)
-          val qv = r.getSeq[Double](1).toArray
-          cents.map { case (c, i) =>
-            val d = c.toArray.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum
-            (qid, i, d)
-          }.sortBy(_._3).take(nprobe).map(t => (qid, t._2))
-        }.toSeq
-    val probeDf = probes.toDF("query_id", "list_id")
-    val q = emb(spark, dir).filter($"vec_id" < NumQueryVecs)
+  /** Exact ‖a−b‖² in ascending-index fold order (the order both engines
+    * spell, so routing distances are bit-identical to the oracle's). */
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+    d
+  }
+
+  /** nprobe nearest coarse lists per query, ties broken on list id —
+    * mirrors the oracle's row_number() OVER (ORDER BY d, list_id). */
+  private def route(qvs: Array[(Long, Array[Double])],
+                    cents: Array[Array[Double]],
+                    nprobe: Int): Seq[(Long, Int)] =
+    qvs.toSeq.flatMap { case (qid, qv) =>
+      cents.zipWithIndex.map { case (c, i) => (i, l2sq(qv, c)) }
+        .sortBy(t => (t._2, t._1)).take(nprobe).map(t => (qid, t._1))
+    }
+
+  /** Tier 3: IVF — KMeans(16) coarse quantizer, vectors assigned to
+    * centroid lists, probe the 2 nearest lists per query. Since r11 the
+    * centroids + inverted lists are PERSISTED index artifacts
+    * ([[AnnIndex.ensureIvf]]: train once per corpus, serve many) and
+    * scoring reads the store — which also makes the tier fully
+    * oracle-checkable: the centroids are a pinned parquet input both
+    * engines read, and routing + exact cosine re-rank is plain
+    * arithmetic (no more "KMeans is engine-internal"). */
+  def topkIvf(spark: SparkSession, dir: String, k: Int = TopK,
+              nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val (cents, codes) = AnnIndex.ensureIvf(spark, dir)
+    val probeDf = route(queryVecs(spark, dir), cents, nprobe)
+      .toDF("query_id", "list_id")
+    val e = emb(spark, dir)
+    val q = e.filter($"vec_id" < NumQueryVecs)
       .select($"vec_id".as("query_id"), $"v".as("qv"))
+    // probe rows broadcast onto the inverted lists (only probed lists
+    // are read), candidate ids then attach their vectors by key — the
+    // shuffle carries ids, not 64 doubles
     val scored = broadcast(probeDf.join(q, "query_id"))
-      .join(assigned, Seq("list_id"))
+      .join(codes, Seq("list_id"))
       .filter($"vec_id" =!= $"query_id")
+      .join(e, Seq("vec_id"))
       .withColumn("cosine", dot($"qv", $"v"))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)
     scored.withColumn("rank", row_number().over(w))
@@ -314,14 +332,12 @@ object Similarity {
     * exact brute twin and pins determinism. */
   /** Per-subspace ADC table entry: ‖qs − c‖² for every codebook
     * centroid — the driver-side kernel shared by the two PQ tiers
-    * (raw-vector PQ and residual IVF-PQ feed it different qs). */
+    * (raw-vector PQ and residual IVF-PQ feed it different qs). Input is
+    * the PARQUET-LOADED codebook ([[AnnIndex]]), so the table is built
+    * from the same bytes the DuckDB oracle reads. */
   private def subspaceDists(qs: Array[Double],
-                            model: KMeansModel): Seq[Double] =
-    model.clusterCenters.toSeq.map { c =>
-      val ca = c.toArray; var d = 0.0; var i = 0
-      while (i < qs.length) { val x = qs(i) - ca(i); d += x * x; i += 1 }
-      d
-    }
+                            book: Array[Array[Double]]): Seq[Double] =
+    book.toSeq.map(l2sq(qs, _))
 
   /** The ADC-shortlist → exact-re-rank tail shared by the PQ tiers:
     * 10·k best code-distance candidates per query (two-phase
@@ -349,48 +365,25 @@ object Similarity {
         col("cosine"), col("rank").cast("long").as("rank"))
   }
 
-  def topkPq(spark: SparkSession, dir: String, k: Int = TopK,
-             m: Int = 8, ncodes: Int = 16): DataFrame = {
+  /** PQ tier, scoring from the persisted index ([[AnnIndex.ensurePq]]:
+    * codebooks + codes trained once per corpus — the artifact a real
+    * pipeline persists — then every invocation loads and scores). The
+    * pinned parquet codebooks make the whole serve path oracle-checkable:
+    * DuckDB recomputes the per-query ADC tables from the same codebook
+    * bytes, replays the m-lookup code-distance sum in the same fold
+    * order, and re-ranks the same 10·k shortlist with the same exact
+    * cosine. */
+  def topkPq(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     import spark.implicits._
-    val subDim = 64 / m
+    val m = AnnIndex.M
+    val subDim = AnnIndex.SubDim
+    val (books, codes) = AnnIndex.ensurePq(spark, dir)
     val e = emb(spark, dir)
-    // per-subspace slice as an ml vector column
-    def sliceCol(s: Int): Column =
-      array_to_vector(slice($"v", lit(s * subDim + 1), lit(subDim)))
-    var coded = e
-    // Codebooks are trained on a deterministic hash-sample (~20%, the
-    // standard PQ practice — k·m centroids need thousands of points,
-    // not the corpus) with a bounded iteration budget; at 100 TB the
-    // sample rate shrinks with corpus size, the fit cost doesn't grow.
-    val trainSet = e.filter(
-      TextOps.hash48(concat(lit("pq:"), $"vec_id".cast("string"))) % 5 === 0)
-      .localCheckpoint(false)
-    // the m sub-fits are independent little jobs — submit them from
-    // concurrent threads (Spark schedules jobs from multiple threads
-    // fine) instead of serializing m× the fixed job latency
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val models = Await.result(Future.sequence((0 until m).map { s =>
-      Future {
-        val withF = trainSet.select($"vec_id", sliceCol(s).as("fv"))
-        new KMeans().setK(ncodes).setSeed(42L + s).setMaxIter(10)
-          .setFeaturesCol("fv").setPredictionCol(s"c$s").fit(withF)
-      }
-    }), Duration.Inf)
-    models.zipWithIndex.foreach { case (model, s) =>
-      coded = model.transform(coded.withColumn("fv", sliceCol(s))).drop("fv")
-    }
-    val codes = coded.select($"vec_id" +: (0 until m).map(s => col(s"c$s")): _*)
-      .localCheckpoint(false) // the artifact a real pipeline persists
     // driver-side ADC tables per probe query (probe set = driver
     // metadata, the IVF convention)
-    val qvs = e.filter($"vec_id" < NumQueryVecs)
-      .select($"vec_id", $"v").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val probeDf = qvs.toSeq.map { case (qid, qv) =>
+    val probeDf = queryVecs(spark, dir).toSeq.map { case (qid, qv) =>
       val dt: Seq[Seq[Double]] = (0 until m).map { s =>
-        subspaceDists(qv.slice(s * subDim, (s + 1) * subDim), models(s))
+        subspaceDists(qv.slice(s * subDim, (s + 1) * subDim), books(s))
       }
       (qid, dt)
     }.toDF("query_id", "dt")
@@ -434,59 +427,28 @@ object Similarity {
     * No DuckDB oracle (two layers of engine-internal KMeans, like
     * sim_topk_ivf/sim_topk_pq); SimilaritySpec floors recall@k vs the
     * hash-green brute twin and pins re-run determinism. */
-  def topkIvfPq(spark: SparkSession, dir: String, k: Int = TopK,
-                nlist: Int = 16, nprobe: Int = 4,
-                m: Int = 8, ncodes: Int = 16): DataFrame = {
+  /** The IVF-PQ serve path over (centroids, residual codebooks, codes):
+    * driver-side probe routing + per-(query, probed-list) residual ADC
+    * tables — bounded at NumQueryVecs·nprobe·m·ncodes doubles (the
+    * IVF/PQ metadata rule) — then an equi-join on list_id attaches
+    * candidates to the broadcast probe rows (only probed lists are ever
+    * touched: the IVF economy; each candidate costs m array lookups:
+    * the PQ economy), and the 10·k ADC shortlist is exactly re-ranked
+    * against raw vectors, never the corpus. Shared verbatim by the
+    * always-rebuild query and the cached one, so build-vs-serve can
+    * never drift. */
+  private def scoreIvfPq(spark: SparkSession, dir: String,
+                         centArr: Array[Array[Double]],
+                         books: Array[Array[Array[Double]]],
+                         codes: DataFrame,
+                         k: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
-    val subDim = 64 / m
+    val m = AnnIndex.M
+    val subDim = AnnIndex.SubDim
     val e = emb(spark, dir)
-    val coarse = new KMeans().setK(nlist).setSeed(42L)
-      .setFeaturesCol("fv").setPredictionCol("list_id")
-      .fit(e.withColumn("fv", array_to_vector($"v")))
-    val centArr: Array[Array[Double]] = coarse.clusterCenters.map(_.toArray)
-    val centDf = centArr.toSeq.zipWithIndex
-      .map { case (c, i) => (i, c) }.toDF("list_id", "cent")
-    // ONE coarse-assigned + residual lineage feeds both the codebook
-    // training sample and the full encode (the house pinned-base rule)
-    val assigned = coarse
-      .transform(e.withColumn("fv", array_to_vector($"v")))
-      .select($"vec_id", $"v", $"list_id")
-      .join(broadcast(centDf), "list_id")
-      .withColumn("res", zip_with($"v", $"cent", (x, y) => x - y))
-      .select($"vec_id", $"list_id", $"v", $"res")
-      .localCheckpoint(false)
-    def sliceCol(s: Int): Column =
-      array_to_vector(slice($"res", lit(s * subDim + 1), lit(subDim)))
-    val trainSet = assigned.filter(
-      TextOps.hash48(concat(lit("ivfpq:"), $"vec_id".cast("string"))) % 5 === 0)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val books = Await.result(Future.sequence((0 until m).map { s =>
-      Future {
-        new KMeans().setK(ncodes).setSeed(142L + s).setMaxIter(10)
-          .setFeaturesCol("fv").setPredictionCol(s"c$s")
-          .fit(trainSet.select(sliceCol(s).as("fv")))
-      }
-    }), Duration.Inf)
-    var coded = assigned
-    books.zipWithIndex.foreach { case (b, s) =>
-      coded = b.transform(coded.withColumn("fv", sliceCol(s))).drop("fv")
-    }
-    val codes = coded.select(
-        $"vec_id" +: $"list_id" +: (0 until m).map(s => col(s"c$s")): _*)
-      .localCheckpoint(false)
-    // driver-side probe routing + residual ADC tables — bounded at
-    // NumQueryVecs·nprobe·m·ncodes doubles (the IVF/PQ metadata rule)
-    val qvs = e.filter($"vec_id" < NumQueryVecs)
-      .select($"vec_id", $"v").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val probeRows = qvs.toSeq.flatMap { case (qid, qv) =>
-      val near = centArr.zipWithIndex.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < qv.length) { val x = qv(j) - c(j); d += x * x; j += 1 }
-        (i, d)
-      }.sortBy(t => (t._2, t._1)).take(nprobe).map(_._1)
+    val probeRows = queryVecs(spark, dir).toSeq.flatMap { case (qid, qv) =>
+      val near = centArr.zipWithIndex.map { case (c, i) => (i, l2sq(qv, c)) }
+        .sortBy(t => (t._2, t._1)).take(nprobe).map(_._1)
       near.map { li =>
         val qres = Array.tabulate(qv.length)(j => qv(j) - centArr(li)(j))
         val dt: Seq[Seq[Double]] = (0 until m).map { s =>
@@ -502,6 +464,30 @@ object Similarity {
       .filter($"vec_id" =!= $"query_id")
       .withColumn("adc_l2sq", adc)
     shortlistRerank(scored, e, k)
+  }
+
+  /** The BUILD benchmark: trains coarse + residual codebooks and encodes
+    * the corpus on every invocation (exactly the production index-build
+    * job), then serves through [[scoreIvfPq]]. Codebook/centroid arrays
+    * are taken from the in-memory models here — this path is the honest
+    * build-cost measurement and deliberately never reads the store. */
+  def topkIvfPq(spark: SparkSession, dir: String, k: Int = TopK,
+                nprobe: Int = 4): DataFrame = {
+    val (coarse, bookModels, codes) = AnnIndex.trainIvfPq(spark, dir)
+    scoreIvfPq(spark, dir,
+      coarse.clusterCenters.map(_.toArray),
+      bookModels.map(_.clusterCenters.map(_.toArray)).toArray,
+      codes.localCheckpoint(false), k, nprobe)
+  }
+
+  /** The SERVE benchmark (VERDICT r10 #2): loads the persisted index —
+    * training only if this corpus has never been indexed — and scores.
+    * With pinned parquet artifacts the whole query is replayable SQL,
+    * so unlike the build query this one carries a DuckDB oracle. */
+  def topkIvfPqCached(spark: SparkSession, dir: String, k: Int = TopK,
+                      nprobe: Int = 4): DataFrame = {
+    val (cents, books, codes) = AnnIndex.ensureIvfPq(spark, dir)
+    scoreIvfPq(spark, dir, cents, books, codes, k, nprobe)
   }
 
   /** f13: per-vector array analytics via higher-order functions — norm,
@@ -607,6 +593,7 @@ object Similarity {
     "sim_topk_ivf"   -> ((s, d) => topkIvf(s, d)),
     "sim_topk_pq"    -> ((s, d) => topkPq(s, d)),
     "sim_topk_ivfpq" -> ((s, d) => topkIvfPq(s, d)),
+    "sim_topk_ivfpq_cached" -> ((s, d) => topkIvfPqCached(s, d)),
     "sim_knn_graph"  -> ((s, d) => knnGraph(s, d)),
     "f13_higher_order" -> hof,
     "f14_quantize"   -> quant)
@@ -650,7 +637,144 @@ object Similarity {
     s"SELECT vec_id, v,\n  $cols\nFROM e0 CROSS JOIN rr"
   }
 
+  // ---- ANN-store oracles (VERDICT r10 #3): the persisted codebooks /
+  // centroids are a pinned parquet input BOTH engines read (hive sig=
+  // partition filtered to the same (count, Σvec_id) signature either
+  // engine computes from the embeddings table), which turns the formerly
+  // engine-internal KMeans tiers into replayable arithmetic: routing and
+  // ADC distances are ascending-index double folds on both sides, the
+  // m-lookup code-distance sum is left-associated on both sides, and
+  // the shortlist/re-rank tie-breaks are total orders.
+
+  private val m = AnnIndex.M
+  private val subDim = AnnIndex.SubDim
+
+  /** Per-subspace squared-distance fold for the ADC table — mirrors
+    * [[subspaceDists]]'s ascending-index accumulation bit-for-bit. */
+  private def adcDtSql(qsExpr: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |           list_transform(list_zip(
+       |               list_slice($qsExpr, b.sub * $subDim + 1, b.sub * $subDim + $subDim),
+       |               b.cent),
+       |             pp -> (pp[1] - pp[2]) * (pp[1] - pp[2]))),
+       |           (acc, x) -> acc + x)""".stripMargin
+
+  /** Full-vector squared distance to a centroid — mirrors [[l2sq]]. */
+  private def routeDistSql(vExpr: String, centExpr: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |           list_transform(list_zip($vExpr, $centExpr),
+       |             p -> (p[1] - p[2]) * (p[1] - p[2]))),
+       |           (acc, x) -> acc + x)""".stripMargin
+
+  /** ADC sum + the m dt joins — [[shortlistRerank]]'s input, left-assoc
+    * like the Spark reduce. `dtKey` adds the per-list key for IVF-PQ. */
+  private def adcSumSql: String = (0 until m).map(s => s"d$s.d").mkString(" + ")
+  private def dtJoinsSql(probe: String, listKey: Boolean): String =
+    (0 until m).map { s =>
+      val lk = if (listKey) s" AND d$s.list_id = $probe.list_id" else ""
+      s"JOIN dt d$s ON d$s.query_id = $probe.query_id$lk " +
+        s"AND d$s.sub = $s AND d$s.code = c.c$s"
+    }.mkString("\n       ")
+
+  /** The shared shortlist → exact-re-rank SQL tail (mirrors
+    * [[shortlistRerank]]): expects `sc(query_id, vec_id, adc)`, `e`, `q`
+    * CTEs in scope. */
+  private val rerankTailSql: String =
+    s"""sl AS (SELECT query_id, vec_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY adc, vec_id) AS r0 FROM sc)
+       |       WHERE r0 <= ${TopK * 10}),
+       |sc2 AS (SELECT q.query_id, e.vec_id AS neighbor_id, $dotSql AS cosine
+       |        FROM sl JOIN e ON e.vec_id = sl.vec_id
+       |        JOIN q ON q.query_id = sl.query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc2)
+       |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $TopK""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sim_topk_pq" ->
+      s"""WITH sg AS (${AnnIndex.sigSql}),
+         |bk AS (SELECT sub, code, cent
+         |       FROM read_parquet('${AnnIndex.componentGlob("pq", "books")}',
+         |                         hive_partitioning = 1), sg
+         |       WHERE sig = sg.s),
+         |cd AS (SELECT vec_id, ${(0 until m).map(s => s"c$s").mkString(", ")}
+         |       FROM read_parquet('${AnnIndex.componentGlob("pq", "codes")}',
+         |                         hive_partitioning = 1), sg
+         |       WHERE sig = sg.s),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueryVecs),
+         |dt AS (SELECT q.query_id, b.sub, b.code,
+         |         ${adcDtSql("q.qv")} AS d
+         |       FROM q, bk b),
+         |sc AS (SELECT q.query_id, c.vec_id, $adcSumSql AS adc
+         |       FROM cd c CROSS JOIN q
+         |       ${dtJoinsSql("q", listKey = false)}
+         |       WHERE c.vec_id <> q.query_id),
+         |$rerankTailSql""".stripMargin,
+
+    "sim_topk_ivf" ->
+      s"""WITH sg AS (${AnnIndex.sigSql}),
+         |ct AS (SELECT list_id, cent
+         |       FROM read_parquet('${AnnIndex.componentGlob("ivf", "cents")}',
+         |                         hive_partitioning = 1), sg
+         |       WHERE sig = sg.s),
+         |cd AS (SELECT vec_id, list_id
+         |       FROM read_parquet('${AnnIndex.componentGlob("ivf", "codes")}',
+         |                         hive_partitioning = 1), sg
+         |       WHERE sig = sg.s),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueryVecs),
+         |rt AS (SELECT q.query_id, c.list_id,
+         |         ${routeDistSql("q.qv", "c.cent")} AS d
+         |       FROM q, ct c),
+         |pr AS (SELECT query_id, list_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY d, list_id) AS rn FROM rt)
+         |       WHERE rn <= 2),
+         |cand AS (SELECT pr.query_id, cd.vec_id
+         |         FROM pr JOIN cd ON cd.list_id = pr.list_id
+         |         WHERE cd.vec_id <> pr.query_id),
+         |sc2 AS (SELECT q.query_id, e.vec_id AS neighbor_id, $dotSql AS cosine
+         |        FROM cand JOIN q ON q.query_id = cand.query_id
+         |        JOIN e ON e.vec_id = cand.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc2)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $TopK""".stripMargin,
+
+    "sim_topk_ivfpq_cached" ->
+      s"""WITH sg AS (${AnnIndex.sigSql}),
+         |ct AS (SELECT list_id, cent
+         |       FROM read_parquet('${AnnIndex.componentGlob("ivfpq", "cents")}',
+         |                         hive_partitioning = 1), sg
+         |       WHERE sig = sg.s),
+         |bk AS (SELECT sub, code, cent
+         |       FROM read_parquet('${AnnIndex.componentGlob("ivfpq", "books")}',
+         |                         hive_partitioning = 1), sg
+         |       WHERE sig = sg.s),
+         |cd AS (SELECT vec_id, list_id, ${(0 until m).map(s => s"c$s").mkString(", ")}
+         |       FROM read_parquet('${AnnIndex.componentGlob("ivfpq", "codes")}',
+         |                         hive_partitioning = 1), sg
+         |       WHERE sig = sg.s),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueryVecs),
+         |rt AS (SELECT q.query_id, q.qv, c.list_id, c.cent,
+         |         ${routeDistSql("q.qv", "c.cent")} AS d
+         |       FROM q, ct c),
+         |pr AS (SELECT query_id, list_id,
+         |         list_transform(list_zip(qv, cent), p -> p[1] - p[2]) AS qres
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |               ORDER BY d, list_id) AS rn FROM rt)
+         |       WHERE rn <= 4),
+         |dt AS (SELECT p.query_id, p.list_id, b.sub, b.code,
+         |         ${adcDtSql("p.qres")} AS d
+         |       FROM pr p, bk b),
+         |sc AS (SELECT p.query_id, c.vec_id, $adcSumSql AS adc
+         |       FROM cd c JOIN pr p ON p.list_id = c.list_id
+         |       ${dtJoinsSql("p", listKey = true)}
+         |       WHERE c.vec_id <> p.query_id),
+         |$rerankTailSql""".stripMargin,
+
     // identical micro quantization, per-(label, dim) integer sums,
     // list(s ORDER BY dim) reassembly, and the left-fold dot
     "sim_centroid_topk" ->

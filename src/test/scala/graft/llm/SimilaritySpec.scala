@@ -140,9 +140,26 @@ class SimilaritySpec extends SparkSpec {
     val rows2 = Similarity.topkIvfPq(spark, dir)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
     assert(r1 == rows2.toSet, "IVF-PQ not deterministic under re-run")
-    // every query emits exactly k rows (shortlist ≥ k by construction)
+    // every query emits exactly k rows (shortlist ≥ k by construction);
+    // tied to the production constant, not a hardcoded 5 (ADVICE r10)
     val counts = rows2.groupBy(_._1).values.map(_.length)
-    assert(counts.nonEmpty && counts.forall(_ == 5))
+    assert(counts.nonEmpty && counts.forall(_ == Similarity.TopK))
+  }
+
+  test("IVF-PQ cached (persisted index) equals the fresh-build result bit-for-bit") {
+    import spark.implicits._
+    // save→load→score round-trip law (VERDICT r10 #2, the ml_rf_churn
+    // pattern): the build query trains + scores from in-memory models,
+    // the cached query scores from the parquet artifact the build wrote
+    // (or ensure trained) — doubles round-trip parquet exactly and the
+    // retrain is seed-deterministic, so the two result sets must be
+    // IDENTICAL including cosines, not merely recall-equivalent.
+    def rows(df: DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"cosine", $"rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val fresh  = rows(Similarity.topkIvfPq(spark, dir))
+    val cached = rows(Similarity.topkIvfPqCached(spark, dir))
+    assert(fresh == cached && fresh.nonEmpty)
   }
 
   test("knn graph: identical vectors are mutual rank-1; probe rows equal tier-2") {
