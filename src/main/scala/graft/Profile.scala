@@ -47,6 +47,59 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "streams") {
+      // Setup-vs-processing split for every declared st_* query (VERDICT
+      // r10 #5: st_dedup/st_range_join drifted in the driver run with no
+      // code change; SURVEY attributes it to state-store setup — measure
+      // instead of guessing). Per entry: wall = end-to-end declared-query
+      // time (incl. sink read-back); trigger/addBatch/stateMs from the
+      // StreamingQueryProgress durationMs map summed over micro-batches;
+      // setup = wall − triggerExecution (stream/source/sink init, commit
+      // log, scratch symlinks — everything outside batch execution).
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      import scala.jdk.CollectionConverters._
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, Long]]()
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+          acc.add(e.progress.durationMs.asScala.toMap.map {
+            case (k, v) => k -> v.toLong })
+        override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
+      println("query                wall_s  trigger_s  addBatch_s  setup_s  batches")
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+           if name.startsWith("st_")) {
+        acc.clear()
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // progress events post async on the listener bus
+        val batches = acc.asScala.toSeq
+        def tot(k: String) = batches.map(_.getOrElse(k, 0L)).sum / 1e3
+        println(f"$name%-20s $wall%6.2f  ${tot("triggerExecution")}%9.2f  " +
+          f"${tot("addBatch")}%10.2f  ${wall - tot("triggerExecution")}%7.2f  " +
+          f"${batches.size}%7d")
+      }
+      // Provider experiment (VERDICT r10 #5): same two heavy entries
+      // under the RocksDB state store provider, same session otherwise.
+      val rocks = spark.newSession()
+      rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stNames = SparkEntry.queries.keys.filter(_.startsWith("st_")).toSeq.sorted
+      for (pass <- 1 to 2; name <- stNames) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(rocks, dir)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[rocksdb] pass$pass $name%-20s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      spark.streams.removeListener(listener)
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "bm25") {
       // BM25 scale probe: the inverted-index claim under test is that
       // scoring cost is driven by the QUERY-RESTRICTED postings (docs
