@@ -235,8 +235,10 @@ object AnnIndex {
   // in-memory models — so the engine and the DuckDB oracle consume
   // byte-identical codebooks even right after a fresh train.
 
-  def ensurePq(spark: SparkSession, dir: String)
-      : (Array[Array[Array[Double]]], DataFrame) = {
+  /** Ensure the PQ artifact exists for this corpus; returns the
+    * (books, codes) parquet paths for callers that want the artifact
+    * TABLES rather than driver arrays (the incremental-encode op). */
+  def ensurePqPaths(spark: SparkSession, dir: String): (String, String) = {
     val s = sig(spark, dir)
     val bp = componentPath("pq", "books", s)
     val cp = componentPath("pq", "codes", s)
@@ -245,11 +247,17 @@ object AnnIndex {
       writeAtomic(booksDf(spark, books), bp)
       writeAtomic(codes.coalesce(8), cp)
     }
+    (bp, cp)
+  }
+
+  def ensurePq(spark: SparkSession, dir: String)
+      : (Array[Array[Array[Double]]], DataFrame) = {
+    val (bp, cp) = ensurePqPaths(spark, dir)
     (loadBooks(spark, bp), spark.read.parquet(cp))
   }
 
-  def ensureIvf(spark: SparkSession, dir: String)
-      : (Array[Array[Double]], DataFrame) = {
+  /** Ensure the IVF artifact exists; returns the (cents, codes) paths. */
+  def ensureIvfPaths(spark: SparkSession, dir: String): (String, String) = {
     val s = sig(spark, dir)
     val kp = componentPath("ivf", "cents", s)
     val cp = componentPath("ivf", "codes", s)
@@ -258,6 +266,12 @@ object AnnIndex {
       writeAtomic(centsDf(spark, model), kp)
       writeAtomic(codes.coalesce(8), cp)
     }
+    (kp, cp)
+  }
+
+  def ensureIvf(spark: SparkSession, dir: String)
+      : (Array[Array[Double]], DataFrame) = {
+    val (kp, cp) = ensureIvfPaths(spark, dir)
     (loadCents(spark, kp), spark.read.parquet(cp))
   }
 

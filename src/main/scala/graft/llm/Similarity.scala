@@ -490,6 +490,63 @@ object Similarity {
     scoreIvfPq(spark, dir, cents, books, codes, k, nprobe)
   }
 
+  /** sim_index_update — INCREMENTAL index maintenance, the operation a
+    * production ANN deployment runs daily: encode a new vector batch
+    * against the PERSISTED codebooks ([[AnnIndex]]) without retraining
+    * (codebooks are stable statistics of the corpus; re-fitting per
+    * batch would both cost a full KMeans pass and silently re-key every
+    * previously stored code). The "new batch" is hash-designated
+    * (hash48("upd:"+vec_id)%10 == 0 — the o4/o5 determinism canon; a
+    * real deployment feeds an arrival partition instead).
+    *
+    * The encode here is EXACT in-plan argmin — per (vector, subspace),
+    * the code minimizing the ascending-index ‖v_s − c‖² fold, ties to
+    * the lowest code — a (batch × m·ncodes) broadcast join + one
+    * bounded-key window, no driver round-trip per vector and no
+    * dependence on MLlib's transform internals (whose fastSquaredDistance
+    * shortcut is approximate), so the whole op is oracle-replayable from
+    * the same codebook parquet. Emits long format (vec_id, sub, code,
+    * l2sq): 8 rows per new vector. Scale shape: map-side cross with a
+    * 128-row broadcast, then a window partitioned by (vec_id, sub) —
+    * batch-sized shuffle, corpus never read. */
+  def indexUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (bp, _) = AnnIndex.ensurePqPaths(spark, dir)
+    val books = spark.read.parquet(bp) // (sub, code, cent)
+    val batch = emb(spark, dir).filter(
+      TextOps.hash48(concat(lit("upd:"), $"vec_id".cast("string"))) % 10 === 0)
+    val d = aggregate(
+      zip_with(slice($"v", $"sub" * AnnIndex.SubDim + 1, lit(AnnIndex.SubDim)),
+        $"cent", (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy($"vec_id", $"sub").orderBy($"l2sq", $"code")
+    batch.crossJoin(broadcast(books))
+      .withColumn("l2sq", d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"sub".cast("long").as("sub"),
+        $"code".cast("long").as("code"), $"l2sq")
+  }
+
+  /** sim_index_stats — inverted-list occupancy audit of the persisted
+    * IVF index: per-list vector count, corpus share, and load factor
+    * (n·nlist/total in ppm; 10⁶ = perfectly balanced). The index-health
+    * check an ANN serving tier alarms on — a hot list degrades probe
+    * latency exactly like a skewed shuffle key — and at 100 TB it reads
+    * only the codes table (vec_id, list_id), never a vector. */
+  def indexStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, cp) = AnnIndex.ensureIvfPaths(spark, dir)
+    val codes = spark.read.parquet(cp)
+    val totals = codes.agg(count(lit(1)).as("total"))
+    codes.groupBy($"list_id").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(totals))
+      .select($"list_id".cast("long").as("list_id"), $"n",
+        graft.util.Cols.ppm($"n", $"total").as("share_ppm"),
+        graft.util.Cols.ppm($"n" * lit(AnnIndex.NList.toLong), $"total")
+          .as("load_ppm"))
+  }
+
   /** f13: per-vector array analytics via higher-order functions — norm,
     * sparsity, max, clipped mean, all computed INSIDE the array column
     * (no explode → no row blowup, no shuffle; a pure map-side op like
@@ -594,6 +651,8 @@ object Similarity {
     "sim_topk_pq"    -> ((s, d) => topkPq(s, d)),
     "sim_topk_ivfpq" -> ((s, d) => topkIvfPq(s, d)),
     "sim_topk_ivfpq_cached" -> ((s, d) => topkIvfPqCached(s, d)),
+    "sim_index_update" -> ((s, d) => indexUpdate(s, d)),
+    "sim_index_stats"  -> ((s, d) => indexStats(s, d)),
     "sim_knn_graph"  -> ((s, d) => knnGraph(s, d)),
     "f13_higher_order" -> hof,
     "f14_quantize"   -> quant)
@@ -692,6 +751,45 @@ object Similarity {
        |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $TopK""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_index_update" ->
+      s"""WITH sg AS (${AnnIndex.sigSql}),
+         |bk AS (SELECT sub, code, cent
+         |       FROM read_parquet('${AnnIndex.componentGlob("pq", "books")}',
+         |                         hive_partitioning = 1), sg
+         |       WHERE sig = sg.s),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v FROM e
+         |      WHERE (CAST(('0x' || substr(md5('upd:' || CAST(vec_id AS VARCHAR)), 1, 12))
+         |               AS BIGINT) % 10) = 0),
+         |sc AS (SELECT b.vec_id, bk.sub, bk.code,
+         |         list_reduce(list_prepend(0.0::DOUBLE,
+         |           list_transform(list_zip(
+         |               list_slice(b.v, bk.sub * $subDim + 1, bk.sub * $subDim + $subDim),
+         |               bk.cent),
+         |             pp -> (pp[1] - pp[2]) * (pp[1] - pp[2]))),
+         |           (acc, x) -> acc + x) AS l2sq
+         |       FROM b, bk),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |        ORDER BY l2sq, code) AS rn FROM sc)
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+         |       l2sq
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "sim_index_stats" ->
+      s"""WITH sg AS (${AnnIndex.sigSql}),
+         |cd AS (SELECT vec_id, list_id
+         |       FROM read_parquet('${AnnIndex.componentGlob("ivf", "codes")}',
+         |                         hive_partitioning = 1), sg
+         |       WHERE sig = sg.s),
+         |t AS (SELECT COUNT(*) AS total FROM cd),
+         |g AS (SELECT list_id, COUNT(*) AS n FROM cd GROUP BY 1)
+         |SELECT CAST(list_id AS BIGINT) AS list_id, CAST(n AS BIGINT) AS n,
+         |       CAST((CAST(n AS HUGEINT) * 1000000) // total AS BIGINT)
+         |         AS share_ppm,
+         |       CAST((CAST(n AS HUGEINT) * ${AnnIndex.NList} * 1000000) // total
+         |         AS BIGINT) AS load_ppm
+         |FROM g, t""".stripMargin,
+
     "sim_topk_pq" ->
       s"""WITH sg AS (${AnnIndex.sigSql}),
          |bk AS (SELECT sub, code, cent

@@ -162,6 +162,49 @@ class SimilaritySpec extends SparkSpec {
     assert(fresh == cached && fresh.nonEmpty)
   }
 
+  test("index update: exact-argmin re-encode is optimal vs the stored MLlib codes") {
+    import spark.implicits._
+    val upd = Similarity.indexUpdate(spark, dir)
+      .select($"vec_id", $"sub", $"code", $"l2sq")
+      .as[(Long, Long, Long, Double)].collect()
+    // every new-batch vector emits exactly one code per subspace
+    assert(upd.nonEmpty && upd.length % AnnIndex.M == 0)
+    assert(upd.groupBy(t => (t._1, t._2)).values.forall(_.length == 1))
+    val (books, codesDf) = AnnIndex.ensurePq(spark, dir)
+    val stored = codesDf.collect()
+      .map(r => r.getLong(0) -> (0 until AnnIndex.M).map(s => r.getInt(s + 1)))
+      .toMap
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def dist(qs: Array[Double], c: Array[Double]): Double =
+      qs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    upd.foreach { case (vid, sub, code, l2) =>
+      val s = sub.toInt
+      val qs = vecs(vid).map(_.toDouble)
+        .slice(s * AnnIndex.SubDim, (s + 1) * AnnIndex.SubDim)
+      // emitted l2sq IS the distance to the emitted code...
+      assert(math.abs(l2 - dist(qs, books(s)(code.toInt))) < 1e-9)
+      // ...and is never worse than the stored MLlib-assigned code's
+      // distance (MLlib's transform may round differently on near-ties;
+      // the exact argmin must win or tie)
+      assert(l2 <= dist(qs, books(s)(stored(vid)(s))) + 1e-9,
+        s"vec $vid sub $s: exact argmin $l2 worse than stored code")
+    }
+  }
+
+  test("index stats: list occupancies partition the corpus; shares floor-sum to 1e6") {
+    import spark.implicits._
+    val rows = Similarity.indexStats(spark, dir)
+      .select($"list_id", $"n", $"share_ppm", $"load_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    val corpus = graft.Tables.load(spark, dir, "embeddings").count()
+    assert(rows.map(_._2).sum == corpus) // every vector in exactly one list
+    val shareSum = rows.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length,
+      s"floor-ppm shares sum $shareSum")
+  }
+
   test("knn graph: identical vectors are mutual rank-1; probe rows equal tier-2") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
