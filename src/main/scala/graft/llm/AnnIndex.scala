@@ -87,15 +87,19 @@ object AnnIndex {
     Files.exists(Paths.get(p, "_SUCCESS"))
 
   /** Write-to-temp + atomic rename; the rename loser (target appeared
-    * concurrently) discards its identical copy. */
+    * concurrently) discards its identical copy. The temp name must NOT
+    * match the oracle's `sig=*` glob — a writer that died mid-write
+    * would otherwise leave a half-written parquet file readable by the
+    * glob; `_tmp-…` is skipped by both the glob and parquet dir rules. */
   private def writeAtomic(df: DataFrame, target: String): Unit = {
-    val tmp = target + s".tmp-${ProcessHandle.current().pid()}"
-    df.write.mode("overwrite").parquet(tmp)
-    try Files.move(Paths.get(tmp), Paths.get(target),
-      StandardCopyOption.ATOMIC_MOVE)
+    val t = Paths.get(target)
+    val tmp = t.resolveSibling(
+      s"_tmp-${t.getFileName}-${ProcessHandle.current().pid()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    try Files.move(tmp, t, StandardCopyOption.ATOMIC_MOVE)
     catch {
       case _: java.nio.file.FileSystemException =>
-        graft.util.Scratch.deleteRecursively(Paths.get(tmp))
+        graft.util.Scratch.deleteRecursively(tmp)
     }
   }
 
