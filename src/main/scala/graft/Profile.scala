@@ -84,17 +84,22 @@ object Profile {
           f"${tot("addBatch")}%10.2f  ${wall - tot("triggerExecution")}%7.2f  " +
           f"${batches.size}%7d")
       }
-      // Provider experiment (VERDICT r10 #5): same two heavy entries
-      // under the RocksDB state store provider, same session otherwise.
-      val rocks = spark.newSession()
-      rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Provider experiment (VERDICT r10 #5, re-pinned per ADVICE r11
+      // #4): Sessions.local now defaults to RocksDB session-wide, so the
+      // instrumented loop above ALREADY measures RocksDB (the shipped
+      // config). The comparison session is therefore explicitly pinned
+      // to the old HDFS-backed provider — without the pin both loops ran
+      // RocksDB and the A/B that justified the adoption was no longer
+      // reproducible.
+      val hdfs = spark.newSession()
+      hdfs.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       val stNames = SparkEntry.queries.keys.filter(_.startsWith("st_")).toSeq.sorted
       for (pass <- 1 to 2; name <- stNames) {
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(rocks, dir)
+        SparkEntry.queries(name)(hdfs, dir)
           .write.mode("overwrite").format("noop").save()
-        println(f"[rocksdb] pass$pass $name%-20s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        println(f"[hdfs-provider] pass$pass $name%-20s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       }
       spark.streams.removeListener(listener)
       spark.stop(); return

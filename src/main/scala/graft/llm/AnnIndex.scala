@@ -63,18 +63,28 @@ object AnnIndex {
   def base: String =
     Paths.get(sys.props("java.io.tmpdir"), "graft-index", Version).toString
 
-  /** Corpus signature: row count + Σvec_id — cheap on both engines (one
-    * column scan), distinct across every sf tier, and recomputed per
-    * invocation so a regenerated corpus gets a fresh artifact. */
+  /** Corpus signature: row count + Σvec_id + Σ⌊1e6·embedding[0]⌋ —
+    * cheap on both engines (a two-column scan), distinct across every
+    * sf tier, and recomputed per invocation so a regenerated corpus
+    * gets a fresh artifact. The third term is VALUE-sensitive (ADVICE
+    * r11 #2): a corpus regenerated with the same vec_ids but different
+    * vectors must not silently serve a stale index. The micro-quantized
+    * integer sum is bit-exact on both engines (float→double widening is
+    * exact, the double multiply+floor are identical IEEE ops, the sum
+    * is exact integer arithmetic). */
   def sig(spark: SparkSession, dir: String): String = {
     val r = Tables.load(spark, dir, "embeddings")
-      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sv")).head()
-    s"${r.getLong(0)}_${r.getLong(1)}"
+      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sv"),
+        sum(floor(col("embedding").getItem(0).cast("double") * 1000000)
+          .cast("long")).as("ev")).head()
+    s"${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
   }
 
   /** The DuckDB spelling of [[sig]] as a one-row CTE body. */
   val sigSql: String =
-    "SELECT CAST(count(*) AS VARCHAR) || '_' || CAST(sum(vec_id) AS VARCHAR) AS s FROM embeddings"
+    "SELECT CAST(count(*) AS VARCHAR) || '_' || CAST(sum(vec_id) AS VARCHAR)" +
+      " || '_' || CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)" +
+      " AS BIGINT)) AS VARCHAR) AS s FROM embeddings"
 
   def componentPath(kind: String, component: String, s: String): String =
     s"$base/$kind/$component/sig=$s"
@@ -90,7 +100,11 @@ object AnnIndex {
     * concurrently) discards its identical copy. The temp name must NOT
     * match the oracle's `sig=*` glob — a writer that died mid-write
     * would otherwise leave a half-written parquet file readable by the
-    * glob; `_tmp-…` is skipped by both the glob and parquet dir rules. */
+    * glob; `_tmp-…` is skipped by both the glob and parquet dir rules.
+    * A move failure is only swallowed when the target actually exists
+    * complete (the lost-race case); otherwise it rethrows (ADVICE r11
+    * #5) — the old broad catch discarded the freshly trained copy on
+    * ANY move failure and loaders then read a missing/half artifact. */
   private def writeAtomic(df: DataFrame, target: String): Unit = {
     val t = Paths.get(target)
     val tmp = t.resolveSibling(
@@ -98,8 +112,44 @@ object AnnIndex {
     df.write.mode("overwrite").parquet(tmp.toString)
     try Files.move(tmp, t, StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileSystemException =>
+      case e: java.nio.file.FileSystemException =>
         graft.util.Scratch.deleteRecursively(tmp)
+        if (!ready(target)) throw e
+    }
+  }
+
+  /** Store hygiene, run before any train (ADVICE r11 #3/#5):
+    *  - prune sibling `sig=*` artifacts of the SAME TIER (identical
+    *    row-count component, different value/id components) — those are
+    *    regenerated-corpus leftovers, exactly one per driver round, and
+    *    they both grow the store unboundedly and shift the oracle's
+    *    componentGlob file list (DuckDB cardinality estimates move with
+    *    it — an oracle green in one environment could flip to a
+    *    join-order bomb in the driver's). OTHER tiers' artifacts are
+    *    kept deliberately: the driver's round interleaves sf tiers
+    *    (verify sf0.01 → bench sf0.1 → scale gates sf1/sf10), and
+    *    pruning across tiers would force a retrain inside the first
+    *    TIMED bench entry after every verify. The store is therefore
+    *    bounded at one dir per tier, stable round-over-round.
+    *  - sweep `_tmp-*` leftovers from writers that died between the
+    *    parquet write and the rename. Only dead writers' temps are
+    *    swept (pid suffix no longer alive) — a live concurrent
+    *    trainer's in-flight temp is left alone. */
+  private def sweep(component: String, keepSig: String): Unit = {
+    val parent = Paths.get(component).getParent
+    if (parent != null && Files.isDirectory(parent)) {
+      val keep = s"sig=$keepSig"
+      val tier = s"sig=${keepSig.takeWhile(_ != '_')}_"
+      Files.list(parent).forEach { p =>
+        val n = p.getFileName.toString
+        val staleSig = n.startsWith(tier) && n != keep
+        val deadTmp = n.startsWith("_tmp-") && {
+          val pid = n.substring(n.lastIndexOf('-') + 1)
+          pid.nonEmpty && pid.forall(_.isDigit) &&
+            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
+        }
+        if (staleSig || deadTmp) graft.util.Scratch.deleteRecursively(p)
+      }
     }
   }
 
@@ -247,6 +297,7 @@ object AnnIndex {
     val bp = componentPath("pq", "books", s)
     val cp = componentPath("pq", "codes", s)
     if (!ready(bp) || !ready(cp)) {
+      sweep(bp, s); sweep(cp, s)
       val (books, codes) = trainPq(spark, dir)
       writeAtomic(booksDf(spark, books), bp)
       writeAtomic(codes.coalesce(8), cp)
@@ -266,6 +317,7 @@ object AnnIndex {
     val kp = componentPath("ivf", "cents", s)
     val cp = componentPath("ivf", "codes", s)
     if (!ready(kp) || !ready(cp)) {
+      sweep(kp, s); sweep(cp, s)
       val (model, codes) = trainIvf(spark, dir)
       writeAtomic(centsDf(spark, model), kp)
       writeAtomic(codes.coalesce(8), cp)
@@ -286,6 +338,7 @@ object AnnIndex {
     val bp = componentPath("ivfpq", "books", s)
     val cp = componentPath("ivfpq", "codes", s)
     if (!ready(kp) || !ready(bp) || !ready(cp)) {
+      sweep(kp, s); sweep(bp, s); sweep(cp, s)
       val (coarse, books, codes) = trainIvfPq(spark, dir)
       writeAtomic(centsDf(spark, coarse), kp)
       writeAtomic(booksDf(spark, books), bp)

@@ -737,9 +737,10 @@ object Similarity {
 
   /** The shared shortlist → exact-re-rank SQL tail (mirrors
     * [[shortlistRerank]]): expects `sc(query_id, vec_id, adc)`, `e`, `q`
-    * CTEs in scope. */
+    * CTEs in scope. `sl` is staged MATERIALIZED so the re-rank join
+    * starts from the realized shortlist, not a re-derivable pipeline. */
   private val rerankTailSql: String =
-    s"""sl AS (SELECT query_id, vec_id FROM (
+    s"""sl AS MATERIALIZED (SELECT query_id, vec_id FROM (
        |         SELECT *, row_number() OVER (PARTITION BY query_id
        |           ORDER BY adc, vec_id) AS r0 FROM sc)
        |       WHERE r0 <= ${TopK * 10}),
@@ -790,22 +791,29 @@ object Similarity {
          |         AS BIGINT) AS load_ppm
          |FROM g, t""".stripMargin,
 
+    // Every CTE feeding the 8-way ADC dt-join is staged AS MATERIALIZED
+    // (ADVICE r11 #1, same failure class as j9_assoc_rules): spelled as
+    // a pipeline, DuckDB's optimizer has EC≈0/1 estimates behind the
+    // CTEs and picks a cross-product join order for the dt self-joins
+    // (reproduced by the r11 judge: >32 min, 115 GB RSS at sf0.01 —
+    // aborting the driver's whole gate). Staged, the same query hash-
+    // matches in ~1 s (judge-validated byte-identical frames).
     "sim_topk_pq" ->
       s"""WITH sg AS (${AnnIndex.sigSql}),
-         |bk AS (SELECT sub, code, cent
+         |bk AS MATERIALIZED (SELECT sub, code, cent
          |       FROM read_parquet('${AnnIndex.componentGlob("pq", "books")}',
          |                         hive_partitioning = 1), sg
          |       WHERE sig = sg.s),
-         |cd AS (SELECT vec_id, ${(0 until m).map(s => s"c$s").mkString(", ")}
+         |cd AS MATERIALIZED (SELECT vec_id, ${(0 until m).map(s => s"c$s").mkString(", ")}
          |       FROM read_parquet('${AnnIndex.componentGlob("pq", "codes")}',
          |                         hive_partitioning = 1), sg
          |       WHERE sig = sg.s),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueryVecs),
-         |dt AS (SELECT q.query_id, b.sub, b.code,
+         |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueryVecs),
+         |dt AS MATERIALIZED (SELECT q.query_id, b.sub, b.code,
          |         ${adcDtSql("q.qv")} AS d
          |       FROM q, bk b),
-         |sc AS (SELECT q.query_id, c.vec_id, $adcSumSql AS adc
+         |sc AS MATERIALIZED (SELECT q.query_id, c.vec_id, $adcSumSql AS adc
          |       FROM cd c CROSS JOIN q
          |       ${dtJoinsSql("q", listKey = false)}
          |       WHERE c.vec_id <> q.query_id),
@@ -840,34 +848,37 @@ object Similarity {
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc2)
          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $TopK""".stripMargin,
 
+    // Same MATERIALIZED staging as sim_topk_pq (ADVICE r11 #1) — this
+    // was the second of the two dt-join bomb oracles that emptied
+    // CORRECTNESS_r11.json.
     "sim_topk_ivfpq_cached" ->
       s"""WITH sg AS (${AnnIndex.sigSql}),
-         |ct AS (SELECT list_id, cent
+         |ct AS MATERIALIZED (SELECT list_id, cent
          |       FROM read_parquet('${AnnIndex.componentGlob("ivfpq", "cents")}',
          |                         hive_partitioning = 1), sg
          |       WHERE sig = sg.s),
-         |bk AS (SELECT sub, code, cent
+         |bk AS MATERIALIZED (SELECT sub, code, cent
          |       FROM read_parquet('${AnnIndex.componentGlob("ivfpq", "books")}',
          |                         hive_partitioning = 1), sg
          |       WHERE sig = sg.s),
-         |cd AS (SELECT vec_id, list_id, ${(0 until m).map(s => s"c$s").mkString(", ")}
+         |cd AS MATERIALIZED (SELECT vec_id, list_id, ${(0 until m).map(s => s"c$s").mkString(", ")}
          |       FROM read_parquet('${AnnIndex.componentGlob("ivfpq", "codes")}',
          |                         hive_partitioning = 1), sg
          |       WHERE sig = sg.s),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueryVecs),
+         |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueryVecs),
          |rt AS (SELECT q.query_id, q.qv, c.list_id, c.cent,
          |         ${routeDistSql("q.qv", "c.cent")} AS d
          |       FROM q, ct c),
-         |pr AS (SELECT query_id, list_id,
+         |pr AS MATERIALIZED (SELECT query_id, list_id,
          |         list_transform(list_zip(qv, cent), p -> p[1] - p[2]) AS qres
          |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |               ORDER BY d, list_id) AS rn FROM rt)
          |       WHERE rn <= 4),
-         |dt AS (SELECT p.query_id, p.list_id, b.sub, b.code,
+         |dt AS MATERIALIZED (SELECT p.query_id, p.list_id, b.sub, b.code,
          |         ${adcDtSql("p.qres")} AS d
          |       FROM pr p, bk b),
-         |sc AS (SELECT p.query_id, c.vec_id, $adcSumSql AS adc
+         |sc AS MATERIALIZED (SELECT p.query_id, c.vec_id, $adcSumSql AS adc
          |       FROM cd c JOIN pr p ON p.list_id = c.list_id
          |       ${dtJoinsSql("p", listKey = true)}
          |       WHERE c.vec_id <> p.query_id),
