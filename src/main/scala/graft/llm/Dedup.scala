@@ -866,9 +866,17 @@ object Dedup {
   /** The recursive min-label closure CTEs (edges→reach→canon) over a
     * pair CTE named `nd` — the shared tail body of every cluster
     * oracle; ends at `canon($idCol, canonical_id)` so callers pick
-    * their own final select. */
+    * their own final select.
+    *
+    * `edges` (and each caller's `nd`) is staged MATERIALIZED (r12,
+    * VERDICT r11 Next #2's 30 s cost gate): the recursive term reads
+    * `edges` every iteration, and inlined it re-ran the whole pair
+    * pipeline — LSH band joins plus 128 interpreted dot products per
+    * vector — once per pointer-jumping round. Measured on
+    * dedup_clusters_embedding at sf0.01: 27.8 s inlined → 2.9 s
+    * materialized, byte-identical output. */
   private def ccCanonCtesSql(idCol: String): String =
-    s"""edges AS (
+    s"""edges AS MATERIALIZED (
        |  SELECT id_a AS s2, id_b AS d2 FROM nd
        |  UNION SELECT id_b, id_a FROM nd),
        |reach(s2, d2) AS (
@@ -899,7 +907,7 @@ object Dedup {
        |  JOIN inv y ON x.tok = y.tok AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2),
        |sz AS (SELECT doc_id, len(sh) AS n FROM s),
-       |nd AS (
+       |nd AS MATERIALIZED (
        |  SELECT id_a, id_b FROM pair
        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
@@ -1068,7 +1076,7 @@ object Dedup {
     "dedup_clusters_simhash" ->
       // same min-label CC shape as dedup_clusters, over the simhash
       // pair graph (the whole pairs statement nests as a CTE body)
-      s"""WITH RECURSIVE nd AS ($simhashPairsSql),
+      s"""WITH RECURSIVE nd AS MATERIALIZED ($simhashPairsSql),
          |${ccLabelTailSql("doc_id", "documents")}""".stripMargin,
 
     "dedup_clusters" -> {
@@ -1103,7 +1111,7 @@ object Dedup {
     "dedup_clusters_embedding" ->
       // same transitive-closure shape as the other two cluster oracles,
       // over the embedding-LSH pair graph; canonical per vec_id
-      s"""WITH RECURSIVE nd AS ($embeddingLshPairsSql),
+      s"""WITH RECURSIVE nd AS MATERIALIZED ($embeddingLshPairsSql),
          |${ccLabelTailSql("vec_id", "embeddings")}""".stripMargin,
 
     "dedup_embedding" ->

@@ -39,6 +39,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main(sf, out):
     con = duckdb.connect()
+    # The r11 gate died on an oracle that cross-producted to 115 GB RSS;
+    # cap DuckDB so a bomb oracle fails fast and loud instead of taking
+    # the machine down (the judge's stress condition: full suite green
+    # under a 24 GB limit).
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")

@@ -17,6 +17,7 @@ def one(sf, out, q, sql, conn):
     try:
         import os
         con = duckdb.connect()
+        con.execute("SET memory_limit='24GB'")  # bomb oracles fail fast
         for t in TABLES:
             p = f"{sf}/{t}.parquet"
             if os.path.isdir(p):  # Spark-written table = directory of parts
@@ -49,22 +50,32 @@ def one(sf, out, q, sql, conn):
 
 
 def main(sf, out, budget):
+    import time
     sqls = json.load(open(f"{out}/oracle_sql.json"))
     counts = {"ok": 0, "timeout": 0, "other": 0}
+    times = []  # per-oracle wall time — the round-close cost gate
     for q, sql in sorted(sqls.items()):
         rx, tx = mp.Pipe(False)
         p = mp.Process(target=one, args=(sf, out, q, sql, tx))
+        t0 = time.monotonic()
         p.start(); p.join(budget)
+        wall = time.monotonic() - t0
         if p.is_alive():
             p.terminate(); p.join()
             print(f"TIMEOUT {q} (> {budget}s oracle)")
             counts["timeout"] += 1
+            times.append((budget, q, "timeout"))
         else:
             kind, msg = rx.recv() if rx.poll() else ("error", "no result")
-            print(f"{'ok  ' if kind == 'ok' else 'FAIL'} {q}: {kind} {msg}")
+            print(f"{'ok  ' if kind == 'ok' else 'FAIL'} {q}: {kind} {msg} "
+                  f"[{wall:.1f}s]")
             counts["ok" if kind == "ok" else "other"] += 1
+            times.append((wall, q, kind))
     print(f"\n{counts['ok']} ok, {counts['timeout']} oracle-timeout, "
           f"{counts['other']} failed, {len(sqls)} with oracles")
+    print("\nslowest oracles (wall s — any >30 s at sf0.01 must be respelled):")
+    for wall, q, kind in sorted(times, reverse=True)[:15]:
+        print(f"  {wall:7.1f}  {q} ({kind})")
     return 0 if counts["other"] == 0 else 1
 
 
