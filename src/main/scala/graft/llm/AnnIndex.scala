@@ -24,10 +24,10 @@ import graft.Tables
   *
   * Layout contract:
   *  - one directory per (kind, component, corpus signature):
-  *    `<tmpdir>/graft-index/<Version>/<kind>/<component>/sig=<n>_<Σvec_id>` —
+  *    `<tmpdir>/graft-index/<Version>/<kind>/<component>/sig=<sig>` —
   *    the sig= spelling is DELIBERATE hive partitioning: a DuckDB oracle
   *    reads the glob with hive_partitioning=1 and filters on the same
-  *    (count, Σvec_id) signature it computes from the embeddings table,
+  *    [[sig]] signature it computes from the embeddings table,
   *    so the static oracle string finds the right corpus's artifact
   *    without knowing the sfDir. That is what converts the PQ/IVF tiers
   *    from "no oracle — KMeans is engine-internal" to hash-checked: the
@@ -93,7 +93,7 @@ object AnnIndex {
   def componentGlob(kind: String, component: String): String =
     s"$base/$kind/$component/sig=*/*.parquet"
 
-  private def ready(p: String): Boolean =
+  private[llm] def ready(p: String): Boolean =
     Files.exists(Paths.get(p, "_SUCCESS"))
 
   /** Write-to-temp + atomic rename; the rename loser (target appeared
@@ -105,7 +105,7 @@ object AnnIndex {
     * complete (the lost-race case); otherwise it rethrows (ADVICE r11
     * #5) — the old broad catch discarded the freshly trained copy on
     * ANY move failure and loaders then read a missing/half artifact. */
-  private def writeAtomic(df: DataFrame, target: String): Unit = {
+  private[llm] def writeAtomic(df: DataFrame, target: String): Unit = {
     val t = Paths.get(target)
     val tmp = t.resolveSibling(
       s"_tmp-${t.getFileName}-${ProcessHandle.current().pid()}")
@@ -135,7 +135,7 @@ object AnnIndex {
     *    parquet write and the rename. Only dead writers' temps are
     *    swept (pid suffix no longer alive) — a live concurrent
     *    trainer's in-flight temp is left alone. */
-  private def sweep(component: String, keepSig: String): Unit = {
+  private[llm] def sweep(component: String, keepSig: String): Unit = {
     val parent = Paths.get(component).getParent
     if (parent != null && Files.isDirectory(parent)) {
       val keep = s"sig=$keepSig"
