@@ -28,6 +28,68 @@ object Analytics {
       : org.apache.spark.storage.StorageLevel =
     graft.util.Storage.adaptiveLevel(dir)
 
+  /** Checkpoint a STATIC per-round join side, KEYED for reuse when the
+    * corpus is big: hash-partition on the round's join key and sort
+    * within partitions before the eager localCheckpoint — the
+    * checkpointed LogicalRDD carries that outputPartitioning +
+    * outputOrdering, so every Pregel round's sort-merge join consumes
+    * the edge side with ZERO exchange and ZERO sort (only the node-sized
+    * state side moves per round). On an iteration-bound graph op this
+    * removes the dominant per-round shuffle: the edge list (fact-scale)
+    * used to re-exchange every round — rounds × |edges| network at
+    * 100 TB; pinned, it is laid out once at build time (the same one
+    * shuffle the plain `.distinct()` paid — the dedup aggregate runs
+    * AFTER the repartition because HashPartitioning(key) satisfies the
+    * ClusteredDistribution of any key set containing `key`) and never
+    * moves again.
+    *
+    * SIZE-ADAPTIVE like [[adaptiveLevel]], and for the mirror reason: at
+    * small scale the node state fits the broadcast threshold, so AQE
+    * already runs every round exchange-free on the edge side by
+    * broadcasting the state — there the pin only trades a runtime
+    * broadcast-hash join for a static sort-merge join and measures
+    * SLOWER (g1 at sf0.1: 5.2 s unpinned vs 6.7 s pinned). Past the
+    * threshold the state outgrows broadcast, AQE falls back to
+    * exchanging the edge list every round, and the pin wins (g1 at sf1:
+    * 20.1 → 17.8 s; g5: 14.3 → 12.5 s — and the saved exchange is the
+    * term that grows with the fact table). 64 MB of lineitem ≈ the
+    * scale where the derived node state leaves broadcast range. */
+  private def pinKeyed(df: DataFrame, key: String, dedupKeys: Seq[String],
+                       dir: String,
+                       ser: org.apache.spark.storage.StorageLevel)
+      : DataFrame = {
+    val spark = df.sparkSession
+    if (graft.util.Storage.factBytes(dir) <= (64L << 20)) {
+      val deduped =
+        if (dedupKeys.isEmpty) df else df.dropDuplicates(dedupKeys)
+      return deduped.localCheckpoint(true, ser)
+    }
+    // Explicit partition count: an unnumbered repartition(col) is an AQE
+    // coalescing candidate, and a coalesced read would checkpoint with
+    // weaker partitioning info — the whole point here is a determinate
+    // HashPartitioning(key, n) the per-round joins can line up against.
+    val part = df.repartition(
+      spark.sessionState.conf.numShufflePartitions, col(key))
+    val deduped =
+      if (dedupKeys.isEmpty) part else part.dropDuplicates(dedupKeys)
+    val laid = deduped.sortWithinPartitions(col(key))
+    // AQE must be OFF for the eager checkpoint itself: under AQE the
+    // executed plan is an AdaptiveSparkPlanExec whose outputPartitioning
+    // reports Unknown, so LogicalRDD would checkpoint WITHOUT the
+    // partitioning/ordering it just paid a shuffle + sort to establish
+    // (verified empirically: hashpartitioning(key, n) + [key ASC] with
+    // this toggle, UnknownPartitioning(0) without — and with it every
+    // per-round SMJ consumes the edge scan with zero Exchange/Sort).
+    // Build-side AQE loses nothing here: the pipeline is a controlled
+    // two-shuffle layout with bounded per-key fanout (≤ items/order).
+    // Queries build sequentially, so the session-conf flip can't race.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try laid.localCheckpoint(true, ser)
+    finally spark.conf.set(aqeKey, prev)
+  }
+
   // ---- ev_cohort_retention: the classic signup-cohort × week-offset
   // retention triangle. Cohort = ISO week of a user's FIRST event
   // (2024-01-01 is a Monday, so weeks align with the testdata epoch);
@@ -169,12 +231,15 @@ object Analytics {
     val items = Tables.load(spark, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey").distinct()
       .localCheckpoint(true, ser) // both self-join sides read this
-    val edges = items.as("a").join(items.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" &&
-          $"a.l_partkey" =!= $"b.l_partkey")
-      .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
-      .distinct()
-      .localCheckpoint(true, ser)
+    // Pinned KEYED on src ([[pinKeyed]]): the per-round rank join and the
+    // degree aggregate both cluster on src, so neither ever exchanges the
+    // edge list again — per round only node-sized ranks move.
+    val edges = pinKeyed(
+      items.as("a").join(items.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" =!= $"b.l_partkey")
+        .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst")),
+      "src", Seq("src", "dst"), dir, ser)
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val nodes = deg.select($"src".as("node"), $"deg")
     val n = nodes.count()
@@ -434,6 +499,12 @@ object Analytics {
       .groupBy($"n").agg(count(lit(1)).as("dg"))
     val uFirst = $"du.dg" < $"dv.dg" ||
       ($"du.dg" === $"dv.dg" && $"u" < $"v")
+    // NOT pinned ([[pinKeyed]]): measured at sf1, pinning o on s cost
+    // 26→36 s — g2's dominant movement is the d-keyed second join that
+    // carries out(u) arrays to out(v)'s home (irreducible — it IS the
+    // algorithm), and a static 32-partition layout starves AQE of the
+    // coalescing/skew splitting it needs on exactly that array-heavy
+    // exchange. The s-keyed hops it would save are narrow-row and cheap.
     val o = und
       .join(deg.as("du"), $"u" === $"du.n")
       .join(deg.as("dv"), $"v" === $"dv.n")
@@ -942,8 +1013,15 @@ object Analytics {
         $"a.l_orderkey" === $"b.l_orderkey" &&
           $"a.l_partkey" < $"b.l_partkey")
       .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-      .distinct()
-    val bi = und.unionAll(und.select($"v".as("u"), $"u".as("v")))
+    // NOT pinned ([[pinKeyed]]): measured at sf1, pinning bi on v cost
+    // 17.8→20.6 s — g3's dominant per-round shuffle is the (u, lbl)
+    // mode aggregate over the edge-sized join output (untouched by a
+    // pinned edge side), while AQE broadcast-joins the node-sized labels
+    // into bi exchange-free anyway at any scale where labels fit the
+    // threshold; the pin only traded a runtime broadcast for a static
+    // SMJ. g1/g5 keep the pin because their state join IS the round.
+    val und2 = und.distinct()
+    val bi = und2.unionAll(und2.select($"v".as("u"), $"u".as("v")))
       .localCheckpoint(true, ser)
     var lbl = bi.select($"u".as("n")).distinct()
       .select($"n", $"n".as("lbl"))
@@ -1070,9 +1148,12 @@ object Analytics {
         $"a.l_orderkey" === $"b.l_orderkey" &&
           $"a.l_partkey" < $"b.l_partkey")
       .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-      .distinct()
-    val bi = und.union(und.select($"v".as("u"), $"u".as("v")))
-      .localCheckpoint(true, ser)
+    // Pinned KEYED on u ([[pinKeyed]]): each round's frontier expansion
+    // joins bi("u") to the layer's discoveries, so the edge list never
+    // exchanges after build (the g1/g3 treatment; dedup at the bi level
+    // subsumes the und-level distinct exactly as in g3).
+    val bi = pinKeyed(und.union(und.select($"v".as("u"), $"u".as("v"))),
+      "u", Seq("u", "v"), dir, ser)
     var dist = bi.select($"u".as("n")).distinct()
       .filter($"n" % 97 === 0)
       .select($"n", lit(0L).as("d"))

@@ -25,22 +25,26 @@ import org.apache.spark.storage.StorageLevel
   */
 object Storage {
 
-  def adaptiveLevel(dir: String, fact: String = "lineitem"): StorageLevel = {
+  /** On-disk bytes of `<dir>/<fact>.parquet` (file or directory-of-parts
+    * layout) — the corpus-size probe behind [[adaptiveLevel]] and the
+    * graph family's pin-vs-broadcast decision. 0 when absent. */
+  def factBytes(dir: String, fact: String = "lineitem"): Long = {
     val p = java.nio.file.Paths.get(dir, s"$fact.parquet")
-    val bytes =
-      if (java.nio.file.Files.isDirectory(p)) {
-        // Files.list holds an open directory FD until closed — callers
-        // run once per query, so an unclosed stream leaks an FD per
-        // bench iteration
-        val st = java.nio.file.Files.list(p)
-        try st.mapToLong(f =>
-          try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
-          .sum()
-        finally st.close()
-      } else if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.size(p)
-      else 0L // unknown layout → the memory-first default is the safe bet
-    if (bytes > (512L << 20)) StorageLevel.DISK_ONLY
-    else StorageLevel.MEMORY_AND_DISK_SER
+    if (java.nio.file.Files.isDirectory(p)) {
+      // Files.list holds an open directory FD until closed — callers
+      // run once per query, so an unclosed stream leaks an FD per
+      // bench iteration
+      val st = java.nio.file.Files.list(p)
+      try st.mapToLong(f =>
+        try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
+        .sum()
+      finally st.close()
+    } else if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.size(p)
+    else 0L // unknown layout → the memory-first default is the safe bet
   }
+
+  def adaptiveLevel(dir: String, fact: String = "lineitem"): StorageLevel =
+    if (factBytes(dir, fact) > (512L << 20)) StorageLevel.DISK_ONLY
+    else StorageLevel.MEMORY_AND_DISK_SER
 }
