@@ -309,6 +309,52 @@ object Similarity {
         $"rank".cast("long").as("rank"))
   }
 
+  /** FILTERED ANN — top-k under a metadata predicate (`label = 3`,
+    * ~10% selectivity here), the feature every production vector store
+    * ships next to plain top-k ("nearest docs in English", "nearest
+    * products in stock") and the one naive ANN compositions get wrong
+    * in one of two ways: post-filtering a plain top-k starves the
+    * result (k survivors of a k-shortlist ≈ k·selectivity rows), and
+    * pre-filtering by materializing the predicate's vectors re-scans
+    * the corpus, forfeiting the index. The standard answer — this
+    * shape — is SINGLE-STAGE filtered list scoring with OVER-PROBING:
+    * route to nprobe nearest lists as usual but probe 2× the unfiltered
+    * tier's lists (recall under a filter decays with selectivity; 2×
+    * at 10% matches the over-probe heuristics production stores
+    * document), apply the predicate to the probed lists' POSTING ROWS
+    * (id-sized) before any vector is fetched, and only then attach the
+    * 64-double vectors of surviving candidates for exact scoring.
+    *
+    * Scale shape: identical to [[topkIvf]] plus one id-keyed semi-join
+    * against the predicate's id set INSIDE the probed lists — the
+    * filter runs on (vec_id, list_id) rows, so the added cost is
+    * posting-row-sized, the fetch stage SHRINKS by the selectivity, and
+    * the corpus is still never scanned. Same persisted-index store,
+    * same pinned-parquet oracle-checkability as the other serve tiers. */
+  def topkFiltered(spark: SparkSession, dir: String, k: Int = TopK,
+                   nprobe: Int = 4, labelVal: Int = 3): DataFrame = {
+    import spark.implicits._
+    val (cents, codes) = AnnIndex.ensureIvf(spark, dir)
+    val probeDf = route(queryVecs(spark, dir), cents, nprobe)
+      .toDF("query_id", "list_id")
+    val e = emb(spark, dir)
+    val keep = Tables.load(spark, dir, "embeddings")
+      .filter($"label" === labelVal).select($"vec_id")
+    val q = e.filter($"vec_id" < NumQueryVecs)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val scored = broadcast(probeDf.join(q, "query_id"))
+      .join(codes, Seq("list_id"))
+      .join(keep, Seq("vec_id"), "left_semi") // predicate on posting rows
+      .filter($"vec_id" =!= $"query_id")
+      .join(e, Seq("vec_id")) // vectors attach AFTER the filter
+      .withColumn("cosine", dot($"qv", $"v"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"cosine",
+        $"rank".cast("long").as("rank"))
+  }
+
   /** Product quantization ANN — the memory-side answer at 100 TB, next
     * to the compute-side tiers (brute / LSH / IVF / kNN-graph): 64
     * float dims (256 B) compress to m=8 sub-codes of 4 bits' worth of
@@ -648,6 +694,7 @@ object Similarity {
     "sim_topk_brute" -> ((s, d) => topkBrute(s, d)),
     "sim_topk_lsh"   -> ((s, d) => topkLsh(s, d)),
     "sim_topk_ivf"   -> ((s, d) => topkIvf(s, d)),
+    "sim_topk_filtered" -> ((s, d) => topkFiltered(s, d)),
     "sim_topk_pq"    -> ((s, d) => topkPq(s, d)),
     "sim_topk_ivfpq" -> ((s, d) => topkIvfPq(s, d)),
     "sim_topk_ivfpq_cached" -> ((s, d) => topkIvfPqCached(s, d)),
@@ -844,6 +891,41 @@ object Similarity {
          |cand AS (SELECT pr.query_id, cd.vec_id
          |         FROM pr JOIN cd ON cd.list_id = pr.list_id
          |         WHERE cd.vec_id <> pr.query_id),
+         |sc2 AS (SELECT q.query_id, e.vec_id AS neighbor_id, $dotSql AS cosine
+         |        FROM cand JOIN q ON q.query_id = cand.query_id
+         |        JOIN e ON e.vec_id = cand.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM sc2)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $TopK""".stripMargin,
+
+    // sim_topk_ivf's shape with the over-probe widened to 4 lists and
+    // the label predicate applied to the posting rows before the vector
+    // join — the same stage order as the Spark side. CTEs staged
+    // MATERIALIZED defensively (the r11 lesson: never hand an
+    // estimate-blind CTE pipeline a join order to get wrong).
+    "sim_topk_filtered" ->
+      s"""WITH sg AS (${AnnIndex.sigSql}),
+         |ct AS MATERIALIZED (SELECT list_id, cent
+         |       FROM read_parquet('${AnnIndex.componentGlob("ivf", "cents")}',
+         |                         hive_partitioning = 1), sg
+         |       WHERE sig = sg.s),
+         |cd AS MATERIALIZED (SELECT vec_id, list_id
+         |       FROM read_parquet('${AnnIndex.componentGlob("ivf", "codes")}',
+         |                         hive_partitioning = 1), sg
+         |       WHERE sig = sg.s),
+         |e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueryVecs),
+         |rt AS (SELECT q.query_id, c.list_id,
+         |         ${routeDistSql("q.qv", "c.cent")} AS d
+         |       FROM q, ct c),
+         |pr AS MATERIALIZED (SELECT query_id, list_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY d, list_id) AS rn FROM rt)
+         |       WHERE rn <= 4),
+         |cand AS MATERIALIZED (SELECT pr.query_id, cd.vec_id
+         |         FROM pr JOIN cd ON cd.list_id = pr.list_id
+         |         JOIN embeddings le ON le.vec_id = cd.vec_id
+         |         WHERE cd.vec_id <> pr.query_id AND le.label = 3),
          |sc2 AS (SELECT q.query_id, e.vec_id AS neighbor_id, $dotSql AS cosine
          |        FROM cand JOIN q ON q.query_id = cand.query_id
          |        JOIN e ON e.vec_id = cand.vec_id),

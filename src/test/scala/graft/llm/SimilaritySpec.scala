@@ -103,6 +103,49 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 >= r2, s"IVF recall not monotone in nprobe: $r4 < $r2")
   }
 
+  test("filtered ANN: predicate exact, ranks contiguous, recall vs exact filtered brute") {
+    import spark.implicits._
+    val got = Similarity.topkFiltered(spark, dir).cache()
+    // (1) the predicate is EXACT on the result, not best-effort: every
+    // returned neighbor carries label 3.
+    val labels = graft.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id".as("neighbor_id"), $"label")
+    val offLabel = got.join(labels, "neighbor_id").filter($"label" =!= 3).count()
+    assert(offLabel == 0, s"$offLabel filtered ANN rows violate the predicate")
+    // (2) per-query ranks are 1..n (n ≤ k) — the window emits a
+    // contiguous prefix even when the probed lists hold < k matches.
+    val rankSets = got.select($"query_id", $"rank").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    rankSets.foreach { case (q, rs) =>
+      assert(rs == (1L to rs.length), s"query $q ranks not contiguous: $rs")
+    }
+    // (3) recall vs the EXACT filtered answer (driver replay over the
+    // 500-vector spec corpus: brute top-5 among label-3 vectors per
+    // probe). Over-probing 4 of 16 lists at ~10% selectivity measured
+    // 31/50 here; the 0.4 floor sits under it with margin while still
+    // catching a starved post-filter composition (filtering a plain
+    // top-5 would keep ≈ 0.5 matching rows per query — near-zero
+    // recall against the 5-row exact answer).
+    val vecs = graft.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label",
+        org.apache.spark.sql.functions.transform($"embedding",
+          x => x.cast("double")).as("v"))
+      .as[(Long, Int, Array[Double])].collect()
+    def dotd(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val exact = vecs.filter(_._1 < Similarity.NumQueryVecs).flatMap {
+      case (qid, _, qv) =>
+        vecs.filter(t => t._2 == 3 && t._1 != qid)
+          .map(t => (t._1, dotd(qv, t._3)))
+          .sortBy(t => (-t._2, t._1)).take(Similarity.TopK)
+          .map(t => (qid, t._1))
+    }.toSet
+    val hit = exact.count(topkSet(got).contains)
+    got.unpersist()
+    assert(hit.toDouble / exact.size >= 0.4,
+      s"filtered ANN recall $hit/${exact.size} under floor 0.4")
+  }
+
   test("PQ ADC recall@k clears the floor; deterministic re-run; codes are small ints") {
     val brute = topkSet(Similarity.topkBrute(spark, dir))
     val pq1 = topkSet(Similarity.topkPq(spark, dir))
