@@ -1974,29 +1974,34 @@ object Analytics {
         |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 25""".stripMargin,
 
     "g1_pagerank" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |edges AS (
+      // edges/deg/it* staged MATERIALIZED (the j9/r11 lesson, hit at
+      // sf1 by the ROUND CHAIN): inlined, every itK reference re-ran
+      // the items self-join behind estimate-blind pipelines and the
+      // sweep died spilling >80 GB of DuckDB temp; staged, each round
+      // reads the 18M-edge table once.
+      """WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |edges AS MATERIALIZED (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         |  FROM items a JOIN items b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-        |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+        |deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
         |n AS (SELECT COUNT(*) AS n FROM deg),
-        |it0 AS (SELECT node, deg, 1000000000 // (SELECT n FROM n) AS r FROM deg),
-        |it1 AS (
+        |it0 AS MATERIALIZED (SELECT node, deg, 1000000000 // (SELECT n FROM n) AS r FROM deg),
+        |it1 AS MATERIALIZED (
         |  SELECT d.node, d.deg,
         |         150000000 // (SELECT n FROM n)
         |           + (17 * COALESCE(SUM(p.r // p.deg), 0)) // 20 AS r
         |  FROM deg d LEFT JOIN (SELECT e.dst, i.r, i.deg FROM edges e
         |                        JOIN it0 i ON e.src = i.node) p
         |    ON p.dst = d.node GROUP BY 1, 2),
-        |it2 AS (
+        |it2 AS MATERIALIZED (
         |  SELECT d.node, d.deg,
         |         150000000 // (SELECT n FROM n)
         |           + (17 * COALESCE(SUM(p.r // p.deg), 0)) // 20 AS r
         |  FROM deg d LEFT JOIN (SELECT e.dst, i.r, i.deg FROM edges e
         |                        JOIN it1 i ON e.src = i.node) p
         |    ON p.dst = d.node GROUP BY 1, 2),
-        |it3 AS (
+        |it3 AS MATERIALIZED (
         |  SELECT d.node, d.deg,
         |         150000000 // (SELECT n FROM n)
         |           + (17 * COALESCE(SUM(p.r // p.deg), 0)) // 20 AS r
