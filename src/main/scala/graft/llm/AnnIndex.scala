@@ -346,4 +346,46 @@ object AnnIndex {
     }
     (loadCents(spark, kp), loadBooks(spark, bp), spark.read.parquet(cp))
   }
+
+  // ---- SemDeDup cluster artifact (kind "sem") -----------------------
+
+  /** Target cluster size for the SemDeDup partition ([[Dedup.semDedup]]).
+    * k scales WITH the corpus (k ≈ n / target) — the published SemDeDup
+    * configuration and the reason the method is linear at 100 TB:
+    * within-cluster pair work is n·target/2 whatever the corpus size.
+    * A fixed k (the IVF NList) would make clusters corpus-sized and the
+    * pair stage quadratic — the same fixed-parameter failure mode the
+    * adaptive LSH bits (Similarity.gateBits) exist to prevent. */
+  val SemTarget = 512
+
+  def semK(n: Long): Int =
+    math.max(4, ((n + SemTarget - 1) / SemTarget).toInt)
+
+  /** Ensure the SemDeDup centroid artifact exists for this corpus: one
+    * corpus-adaptive KMeans fit, trained on the deterministic 20% hash
+    * sample (the codebook convention — centroids need thousands of
+    * points, not the corpus, so fit cost is flat in corpus size at a
+    * fixed target cluster count... here k grows with n, so the sample
+    * keeps fit input at n/5 while k = n/512: ~102 training points per
+    * centroid at any sf). ONLY the centroids persist — cluster
+    * assignment is an exact in-plan argmin on BOTH engines (the
+    * sim_index_update rule: no dependence on MLlib transform
+    * internals), so the cents parquet is the complete replayable
+    * contract and the tier needs no codes component. */
+  def ensureSemPath(spark: SparkSession, dir: String): String = {
+    val s = sig(spark, dir)
+    val cp = componentPath("sem", "cents", s)
+    if (!ready(cp)) {
+      sweep(cp, s)
+      val e = emb(spark, dir)
+      val k = semK(s.takeWhile(_ != '_').toLong)
+      val train = e.filter(
+        TextOps.hash48(concat(lit("sem:"), col("vec_id").cast("string"))) % 5 === 0)
+      val model = new KMeans().setK(k).setSeed(7L).setMaxIter(20)
+        .setFeaturesCol("fv").setPredictionCol("list_id")
+        .fit(train.withColumn("fv", array_to_vector(col("v"))))
+      writeAtomic(centsDf(spark, model), cp)
+    }
+    cp
+  }
 }

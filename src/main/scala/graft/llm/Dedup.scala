@@ -602,6 +602,62 @@ object Dedup {
       .select($"vec_id", coalesce($"canonical_id", $"vec_id").as("canonical_id"))
   }
 
+  /** SemDeDup — semantic dedup by CLUSTER-THEN-PRUNE (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540): partition the corpus
+    * with k-means, then within each cluster mark as duplicate every
+    * vector that has a HIGHER-PRIORITY τ-neighbor, priority =
+    * (distance-to-own-centroid asc, vec_id asc). That is exactly the
+    * released implementation's rule — cluster members are ordered by
+    * centroid distance and member i is dropped iff max cos(i, j<i) ≥ τ
+    * regardless of whether j itself was dropped — so the op is ONE
+    * semi-join, no iterative connected components (the deliberate
+    * contrast with [[embeddingClusters]], which builds the full
+    * near-dup graph; SemDeDup trades that global view for a single
+    * bounded pass, which is why the paper runs it at web scale).
+    *
+    * Scale shape: k is CORPUS-ADAPTIVE ([[AnnIndex.SemTarget]] ≈ 512
+    * vectors/cluster, the published configuration), so the within-
+    * cluster pair stage is n·512/2 comparisons — linear in n — and the
+    * cluster id is the shuffle key (k keys at n/512 rows each; the
+    * kmeans objective is what keeps those buckets balanced, unlike a
+    * skew-prone content key). Assignment is ONE corpus scan against
+    * the broadcast centroid table with a map-side partial argmin
+    * (cross-join fanout collapses to n rows before the shuffle).
+    * Centroids come from the persisted [[AnnIndex]] "sem" artifact
+    * (train-once-serve-many; kilobytes of driver metadata), and the
+    * assignment is an exact in-plan argmin — the sim_index_update
+    * rule — so the whole op replays bit-exactly from the cents
+    * parquet in DuckDB: hash-checked end to end, not law-checked. */
+  def semDedup(spark: SparkSession, dir: String,
+               threshold: Double = 0.30): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(AnnIndex.ensureSemPath(spark, dir))
+    val e = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    // ascending-index (x−c)² fold — mirrors the oracle's list_reduce
+    val d2 = aggregate(zip_with($"v", $"cent", (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+    val asg = e.crossJoin(broadcast(cents))
+      .withColumn("d", d2)
+      .groupBy($"vec_id")
+      .agg(min(struct($"d", $"list_id")).as("m")) // lex: (d asc, list asc)
+      .select($"vec_id", $"m.list_id".as("list_id"), $"m.d".as("d2c"))
+    val av = asg.join(e, Seq("vec_id"))
+    val lo = av.select($"list_id", $"vec_id".as("id_a"),
+      $"d2c".as("da"), $"v".as("va"))
+    val hi = av.select($"list_id", $"vec_id".as("id_b"),
+      $"d2c".as("db"), $"v".as("vb"))
+    val dup = lo.join(hi, Seq("list_id"))
+      .filter($"db" < $"da" || ($"db" === $"da" && $"id_b" < $"id_a"))
+      .filter(Similarity.dot($"va", $"vb") >= threshold)
+      .select($"id_a".as("vec_id")).distinct()
+    av.select($"vec_id", $"list_id".cast("long").as("list_id"))
+      .join(dup.withColumn("dup", lit(true)), Seq("vec_id"), "left_outer")
+      .select($"vec_id", $"list_id",
+        coalesce($"dup", lit(false)).as("is_dup"))
+  }
+
   /** Library variant: Spark ML HashingTF + MinHashLSH approxSimilarityJoin
     * (different hash family → no SQL oracle; rows-only check). Kept
     * alongside the native path to cover the `ml.feature` surface. */
@@ -791,6 +847,7 @@ object Dedup {
     "dedup_embedding"     -> ((s, d) => embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => embeddingNearDupLsh(s, d)),
     "dedup_clusters_embedding" -> ((s, d) => embeddingClusters(s, d)),
+    "dedup_semdedup"      -> ((s, d) => semDedup(s, d)),
     "d_contamination"     -> ((s, d) => contamination(s, d)),
     "d_contamination_bloom" -> ((s, d) => contaminationBloom(s, d)))
 
@@ -1126,5 +1183,42 @@ object Dedup {
         |FROM p a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_reduce(list_prepend(0.0::DOUBLE,
         |    list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])),
-        |    (acc, x) -> acc + x) >= 0.30""".stripMargin)
+        |    (acc, x) -> acc + x) >= 0.30""".stripMargin,
+
+    // SemDeDup replay from the persisted sem/cents artifact (the ANN-
+    // store oracle convention: hive sig= partition filtered to the
+    // signature recomputed from the corpus). Assignment is the same
+    // argmin fold the engine runs in-plan; the witness join carries the
+    // priority predicate INSIDE the ON clause; every CTE feeding a join
+    // is staged MATERIALIZED (the r11 gate lesson — never hand an
+    // estimate-blind CTE pipeline a join order to get wrong).
+    "dedup_semdedup" ->
+      s"""WITH sg AS (${AnnIndex.sigSql}),
+         |ct AS MATERIALIZED (SELECT list_id, cent
+         |      FROM read_parquet('${AnnIndex.componentGlob("sem", "cents")}',
+         |                        hive_partitioning = 1), sg
+         |      WHERE sig = sg.s),
+         |e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+         |      FROM embeddings),
+         |rt AS (SELECT e.vec_id, c.list_id,
+         |        list_reduce(list_prepend(0.0::DOUBLE,
+         |          list_transform(list_zip(e.v, c.cent),
+         |            p -> (p[1] - p[2]) * (p[1] - p[2]))),
+         |          (acc, x) -> acc + x) AS d
+         |      FROM e, ct c),
+         |asg AS MATERIALIZED (SELECT vec_id, list_id, d AS d2c FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY d, list_id) AS rn FROM rt)
+         |      WHERE rn = 1),
+         |av AS MATERIALIZED (SELECT a.vec_id, a.list_id, a.d2c, e.v
+         |      FROM asg a JOIN e ON e.vec_id = a.vec_id),
+         |w AS MATERIALIZED (SELECT DISTINCT a.vec_id
+         |      FROM av a JOIN av b ON b.list_id = a.list_id
+         |       AND (b.d2c < a.d2c OR (b.d2c = a.d2c AND b.vec_id < a.vec_id))
+         |      WHERE list_reduce(list_prepend(0.0::DOUBLE,
+         |          list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])),
+         |          (acc, x) -> acc + x) >= 0.30)
+         |SELECT av.vec_id, CAST(av.list_id AS BIGINT) AS list_id,
+         |       (w.vec_id IS NOT NULL) AS is_dup
+         |FROM av LEFT JOIN w ON w.vec_id = av.vec_id""".stripMargin)
 }

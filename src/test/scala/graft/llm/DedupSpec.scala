@@ -421,4 +421,50 @@ class DedupSpec extends SparkSpec {
     assert(rec == (if (nTrue > 0) tp * 1000000L / nTrue else 0L))
     assert(nTrue > 0, "testdata must contain true near-dup pairs")
   }
+
+  /** SemDeDup law: full independent driver-side replay. Assignment,
+    * priority, and the drop rule are recomputed from the SAME persisted
+    * centroid artifact the engine reads, with plain Scala arithmetic,
+    * and the engine output must match row-for-row. Non-vacuity (both
+    * classes present) and determinism are asserted on top. */
+  test("semdedup equals a driver-side replay from the persisted centroids") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val tau = 0.30
+    val out = Dedup.semDedup(spark, sf, tau)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val cents = spark.read.parquet(graft.llm.AnnIndex.ensureSemPath(spark, sf))
+      .select($"list_id", $"cent").as[(Int, Seq[Double])].collect()
+      .sortBy(_._1).map { case (i, c) => (i.toLong, c.toArray) }
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val asg = vecs.map { case (id, v) =>
+      val (li, d) = cents.map { case (li, c) => (li, l2sq(v, c)) }
+        .minBy { case (li, d) => (d, li) }
+      (id, li, d, v)
+    }
+    val byList = asg.groupBy(_._2)
+    val want = asg.map { case (id, li, d, v) =>
+      val dup = byList(li).exists { case (oid, _, od, ov) =>
+        (od < d || (od == d && oid < id)) && dot(v, ov) >= tau
+      }
+      (id, li, dup)
+    }.toSet
+    assert(out == want, "engine disagrees with the driver-side replay")
+    assert(out.exists(_._3) && out.exists(!_._3),
+      "law is vacuous: need both dropped and kept vectors")
+    assert(out.map(_._1).size == vecs.length, "output must partition the corpus")
+    val again = Dedup.semDedup(spark, sf, tau)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(again == out, "semdedup must be deterministic")
+  }
 }
