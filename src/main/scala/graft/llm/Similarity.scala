@@ -689,8 +689,34 @@ object Similarity {
       .select($"label", $"rank".cast("long").as("rank"), $"vec_id", $"dotc")
   }
 
+  /** sim_recall_eval — the ANN QUALITY AUDIT: per-probe-query recall@k
+    * of the served IVF tier against the exact brute answer, the number
+    * every production vector platform alarms on next to the occupancy
+    * stats ([[indexStats]]) — an index can be healthy by occupancy and
+    * useless by recall after a distribution shift. Composes two already-
+    * declared pipelines (brute = ground truth, IVF = system under test)
+    * and joins their k-sets per query: hits = |ivf ∩ exact|, recall in
+    * exact integer ppm ([[graft.util.Cols.ppm]]). Both tiers tie-break
+    * identically (cosine desc, neighbor_id asc), so the intersection is
+    * well-defined on both engines and the whole audit is hash-checked.
+    * Scale shape: the brute baseline is the declared O(K·n) broadcast
+    * probe (K = [[NumQueryVecs]] driver metadata — the audit runs on a
+    * probe SAMPLE, never all queries); the join/agg act on K·k rows. */
+  def recallEval(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    import spark.implicits._
+    val exact = topkBrute(spark, dir, k).select($"query_id", $"neighbor_id")
+    val approx = topkIvf(spark, dir, k)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"hit", lit(0L))).as("hits"))
+      .select($"query_id", $"hits",
+        graft.util.Cols.ppm($"hits", lit(k.toLong)).as("recall_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_centroid_topk" -> ((s, d) => centroidTopk(s, d)),
+    "sim_recall_eval" -> ((s, d) => recallEval(s, d)),
     "sim_topk_brute" -> ((s, d) => topkBrute(s, d)),
     "sim_topk_lsh"   -> ((s, d) => topkLsh(s, d)),
     "sim_topk_ivf"   -> ((s, d) => topkIvf(s, d)),
@@ -1043,6 +1069,54 @@ object Similarity {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $TopK""".stripMargin,
+
+    // Recall audit = the sim_topk_ivf pipeline (system under test) and
+    // the sim_topk_brute pipeline (ground truth) composed in one
+    // statement, hits counted per query. Store-reading and row_number-
+    // fed CTEs staged MATERIALIZED (the r11 gate lesson).
+    "sim_recall_eval" ->
+      s"""WITH sg AS (${AnnIndex.sigSql}),
+         |ct AS MATERIALIZED (SELECT list_id, cent
+         |       FROM read_parquet('${AnnIndex.componentGlob("ivf", "cents")}',
+         |                         hive_partitioning = 1), sg
+         |       WHERE sig = sg.s),
+         |cd AS MATERIALIZED (SELECT vec_id, list_id
+         |       FROM read_parquet('${AnnIndex.componentGlob("ivf", "codes")}',
+         |                         hive_partitioning = 1), sg
+         |       WHERE sig = sg.s),
+         |e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e
+         |       WHERE vec_id < $NumQueryVecs),
+         |rt AS (SELECT q.query_id, c.list_id,
+         |         ${routeDistSql("q.qv", "c.cent")} AS d
+         |       FROM q, ct c),
+         |pr AS MATERIALIZED (SELECT query_id, list_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY d, list_id) AS rn FROM rt)
+         |       WHERE rn <= 2),
+         |cand AS (SELECT pr.query_id, cd.vec_id
+         |         FROM pr JOIN cd ON cd.list_id = pr.list_id
+         |         WHERE cd.vec_id <> pr.query_id),
+         |sci AS (SELECT q.query_id, e.vec_id AS neighbor_id, $dotSql AS cosine
+         |        FROM cand JOIN q ON q.query_id = cand.query_id
+         |        JOIN e ON e.vec_id = cand.vec_id),
+         |ri AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cosine DESC, neighbor_id) AS rank FROM sci)
+         |      WHERE rank <= $TopK),
+         |scb AS (SELECT q.query_id, e.vec_id AS neighbor_id, $dotSql AS cosine
+         |        FROM q, e WHERE e.vec_id <> q.query_id),
+         |rb AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cosine DESC, neighbor_id) AS rank FROM scb)
+         |      WHERE rank <= $TopK),
+         |h AS (SELECT rb.query_id,
+         |        CASE WHEN ri.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+         |      FROM rb LEFT JOIN ri ON ri.query_id = rb.query_id
+         |        AND ri.neighbor_id = rb.neighbor_id)
+         |SELECT query_id, CAST(sum(hit) AS BIGINT) AS hits,
+         |       CAST(sum(hit) * 1000000 // $TopK AS BIGINT) AS recall_ppm
+         |FROM h GROUP BY query_id""".stripMargin,
 
     "sim_knn_graph" -> {
       val bandJoins = (0 until LshBands).map { b =>

@@ -289,4 +289,28 @@ class SimilaritySpec extends SparkSpec {
     val r = Similarity.autoBitsPerBand(1_000_000_000L, 128)
     assert((1_000_000_000L >> r) <= 128)
   }
+
+  /** recall-audit law: hits/recall must equal what the two DECLARED
+    * pipelines it composes actually intersect to — recomputed here from
+    * their own outputs — with one row per probe query (a query whose
+    * IVF answer misses everything must still appear with hits = 0). */
+  test("recall eval equals the brute∩ivf intersection of its own tiers") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val out = Similarity.recallEval(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val brute = Similarity.topkBrute(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.topkIvf(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val k = Similarity.TopK.toLong
+    assert(out.size == Similarity.NumQueryVecs)
+    out.foreach { case (q, (hits, ppm)) =>
+      val want = brute.count(p => p._1 == q && ivf(p))
+      assert(hits == want, s"query $q: hits $hits vs recomputed $want")
+      assert(ppm == hits * 1000000L / k)
+    }
+    // non-vacuous: the nprobe=2 tier must find SOMETHING but is not exact
+    assert(out.values.map(_._1).sum > 0)
+  }
 }
