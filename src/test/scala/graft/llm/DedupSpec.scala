@@ -439,16 +439,18 @@ class DedupSpec extends SparkSpec {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"vec_id", $"embedding".cast("array<double>"))
       .as[(Long, Seq[Double])].collect().map { case (id, v) => (id, v.toArray) }
-    def l2sq(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
-    }
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
+    // same ‖v‖² + ‖c‖² − 2·v·c spelling (and fold order) as both engines
+    def sqn(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }; s
+    }
     val asg = vecs.map { case (id, v) =>
-      val (li, d) = cents.map { case (li, c) => (li, l2sq(v, c)) }
+      val vn = sqn(v)
+      val (li, d) = cents.map { case (li, c) => (li, vn + sqn(c) - 2.0 * dot(v, c)) }
         .minBy { case (li, d) => (d, li) }
       (id, li, d, v)
     }
