@@ -260,6 +260,87 @@ object Analytics {
       .orderBy($"rank_ppb".desc, $"p_partkey".asc).limit(25)
   }
 
+  // ---- g7_random_walk: L=3 deterministic hash-guided random walks
+  // over the co-purchase graph (the g1/j6 edge set) — the graph
+  // SAMPLING primitive: walks are the "sentences" a DeepWalk/node2vec
+  // skip-gram embedding trains on (Perozzi et al., KDD 2014), and the
+  // data-generation stage of any graph-embedding pipeline. The next
+  // hop from node u at step t is argmin over out-neighbors v of
+  // hash48("rw:<walk>:<t>:<v>") — the o1/o4 seeded-canon stand-in for
+  // uniform sampling, which keeps the walk set bit-identical across
+  // engines (and across partitionings) while the md5-derived hash
+  // stays uniform per (walk, step). Walk starts are the
+  // hash-designated ~1/64 of nodes (corpus-adaptive COUNT, the o5
+  // rule: the walk corpus grows linearly with the graph, never a
+  // fixed absolute). Scale shape — THE point of this op: the global
+  // co-purchase edge list is NEVER materialized (unlike g1/g5, which
+  // need every edge every round, a walk touches only its frontier's
+  // neighborhoods — building all n·deg edges first measured 257 s at
+  // sf10, ~all of it edge build; this shape runs the same sf10 probe
+  // in 42.6 s, the residual being the ONE distinct+layout pass over
+  // the fact table). Per step the walk-sized frontier routes through items
+  // twice — part → co-order → co-part, neighbor generation ON DEMAND:
+  // hop 1 BROADCASTS the frontier over one map-side items scan; hop 2
+  // joins the resulting walk-order list against items PINNED KEYED on
+  // l_orderkey (the g1 pinKeyed trick aimed at the fact table itself),
+  // so the fact side never exchanges — only the walk-sized order list
+  // shuffles per step. A walk-keyed min-struct aggregate picks the hop
+  // (map-side partial; argmin over the multiset of shared orders
+  // equals argmin over the neighbor SET, so skipping the distinct
+  // changes nothing). The co-purchase relation is symmetric, so no
+  // walk ever dead-ends.
+  private val randomWalk: Q = (spark, dir) => {
+    import spark.implicits._
+    val ser = adaptiveLevel(dir)
+    // dedup rides the pin's repartition (HashPartitioning(l_orderkey)
+    // satisfies the (l_orderkey, l_partkey) distinct — the g1 rule)
+    val items = pinKeyed(
+      Tables.load(spark, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey"),
+      "l_orderkey", Seq("l_orderkey", "l_partkey"), dir, ser)
+    // Node set = parts with ≥1 co-purchase neighbor ("DISTINCT src of
+    // the edge set") WITHOUT building edges: parts on multi-part orders.
+    val multi = items.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("np")).filter($"np" >= 2)
+      .select($"l_orderkey")
+    val nodes = items.join(multi, Seq("l_orderkey"), "left_semi")
+      .select($"l_partkey".as("node")).distinct()
+      .localCheckpoint(false)
+    // Corpus-adaptive start designation (the gateBits rule): modulus
+    // clamp(nodes/16, 4, 64) keeps the expected start count ≥ ~16 on a
+    // tiny graph (a fixed /64 designated ZERO starts at sf0.001 — the
+    // fixed-parameter failure mode again) while walks grow ∝ n/64 at
+    // scale. The count is node-sized driver metadata, like g1's n.
+    val mod = math.max(4L, math.min(64L, nodes.count() / 16L))
+    val starts = nodes
+      .filter(graft.llm.TextOps.hash48(
+        concat(lit("rws:"), $"node".cast("string"))) % mod === 0)
+      .select($"node".as("walk_id"), $"node")
+      .localCheckpoint(false)
+    var frontier = starts
+    var out = starts.withColumn("step", lit(0L))
+    for (t <- 1 to 3) {
+      val h = graft.llm.TextOps.hash48(concat(
+        lit("rw:"), $"walk_id".cast("string"),
+        lit(s":$t:"), $"dst".cast("string")))
+      val walkOrders = broadcast(frontier)
+        .join(items.as("x"), frontier("node") === $"x.l_partkey")
+        .select($"walk_id", $"node", $"x.l_orderkey".as("l_orderkey"))
+      val nxt = walkOrders
+        .join(items.as("y"), Seq("l_orderkey"))
+        .filter($"y.l_partkey" =!= $"node")
+        .select($"walk_id", $"y.l_partkey".as("dst"))
+        .withColumn("h", h)
+        .groupBy($"walk_id")
+        .agg(min(struct($"h", $"dst")).as("m")) // lex: (h asc, dst asc)
+        .select($"walk_id", $"m.dst".as("node"))
+        .localCheckpoint(false) // truncate per-step lineage (the g1 rule)
+      frontier = nxt
+      out = out.unionAll(nxt.withColumn("step", lit(t.toLong)))
+    }
+    out.select($"walk_id", $"step", $"node")
+  }
+
   // ---- g6_hits: HITS hubs/authorities over the customer↔part
   // BIPARTITE graph (Kleinberg) — the mutual-reinforcement score
   // PageRank can't express: a part is authoritative when BROAD
@@ -1355,6 +1436,7 @@ object Analytics {
     "ev_attribution"      -> attribution,
     "g6_hits"             -> hits,
     "g1_pagerank"         -> pagerank,
+    "g7_random_walk"      -> randomWalk,
     "g2_triangles"        -> triangles,
     "g3_communities"      -> communities,
     "g4_kcore"            -> kcore,
@@ -2009,5 +2091,39 @@ object Analytics {
         |                        JOIN it2 i ON e.src = i.node) p
         |    ON p.dst = d.node GROUP BY 1, 2)
         |SELECT node AS p_partkey, CAST(r AS BIGINT) AS rank_ppb FROM it3
-        |ORDER BY r DESC, node ASC LIMIT 25""".stripMargin)
+        |ORDER BY r DESC, node ASC LIMIT 25""".stripMargin,
+
+    // g7: each step CTE picks, per walk, the out-neighbor minimizing the
+    // md5-derived hash48 (identical spelling to the engine's
+    // graft_hash48: first 12 hex chars as a 48-bit integer). Every
+    // frontier CTE staged MATERIALIZED (the g1/r11 round-chain lesson).
+    "g7_random_walk" -> {
+      def h48(expr: String): String =
+        s"CAST(('0x' || substr(md5($expr), 1, 12)) AS BIGINT)"
+      def step(t: Int, prev: String): String =
+        s"""s$t AS MATERIALIZED (SELECT walk_id, node FROM (
+           |    SELECT p.walk_id, e.dst AS node,
+           |      row_number() OVER (PARTITION BY p.walk_id ORDER BY
+           |        ${h48(s"'rw:' || CAST(p.walk_id AS VARCHAR) || ':$t:' || CAST(e.dst AS VARCHAR)")},
+           |        e.dst) AS rn
+           |    FROM $prev p JOIN edges e ON e.src = p.node)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |nd AS MATERIALIZED (SELECT DISTINCT src FROM edges),
+         |md AS (SELECT GREATEST(4, LEAST(64, COUNT(*) // 16)) AS m FROM nd),
+         |starts AS MATERIALIZED (
+         |  SELECT src AS walk_id, src AS node FROM nd, md
+         |  WHERE ${h48("'rws:' || CAST(src AS VARCHAR)")} % md.m = 0),
+         |${step(1, "starts")},
+         |${step(2, "s1")},
+         |${step(3, "s2")}
+         |SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM starts
+         |UNION ALL SELECT walk_id, CAST(1 AS BIGINT), node FROM s1
+         |UNION ALL SELECT walk_id, CAST(2 AS BIGINT), node FROM s2
+         |UNION ALL SELECT walk_id, CAST(3 AS BIGINT), node FROM s3""".stripMargin
+    })
 }

@@ -728,6 +728,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq((3L, 1L, "view"), (4L, 2L, "click"), (5L, 2L, "click")))
   }
 
+  /** Random-walk law, full driver-side replay on driver testdata: the
+    * edge set, start designation, and every hash-argmin hop are
+    * recomputed in plain Scala (hash48Jvm — the same md5-derived value
+    * the engine's codegen'd expression and the DuckDB oracle compute)
+    * and the engine output must match row-for-row. */
+  test("random walk equals a driver-side hash-argmin replay") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val out = Analytics.queries("g7_random_walk")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val items = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val byOrder = items.toSeq.groupBy(_._1)
+    val adj: Map[Long, Seq[Long]] = byOrder.values.toSeq.flatMap { ps =>
+      val parts: Seq[Long] = ps.map(_._2).distinct
+      for (a <- parts; b <- parts if a != b) yield (a, b)
+    }.distinct.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val h48 = graft.llm.TextOps.hash48Jvm _
+    val mod = math.max(4L, math.min(64L, adj.size / 16L))
+    val starts = adj.keys.filter(n => h48(s"rws:$n") % mod == 0).toSeq
+    assert(starts.nonEmpty, "law is vacuous: no designated walk starts")
+    val want = starts.flatMap { w =>
+      var cur = w
+      (w, 0L, w) +: (1 to 3).map { t =>
+        cur = adj(cur).minBy(v => (h48(s"rw:$w:$t:$v"), v))
+        (w, t.toLong, cur)
+      }
+    }.toSet
+    assert(out == want, "engine disagrees with the driver-side replay")
+    // walks move: at least one walk leaves its start node
+    assert(want.exists { case (w, t, n) => t > 0 && n != w })
+  }
+
   private implicit class PairMap(rows: Array[(String, Long, Double)]) {
     def toMap2: Map[String, (Long, Double)] =
       rows.map(r => r._1 -> (r._2, r._3)).toMap
