@@ -649,7 +649,10 @@ object Dedup {
       .groupBy($"vec_id")
       .agg(min(struct($"d", $"list_id")).as("m")) // lex: (d asc, list asc)
       .select($"vec_id", $"m.list_id".as("list_id"), $"m.d".as("d2c"))
-    val av = asg.join(e, Seq("vec_id"))
+    // ONE assignment lineage feeds both pair sides AND the final select
+    // (the trainIvfPq pinned-base rule) — unpinned, the n·k cross-join
+    // aggregate re-executed per consumer (3× in the formatted plan).
+    val av = asg.join(e, Seq("vec_id")).localCheckpoint(false)
     val lo = av.select($"list_id", $"vec_id".as("id_a"),
       $"d2c".as("da"), $"v".as("va"))
     val hi = av.select($"list_id", $"vec_id".as("id_b"),
