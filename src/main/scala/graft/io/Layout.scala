@@ -76,7 +76,58 @@ object Layout {
       .withColumn("zval", zvalue($"cust16", $"day16"))
   }
 
-  val queries: Map[String, Q] = Map("k8_zorder" -> zorder)
+  // ---- k9_shard_manifest: the training-shard writer's manifest — the
+  // last mile of a data pipeline before the dataloader. Every doc is
+  // assigned a shard by hash (deterministic, partition-layout-invariant
+  // — the assignment is a pure function of doc_id, so re-ingests and
+  // re-partitions reproduce the identical sharding), and the manifest
+  // row per shard carries the audit fields a loader checks before
+  // training: doc count, byte mass, head/tail doc (the shard's hash
+  // range endpoints) and an order-independent content checksum.
+  //
+  // Scale shape (the op's whole point at 100 TB): there is NO global
+  // sort and NO window — shard_id is a map-side mod, and the manifest
+  // is ONE hash-partitioned aggregate whose min/max/sum/count all
+  // partial-aggregate map-side, so the exchange carries ≤ |shards|
+  // rows per task. The head/tail docs come from min/max over a
+  // FIXED-WIDTH key string (zero-padded hash then doc_id) — a total
+  // order under plain string comparison, which buys argmin-with-
+  // tiebreak semantics from a partial-aggregable min instead of a
+  // row_number window (48-bit hash ties would otherwise make min_by
+  // nondeterministic, the o6 quantized-key lesson in string form).
+  // Shard count is CORPUS-ADAPTIVE (~64 docs/shard, clamped [4, 4096]
+  // — the gateBits lesson): a fixed count either starves small corpora
+  // or makes 100 TB shards unboundedly fat; the count rides a 1-row
+  // broadcast stat attach, never a driver collect. The checksum folds
+  // each doc's 48-bit hash into a DECIMAL(38,0) sum reduced mod 2^48 —
+  // exact at any corpus size int64 can count (the m13 headroom lesson),
+  // order-independent so partial aggregation is free.
+  private val shardManifest: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"n_chars",
+        graft.llm.TextOps.hash48(
+          concat(lit("sh:"), $"doc_id".cast("string"))).as("h"))
+    val st = docs.agg(count(lit(1)).as("n"))
+      .select(least(greatest(
+        graft.util.Cols.floorDiv($"n", lit(64)).cast("long"), lit(4L)),
+        lit(4096L)).as("s"))
+    docs.crossJoin(broadcast(st))
+      .select($"doc_id", $"n_chars", $"h", pmod($"h", $"s").cast("long").as("shard_id"),
+        concat(lpad($"h".cast("string"), 15, "0"),
+               lpad($"doc_id".cast("string"), 19, "0")).as("k"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("n_chars"),
+        substring(min($"k"), 16, 19).cast("long").as("head_doc_id"),
+        substring(max($"k"), 16, 19).cast("long").as("tail_doc_id"),
+        (sum($"h".cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          % lit(281474976710656L)).cast("long").as("checksum48"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "k8_zorder" -> zorder,
+    "k9_shard_manifest" -> shardManifest)
 
   private def spreadSql(x: String): String = {
     val a = s"($x & 65535)"
@@ -101,5 +152,27 @@ object Layout {
          |SELECT o_orderkey, cust16, day16,
          |       ${spreadSql("cust16")} | (${spreadSql("day16")} << 1) AS zval
          |FROM v""".stripMargin
+    },
+    // Mirrors shardManifest stage for stage: same hash, same adaptive
+    // shard count, same fixed-width key-string total order, same mod-2^48
+    // checksum fold. `//` is DuckDB's floor division (positive operands
+    // here, matching Cols.floorDiv); count(*)/sum are cast to BIGINT so
+    // the dtype gate sees the Spark longs.
+    "k9_shard_manifest" -> {
+      val h = graft.llm.TextOps.hash48Sql("'sh:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (SELECT doc_id, n_chars, $h AS h FROM documents),
+         |s AS (SELECT least(greatest(count(*) // 64, 4), 4096) AS s FROM d),
+         |k AS (SELECT doc_id, n_chars, h, h % s.s AS shard_id,
+         |        lpad(CAST(h AS VARCHAR), 15, '0')
+         |          || lpad(CAST(doc_id AS VARCHAR), 19, '0') AS kk
+         |      FROM d, s)
+         |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(substr(min(kk), 16, 19) AS BIGINT) AS head_doc_id,
+         |       CAST(substr(max(kk), 16, 19) AS BIGINT) AS tail_doc_id,
+         |       CAST(sum(CAST(h AS DECIMAL(38,0))) % 281474976710656
+         |         AS BIGINT) AS checksum48
+         |FROM k GROUP BY 1""".stripMargin
     })
 }

@@ -341,6 +341,93 @@ object Analytics {
     out.select($"walk_id", $"step", $"node")
   }
 
+  // ---- g8_node2vec: SECOND-ORDER biased random walks (node2vec,
+  // Grover & Leskovec, KDD 2016) over g7's co-purchase graph — the
+  // walk distribution that interpolates BFS-like and DFS-like
+  // exploration via the return bias p and in-out bias q. The hop
+  // weight from (prev → cur) to candidate v is α = 1/p if v = prev
+  // (return), 1 if v ∈ N(prev) (triangle — stay near), 1/q otherwise
+  // (explore); declared p = 1/4, q = 1/2 → INTEGER weights 4 / 1 / 2.
+  // The weighted pick stays deterministic and EXACTLY proportional:
+  // candidate v enters with w(v) replicas salted r = 0..w−1 and the
+  // hop is argmin over replica hashes — each replica's hash is
+  // iid-uniform, the global min lands uniformly across the Σw
+  // replicas, so v wins with probability w(v)/Σw exactly (the o6
+  // weighted-sample idea turned into a per-group weighted CHOICE).
+  // The first hop has no prev → uniform (w = 1), as node2vec defines.
+  // Scale shape: g7's on-demand neighbor generation (frontier
+  // broadcast over the PINNED items table — the global edge list is
+  // never materialized) plus ONE extra walk-sized route per step to
+  // mark v ∈ N(prev); the second-order state is (cur, prev) per walk —
+  // walk-sized — never the |E|·deg materialized transition table the
+  // reference node2vec preprocessing builds (which would dwarf the
+  // fact table at 100 TB). Candidates and prev-neighborhoods are
+  // DISTINCT'd before the ≤4× replica explode (walk-sized shuffles),
+  // so the explode never multiplies shared-order duplicates.
+  private val node2vec: Q = (spark, dir) => {
+    import spark.implicits._
+    val ser = adaptiveLevel(dir)
+    val items = pinKeyed(
+      Tables.load(spark, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey"),
+      "l_orderkey", Seq("l_orderkey", "l_partkey"), dir, ser)
+    val multi = items.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("np")).filter($"np" >= 2)
+      .select($"l_orderkey")
+    val nodes = items.join(multi, Seq("l_orderkey"), "left_semi")
+      .select($"l_partkey".as("node")).distinct()
+      .localCheckpoint(false)
+    val mod = math.max(4L, math.min(64L, nodes.count() / 16L))
+    val starts = nodes
+      .filter(graft.llm.TextOps.hash48(
+        concat(lit("n2s:"), $"node".cast("string"))) % mod === 0)
+      .select($"node".as("walk_id"), $"node",
+        lit(null).cast("long").as("prev"))
+      .localCheckpoint(false)
+    var frontier = starts
+    var out = starts.select($"walk_id", lit(0L).as("step"), $"node")
+    for (t <- 1 to 3) {
+      val cand = broadcast(frontier)
+        .join(items.as("x"), frontier("node") === $"x.l_partkey")
+        .select($"walk_id", $"node".as("cur"), $"prev",
+          $"x.l_orderkey".as("l_orderkey"))
+        .join(items.as("y"), Seq("l_orderkey"))
+        .filter($"y.l_partkey" =!= $"cur")
+        .select($"walk_id", $"cur", $"prev", $"y.l_partkey".as("dst"))
+        .distinct()
+      val prevN = broadcast(frontier.filter($"prev".isNotNull)
+          .select($"walk_id", $"prev".as("pn")))
+        .join(items.as("u"), $"pn" === $"u.l_partkey")
+        .select($"walk_id", $"u.l_orderkey".as("l_orderkey"))
+        .join(items.as("v"), Seq("l_orderkey"))
+        .select($"walk_id", $"v.l_partkey".as("nbr"))
+        .distinct()
+      val w = when($"prev".isNull, 1L)
+        .when($"dst" === $"prev", 4L)
+        .when($"nbr".isNotNull, 1L)
+        .otherwise(2L)
+      val h = graft.llm.TextOps.hash48(concat(
+        lit("n2v:"), $"walk_id".cast("string"),
+        lit(s":$t:"), $"dst".cast("string"),
+        lit(":"), $"r".cast("string")))
+      val nxt = cand
+        .join(prevN, cand("walk_id") === prevN("walk_id") &&
+          $"dst" === $"nbr", "left_outer")
+        .select(cand("walk_id"), $"cur", $"dst", w.as("w"))
+        .select($"walk_id", $"cur", $"dst",
+          explode(sequence(lit(0L), $"w" - 1L)).as("r"))
+        .groupBy($"walk_id")
+        .agg(min(struct(h.as("h"), $"dst")).as("m"),
+          max($"cur").as("pv")) // cur is functional per walk
+        .select($"walk_id", $"m.dst".as("node"), $"pv".as("prev"))
+        .localCheckpoint(false) // truncate per-step lineage (the g1 rule)
+      frontier = nxt
+      out = out.unionAll(nxt.select($"walk_id", lit(t.toLong).as("step"),
+        $"node"))
+    }
+    out.select($"walk_id", $"step", $"node")
+  }
+
   // ---- g6_hits: HITS hubs/authorities over the customer↔part
   // BIPARTITE graph (Kleinberg) — the mutual-reinforcement score
   // PageRank can't express: a part is authoritative when BROAD
@@ -1437,6 +1524,7 @@ object Analytics {
     "g6_hits"             -> hits,
     "g1_pagerank"         -> pagerank,
     "g7_random_walk"      -> randomWalk,
+    "g8_node2vec"         -> node2vec,
     "g2_triangles"        -> triangles,
     "g3_communities"      -> communities,
     "g4_kcore"            -> kcore,
@@ -2118,6 +2206,57 @@ object Analytics {
          |starts AS MATERIALIZED (
          |  SELECT src AS walk_id, src AS node FROM nd, md
          |  WHERE ${h48("'rws:' || CAST(src AS VARCHAR)")} % md.m = 0),
+         |${step(1, "starts")},
+         |${step(2, "s1")},
+         |${step(3, "s2")}
+         |SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM starts
+         |UNION ALL SELECT walk_id, CAST(1 AS BIGINT), node FROM s1
+         |UNION ALL SELECT walk_id, CAST(2 AS BIGINT), node FROM s2
+         |UNION ALL SELECT walk_id, CAST(3 AS BIGINT), node FROM s3""".stripMargin
+    },
+
+    // Mirrors node2vec stage for stage: same edge derivation, start
+    // designation, weight CASE (1 uniform first hop / 4 return / 1
+    // triangle / 2 explore), replica expansion via generate_series, and
+    // the (hash, dst) argmin. Every stage is MATERIALIZED (the j9/ADC
+    // staging rule — never hand DuckDB's estimate-blind join-order
+    // search a CTE pipeline).
+    "g8_node2vec" -> {
+      def h48(expr: String): String =
+        s"CAST(('0x' || substr(md5($expr), 1, 12)) AS BIGINT)"
+      def step(t: Int, prev: String): String =
+        s"""c$t AS MATERIALIZED (
+           |  SELECT DISTINCT p.walk_id, p.node AS cur, p.prev, e.dst
+           |  FROM $prev p JOIN edges e ON e.src = p.node),
+           |f$t AS MATERIALIZED (
+           |  SELECT c.walk_id, c.cur, c.dst,
+           |    CASE WHEN c.prev IS NULL THEN 1
+           |         WHEN c.dst = c.prev THEN 4
+           |         WHEN t.dst IS NOT NULL THEN 1
+           |         ELSE 2 END AS w
+           |  FROM c$t c LEFT JOIN edges t
+           |    ON t.src = c.prev AND t.dst = c.dst),
+           |x$t AS MATERIALIZED (
+           |  SELECT walk_id, cur, dst,
+           |    unnest(generate_series(0, w - 1)) AS r FROM f$t),
+           |s$t AS MATERIALIZED (SELECT walk_id, node, prev FROM (
+           |    SELECT x.walk_id, x.dst AS node, x.cur AS prev,
+           |      row_number() OVER (PARTITION BY x.walk_id ORDER BY
+           |        ${h48(s"'n2v:' || CAST(x.walk_id AS VARCHAR) || ':$t:' || CAST(x.dst AS VARCHAR) || ':' || CAST(x.r AS VARCHAR)")},
+           |        x.dst) AS rn
+           |    FROM x$t x)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |nd AS MATERIALIZED (SELECT DISTINCT src FROM edges),
+         |md AS (SELECT GREATEST(4, LEAST(64, COUNT(*) // 16)) AS m FROM nd),
+         |starts AS MATERIALIZED (
+         |  SELECT src AS walk_id, src AS node, CAST(NULL AS BIGINT) AS prev
+         |  FROM nd, md
+         |  WHERE ${h48("'n2s:' || CAST(src AS VARCHAR)")} % md.m = 0),
          |${step(1, "starts")},
          |${step(2, "s1")},
          |${step(3, "s2")}

@@ -762,6 +762,53 @@ class AnalyticsSpec extends SparkSpec {
     assert(want.exists { case (w, t, n) => t > 0 && n != w })
   }
 
+  /** node2vec law, full driver-side replay: second-order weights
+    * (4 return / 1 triangle / 2 explore, uniform first hop) and the
+    * replica-salted hash-argmin weighted pick are recomputed in plain
+    * Scala and must match the engine row-for-row. Non-vacuity: all
+    * three weight classes must actually occur among the candidate
+    * multisets the walks saw. */
+  test("node2vec equals a driver-side weighted-argmin replay; all weight classes occur") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val out = Analytics.queries("g8_node2vec")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val items = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val byOrder = items.toSeq.groupBy(_._1)
+    val adj: Map[Long, Set[Long]] = byOrder.values.toSeq.flatMap { ps =>
+      val parts: Seq[Long] = ps.map(_._2).distinct
+      for (a <- parts; b <- parts if a != b) yield (a, b)
+    }.distinct.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val h48 = graft.llm.TextOps.hash48Jvm _
+    val mod = math.max(4L, math.min(64L, adj.size / 16L))
+    val starts = adj.keys.filter(n => h48(s"n2s:$n") % mod == 0).toSeq
+    assert(starts.nonEmpty, "law is vacuous: no designated walk starts")
+    var sawReturn = false; var sawTriangle = false; var sawExplore = false
+    val want = starts.flatMap { w =>
+      var cur = w
+      var prev = -1L // sentinel: no prev on the first hop
+      (w, 0L, w) +: (1 to 3).map { t =>
+        val weighted = adj(cur).toSeq.flatMap { v =>
+          val wt =
+            if (prev < 0) 1L
+            else if (v == prev) { sawReturn = true; 4L }
+            else if (adj(prev).contains(v)) { sawTriangle = true; 1L }
+            else { sawExplore = true; 2L }
+          (0L until wt).map(r => (h48(s"n2v:$w:$t:$v:$r"), v))
+        }
+        val pick = weighted.min
+        prev = cur
+        cur = pick._2
+        (w, t.toLong, cur)
+      }
+    }.toSet
+    assert(out == want, "engine disagrees with the driver-side replay")
+    assert(sawReturn && sawTriangle && sawExplore,
+      "all three weight classes must occur among candidates")
+  }
+
   private implicit class PairMap(rows: Array[(String, Long, Double)]) {
     def toMap2: Map[String, (Long, Double)] =
       rows.map(r => r._1 -> (r._2, r._3)).toMap
