@@ -418,7 +418,14 @@ object StreamingWindows {
     * per-process scratch directory ([[graft.util.Scratch]]: pid-scoped,
     * stale-cleaned, deleted at exit) via symlink, re-pointed each call
     * so a regenerated table is picked up. */
-  private def readAllEventStream(spark: SparkSession, path: String): DataFrame = {
+  private def readAllEventStream(spark: SparkSession, path: String): DataFrame =
+    readAllParquetStream(spark, path, EventSchema)
+
+  /** The same all-files-one-batch file source for an arbitrary table —
+    * the reader behind every declared st_* entry (schema per table,
+    * symlink trick for single-file testdata, no maxFilesPerTrigger). */
+  private def readAllParquetStream(spark: SparkSession, path: String,
+                                   schema: StructType): DataFrame = {
     val p = java.nio.file.Paths.get(path)
     val dir =
       if (java.nio.file.Files.isDirectory(p)) path
@@ -430,7 +437,7 @@ object StreamingWindows {
         java.nio.file.Files.createSymbolicLink(link, p.toAbsolutePath)
         d.toString
       }
-    spark.readStream.schema(EventSchema).parquet(dir)
+    spark.readStream.schema(schema).parquet(dir)
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -580,6 +587,68 @@ object StreamingWindows {
     runToParquet(spark, dedupWithinWatermark(redelivered), "dedup")
   }
 
+  /** st_index_update: the STREAMING twin of the batch `sim_index_update`
+    * — fresh vectors ride the ingest stream into the persisted ANN
+    * index (the operation a production vector platform runs
+    * continuously, where the batch twin runs nightly). The stream side
+    * is the hash-designated arrival batch of the embeddings table; the
+    * static side is the PERSISTED codebook artifact ([[graft.llm
+    * .AnnIndex]]) grouped to ONE row per subspace with its 16 centroids
+    * ordered by code — a stream-static broadcast equi-join (stateless:
+    * no watermark, no state store; the static side is re-planned per
+    * micro-batch, which is exactly how a codebook refresh would be
+    * picked up mid-stream). The per-(vector, subspace) encode is a
+    * map-side HOF argmin over the 16-entry centroid list — the batch
+    * twin's bounded-key window is NOT stream-legal, and the ascending-
+    * code fold with a strict `<` keeps the identical lowest-code
+    * tie-break, so the drained set equals the batch op's output
+    * bit-for-bit and REUSES its DuckDB oracle verbatim (the strongest
+    * cross-engine check a streaming query can carry). Interpreted-HOF
+    * cost is bounded by design: the update is batch-sized (never the
+    * corpus), 16 codes × 8 subspaces per row. Emitted set grows with
+    * the arrival batch → file sink. */
+  private val stIndexUpdate: Q = (spark, dir) => {
+    import org.apache.spark.sql.functions._
+    val m = graft.llm.AnnIndex.M
+    val subDim = graft.llm.AnnIndex.SubDim
+    val (bp, _) = graft.llm.AnnIndex.ensurePqPaths(spark, dir)
+    val books = spark.read.parquet(bp)
+      .groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("code"), col("cent"))))
+        .as("cents"))
+      .withColumn("one", lit(1))
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val stream = readAllParquetStream(spark, s"$dir/embeddings.parquet",
+        embSchema)
+      .filter(graft.llm.TextOps.hash48(
+        concat(lit("upd:"), col("vec_id").cast("string"))) % 10 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("one", lit(1))
+    val best = aggregate(
+      col("cents"),
+      struct(lit(-1).cast("int").as("code"),
+        lit(Double.PositiveInfinity).as("d")),
+      (acc, e) => {
+        val dist = aggregate(
+          zip_with(slice(col("v"), col("sub") * subDim + 1, lit(subDim)),
+            e.getField("cent"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x)
+        when(dist < acc.getField("d"),
+          struct(e.getField("code").as("code"), dist.as("d")))
+          .otherwise(acc)
+      })
+    val enc = stream.join(broadcast(books), Seq("one"))
+      .withColumn("best", best)
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("best.code").cast("long").as("code"), col("best.d").as("l2sq"))
+    require(m == 8, "scaladoc cost bound assumes the declared M")
+    runToParquet(spark, enc, "idxupd")
+  }
+
   /** st_sliding: the watermarked SLIDING-window aggregate drained in
     * append mode — st_tumbling's overlapping-window sibling, proving the
     * window-EXPANSION path of the streaming aggregate (each event feeds
@@ -628,7 +697,8 @@ object StreamingWindows {
     "st_range_join"   -> stRangeJoin,
     "st_left_join"    -> stLeftJoin,
     "st_enrich"       -> stEnrich,
-    "st_dedup"        -> stDedup)
+    "st_dedup"        -> stDedup,
+    "st_index_update" -> stIndexUpdate)
 
   val oracles: Map[String, String] = Map(
     // ev_session's batch spelling, minus each user's final session when
@@ -786,5 +856,9 @@ object StreamingWindows {
     "st_dedup" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
         |       event_type, value, props
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+
+    // the stateless stream-static encode drains to EXACTLY the batch
+    // twin's rows — the oracle is sim_index_update's, verbatim
+    "st_index_update" -> graft.llm.Similarity.oracles("sim_index_update"))
 }

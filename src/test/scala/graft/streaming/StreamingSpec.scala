@@ -581,4 +581,21 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq((1L, 1L, "view", 1.0), (2L, 1L, "click", 2.0),
       (3L, 2L, "view", 3.0)))
   }
+
+  test("declared st_index_update drains exactly the batch encode, bit-for-bit") {
+    import spark.implicits._
+    // The stream-static encode is stateless, so the single-data-batch
+    // drain must equal the batch twin's output EXACTLY — including the
+    // l2sq doubles (same ascending-index fold) and the lowest-code
+    // tie-break (strict < over the ascending-code list ≡ the batch
+    // window's (l2sq, code) order).
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("st_index_update")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = graft.SparkEntry.queries("sim_index_update")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // every arrival vector encodes in all 8 subspaces
+    assert(got.groupBy(_._1).values.forall(_.size == 8))
+  }
 }
