@@ -58,4 +58,42 @@ class RetrievalSpec extends SparkSpec {
     assert(grade(ranks.head) == 1 && ndcg < 1000000L,
       s"expected a dented nDCG, got $ndcg with ranking ${ranks.toSeq}")
   }
+
+  test("hybrid RRF: fusion arithmetic exact, dense ranks consistent, both lists contribute") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("d_hybrid_rrf")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(out.nonEmpty)
+    // (1) RRF arithmetic: rrf_micro is exactly the sum of the two
+    // floor terms recomputed from the audit rank columns
+    def term(r: Long): Long = if (r > 0) 1000000000L / (60L + r) else 0L
+    out.foreach { case ((q, d), (rrf, rs, rd, _)) =>
+      assert(rrf == term(rs) + term(rd), s"($q,$d)")
+    }
+    // (2) dense audit ranks equal the declared brute ranking's
+    val brute = graft.llm.Similarity.topkBrute(spark, dir, 20)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    out.foreach { case ((q, d), (_, _, rd, _)) =>
+      if (rd > 0) assert(brute((q, d)) == rd, s"dense rank ($q,$d)")
+      else assert(!brute.contains((q, d)), s"missed dense hit ($q,$d)")
+    }
+    // (3) per-query ranks are contiguous 1..n with n ≤ 10, ordered by
+    // (rrf desc, doc asc)
+    out.groupBy(_._1._1).foreach { case (q, rows) =>
+      val byRank = rows.toSeq.sortBy(_._2._4)
+      assert(byRank.map(_._2._4) == (1L to byRank.size).toSeq, s"q=$q")
+      assert(byRank.size <= 10)
+      val keys = byRank.map { case ((_, d), (rrf, _, _, _)) => (-rrf, d) }
+      assert(keys == keys.sorted, s"q=$q order")
+    }
+    // (4) non-vacuity: fusion actually fuses — some doc carries both
+    // ranks, and each list contributes somewhere alone
+    assert(out.values.exists(v => v._2 > 0 && v._3 > 0), "no overlap")
+    assert(out.values.exists(v => v._2 > 0 && v._3 == 0), "sparse-only absent")
+    assert(out.values.exists(v => v._2 == 0 && v._3 > 0), "dense-only absent")
+  }
 }
