@@ -169,6 +169,74 @@ object Similarity {
         $"rank".cast("long").as("rank"))
   }
 
+  /** MMR parameters: λ = MmrLambdaNum/10, candidate pool, result size. */
+  val MmrLambdaNum = 7L
+  val MmrCandidates = 20
+  val MmrK = 10
+
+  /** sim_topk_mmr: MMR-DIVERSIFIED top-k (maximal marginal relevance,
+    * Carbonell & Goldstein, SIGIR 1998) — the post-retrieval
+    * diversification every RAG/search serving stack runs so the
+    * returned set isn't k near-duplicates of the best hit. Greedy over
+    * the brute top-[[MmrCandidates]] pool: each round picks
+    * argmax 7·rel − 3·maxsim (λ = 0.7 in exact tenths), where maxsim
+    * is the candidate's max similarity to the ALREADY-SELECTED set
+    * (floored at 0 — the declared empty-set convention, which makes
+    * round 1 the pure-relevance pick). Relevance and pairwise
+    * similarity are quantized to integer micro ONCE (round(x·10⁶) —
+    * the d_lm_score canon), so every round's argmax and the emitted
+    * mmr_u are integer-exact cross-engine and the whole greedy
+    * hash-checks against a 10-step unrolled DuckDB CTE chain.
+    *
+    * Scale shape: the candidate pool is k-sized PER QUERY (the brute
+    * tier's output — at serving scale the IVF tier is the drop-in
+    * pool), so the pairwise-sim table is queries × c² rows and every
+    * greedy round is a bounded-partition window + two candidate-sized
+    * joins — the corpus is touched only by the pool builder. The
+    * inherently sequential greedy is 10 ROUNDS OF RELATIONAL OPS, not
+    * a per-group collect (no driver round-trip, partition-invariant,
+    * lineage truncated per round — the g1 rule). */
+  def topkMmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val cands = topkBrute(spark, dir, MmrCandidates)
+      .select($"query_id", $"neighbor_id".as("doc_id"),
+        round($"cosine" * 1e6).cast("long").as("rel_micro"))
+      .join(e.select($"vec_id".as("doc_id"), $"v"), "doc_id")
+      .localCheckpoint(false) // pool reused by pair + seed
+    val pair = cands.as("a").join(cands.as("b"),
+        $"a.query_id" === $"b.query_id" && $"a.doc_id" =!= $"b.doc_id")
+      .select($"a.query_id".as("query_id"), $"a.doc_id".as("doc_id"),
+        $"b.doc_id".as("pick_doc"),
+        round(dot($"a.v", $"b.v") * 1e6).cast("long").as("sim_micro"))
+      .localCheckpoint(false) // queries × c² rows, reused every round
+    var rem = cands.select($"query_id", $"doc_id", $"rel_micro")
+      .withColumn("maxsim", lit(0L))
+    val wp = Window.partitionBy($"query_id").orderBy($"mmr_u".desc, $"doc_id".asc)
+    val picks = (1 to MmrK).map { t =>
+      val pick = rem
+        .withColumn("mmr_u", lit(MmrLambdaNum) * $"rel_micro"
+          - lit(10L - MmrLambdaNum) * $"maxsim")
+        .withColumn("rn", row_number().over(wp))
+        .filter($"rn" === 1)
+        .select($"query_id", $"doc_id", $"rel_micro", $"mmr_u",
+          lit(t.toLong).as("pick"))
+        .localCheckpoint(false)
+      if (t < MmrK) {
+        val pk = pick.select($"query_id", $"doc_id".as("pick_doc"))
+        rem = rem.join(pk, Seq("query_id"))
+          .filter($"doc_id" =!= $"pick_doc")
+          .join(pair, Seq("query_id", "doc_id", "pick_doc"), "left_outer")
+          .select($"query_id", $"doc_id", $"rel_micro",
+            greatest($"maxsim", coalesce($"sim_micro", $"maxsim"))
+              .as("maxsim"))
+          .localCheckpoint(false) // truncate per-round lineage
+      }
+      pick
+    }
+    picks.reduce(_ unionAll _)
+  }
+
   /** Effective bits-per-band for a declared (oracle-backed) query:
     * adaptive from the corpus count, capped so the static oracle's
     * unrolled CASE terms cover it. The count is one metadata-only
@@ -718,6 +786,7 @@ object Similarity {
     "sim_centroid_topk" -> ((s, d) => centroidTopk(s, d)),
     "sim_recall_eval" -> ((s, d) => recallEval(s, d)),
     "sim_topk_brute" -> ((s, d) => topkBrute(s, d)),
+    "sim_topk_mmr"   -> ((s, d) => topkMmr(s, d)),
     "sim_topk_lsh"   -> ((s, d) => topkLsh(s, d)),
     "sim_topk_ivf"   -> ((s, d) => topkIvf(s, d)),
     "sim_topk_filtered" -> ((s, d) => topkFiltered(s, d)),
@@ -1069,6 +1138,62 @@ object Similarity {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= $TopK""".stripMargin,
+
+    // Mirrors topkMmr round for round: same brute candidate pool, the
+    // same integer-micro quantization, and the greedy unrolled to
+    // MmrK MATERIALIZED step pairs (pick argmax → drop picked + fold
+    // maxsim) — generated by the same loop as the Spark side so the
+    // two can never drift in round count or tie-break.
+    "sim_topk_mmr" -> {
+      val lam = MmrLambdaNum
+      val lamC = 10L - MmrLambdaNum
+      val pairDot =
+        """list_reduce(list_prepend(0.0::DOUBLE,
+          |    list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
+          |    (acc, x) -> acc + x)""".stripMargin
+      val steps = (1 to MmrK).map { t =>
+        val prev = if (t == 1) "r0" else s"r${t - 1}"
+        val rest =
+          if (t == MmrK) "" else
+            s""",
+               |r$t AS MATERIALIZED (
+               |  SELECT r.query_id, r.doc_id, r.rel_micro,
+               |    GREATEST(r.maxsim, COALESCE(pr.sim_micro, r.maxsim)) AS maxsim
+               |  FROM $prev r
+               |  JOIN p$t p ON p.query_id = r.query_id AND p.doc_id <> r.doc_id
+               |  LEFT JOIN pair pr ON pr.query_id = r.query_id
+               |    AND pr.doc_id = r.doc_id AND pr.pick_doc = p.doc_id)""".stripMargin
+        s"""p$t AS MATERIALIZED (SELECT query_id, doc_id, rel_micro, mmr_u FROM (
+           |  SELECT r.query_id, r.doc_id, r.rel_micro,
+           |    $lam * r.rel_micro - $lamC * r.maxsim AS mmr_u,
+           |    row_number() OVER (PARTITION BY r.query_id
+           |      ORDER BY ($lam * r.rel_micro - $lamC * r.maxsim) DESC,
+           |        r.doc_id) AS rn
+           |  FROM $prev r) WHERE rn = 1)$rest""".stripMargin
+      }.mkString(",\n")
+      val finalSel = (1 to MmrK).map(t =>
+        s"SELECT query_id, doc_id, rel_micro, mmr_u, CAST($t AS BIGINT) AS pick FROM p$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $NumQueryVecs),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS doc_id, $dotSql AS cosine, e.v
+         |  FROM q, e WHERE e.vec_id <> q.query_id),
+         |cand AS MATERIALIZED (SELECT query_id, doc_id,
+         |    CAST(round(cosine * 1000000) AS BIGINT) AS rel_micro, v
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cosine DESC, doc_id) AS rk FROM scored)
+         |  WHERE rk <= $MmrCandidates),
+         |pair AS MATERIALIZED (
+         |  SELECT a.query_id, a.doc_id, b.doc_id AS pick_doc,
+         |    CAST(round(($pairDot) * 1000000) AS BIGINT) AS sim_micro
+         |  FROM cand a JOIN cand b
+         |    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+         |r0 AS MATERIALIZED (SELECT query_id, doc_id, rel_micro,
+         |    CAST(0 AS BIGINT) AS maxsim FROM cand),
+         |$steps
+         |$finalSel""".stripMargin
+    },
 
     // Recall audit = the sim_topk_ivf pipeline (system under test) and
     // the sim_topk_brute pipeline (ground truth) composed in one

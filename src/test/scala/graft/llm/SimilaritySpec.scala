@@ -313,4 +313,51 @@ class SimilaritySpec extends SparkSpec {
     // non-vacuous: the nprobe=2 tier must find SOMETHING but is not exact
     assert(out.values.map(_._1).sum > 0)
   }
+
+  test("MMR equals a driver-side greedy replay; diversification engages") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = Similarity.queries("sim_topk_mmr")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy(_._5).map(r => (r._2, r._3, r._4)).toSeq
+      }
+    // replay: candidate pool + quantized sims from the declared brute
+    // tier's own outputs, greedy in plain Scala
+    // HALF_UP like Spark's round / DuckDB's round (away from zero on
+    // ties — java's math.round floors negative ties instead)
+    def q6(x: Double): Long = new java.math.BigDecimal(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val cands = Similarity.topkBrute(spark, dir, Similarity.MmrCandidates)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2, q6(r._3)))
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id",
+        org.apache.spark.sql.functions.transform($"embedding",
+          x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def dotJvm(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    var diversified = false
+    val want = cands.groupBy(_._1).map { case (q, pool0) =>
+      var pool = pool0.map { case (_, d, rel) => (d, rel, 0L) }.toSeq
+      val relOrder = pool.sortBy { case (d, rel, _) => (-rel, d) }
+        .map(_._1).take(Similarity.MmrK)
+      val picked = (1 to Similarity.MmrK).map { _ =>
+        val best = pool.map { case (d, rel, ms) =>
+          (d, rel, 7L * rel - 3L * ms)
+        }.minBy { case (d, _, u) => (-u, d) }
+        pool = pool.filter(_._1 != best._1).map { case (d, rel, ms) =>
+          val s = q6(dotJvm(e(d), e(best._1)))
+          (d, rel, math.max(ms, s))
+        }
+        (best._1, best._2, best._3)
+      }
+      if (picked.map(_._1) != relOrder) diversified = true
+      q -> picked
+    }
+    assert(out == want, "engine disagrees with the driver-side greedy")
+    assert(diversified,
+      "MMR never diverged from pure relevance — diversification vacuous")
+  }
 }
