@@ -402,18 +402,24 @@ object Analytics {
         .join(items.as("v"), Seq("l_orderkey"))
         .select($"walk_id", $"v.l_partkey".as("nbr"))
         .distinct()
-      val w = when($"prev".isNull, 1L)
-        .when($"dst" === $"prev", 4L)
-        .when($"nbr".isNotNull, 1L)
+      // Both join sides derive from `frontier`, so dataframe-column
+      // conditions (cand("walk_id") === prevN("walk_id")) resolve only
+      // through plan-id disambiguation and logged a trivially-true-
+      // equals warning (ADVICE r12) — explicit string aliases make the
+      // condition unambiguous by construction.
+      val w = when($"c.prev".isNull, 1L)
+        .when($"c.dst" === $"c.prev", 4L)
+        .when($"p.nbr".isNotNull, 1L)
         .otherwise(2L)
       val h = graft.llm.TextOps.hash48(concat(
         lit("n2v:"), $"walk_id".cast("string"),
         lit(s":$t:"), $"dst".cast("string"),
         lit(":"), $"r".cast("string")))
-      val nxt = cand
-        .join(prevN, cand("walk_id") === prevN("walk_id") &&
-          $"dst" === $"nbr", "left_outer")
-        .select(cand("walk_id"), $"cur", $"dst", w.as("w"))
+      val nxt = cand.as("c")
+        .join(prevN.as("p"), $"c.walk_id" === $"p.walk_id" &&
+          $"c.dst" === $"p.nbr", "left_outer")
+        .select($"c.walk_id".as("walk_id"), $"c.cur".as("cur"),
+          $"c.dst".as("dst"), w.as("w"))
         .select($"walk_id", $"cur", $"dst",
           explode(sequence(lit(0L), $"w" - 1L)).as("r"))
         .groupBy($"walk_id")
@@ -648,10 +654,21 @@ object Analytics {
   //      different exact algorithms agreeing is a stronger check.
   // Per-node credits: for edge (u,v) with common set C, u and v each
   // count |C| triangles and every c ∈ C counts 1 — each triangle
-  // credits its 3 corners exactly once. All joins are key-shuffles of
+  // credits its 3 corners exactly once (emitted per value-bucket slice
+  // of C; the final per-node sum re-assembles |C| across slices by
+  // associativity). All joins are key-shuffles of
   // catalog-scale sides (never broadcast — the j7 lesson); the edge
   // list is pinned at the size-adaptive level shared with g1.
-  private val triangles: Q = (spark, dir) => {
+  private val triangles: Q = (spark, dir) =>
+    trianglesPlan(spark, dir, nbkOverride = None)
+
+  /** g2's plan with the neighbor-slice count injectable so the sliced
+    * branch (engaged by fact size only past ~sf100) stays test-covered:
+    * AnalyticsSpec runs nbk = 4 against nbk = 1 at sf0.001 and asserts
+    * identical results. */
+  private[queries] def trianglesPlan(
+      spark: SparkSession, dir: String, nbkOverride: Option[Int])
+      : DataFrame = {
     import spark.implicits._
     val ser = adaptiveLevel(dir)
     val items = Tables.load(spark, dir, "lineitem")
@@ -680,15 +697,45 @@ object Analytics {
         when(uFirst, $"v").otherwise($"u").as("d"))
       .localCheckpoint(true, ser)
     // out-neighbor arrays, node-sized, array length ≤ max out-degree =
-    // O(√m); membership is set-semantics so collect_list order (which
-    // is partitioning-dependent) cannot reach the result.
-    val adj = o.groupBy($"s").agg(collect_list($"d").as("nbrs"))
+    // O(√m) under the orientation; membership is set-semantics so
+    // collect_list order (partitioning-dependent) cannot reach the
+    // result. DEGREE-CAPPED SLICING (r13, the g2 memory-shape fix):
+    // when √m outgrows nbkCap elements (≈0.5 MB of longs — comfortably
+    // under any G1 humongous-allocation threshold), the arrays are
+    // BUCKETED by a hash of the neighbor VALUE into nbk slices. The
+    // buckets partition the neighbor space, so out_b(u) ∩ out_b(v)
+    // summed over b equals out(u) ∩ out(v) exactly (cross-bucket pairs
+    // can never be equal) and per-node credits re-assemble by
+    // associativity — while every array in the array-carrying exchange
+    // shrinks ~nbk×. MEASURED at small scale the fan-out is a pure
+    // loss (sf0.1 warm isolated: 6.3→8.1 s; sf1: 24.6→57.2 s with nbk
+    // fixed at 8 — per-row join overhead dwarfs the array payload when
+    // arrays are ≤ tens of KB), so nbk derives from the fact size:
+    // edges ≈ factBytes/53 (sf0.1: 64 MB ↔ 1.2 M edges), nbk =
+    // ⌈√m̂ / nbkCap⌉ — 1 (today's exact plan, zero overhead) through
+    // ~sf100, engaging only past ~4 G edges where an O(√m) array would
+    // be a multi-MB humongous allocation and the GC-bound r12 driver
+    // signature (4.4 s gc, 13.9 GB peak) would become a scale-killer.
+    val nbkCap = 65536L
+    val estEdges = math.max(1L, graft.util.Storage.factBytes(dir) / 53)
+    val nbk = nbkOverride.getOrElse(math.max(1L, math.ceil(
+      math.sqrt(estEdges.toDouble) / nbkCap).toLong).toInt)
     // a sink d (no out-edges) is dropped by the inner join — correct:
-    // out(u) ∩ out(v) is empty when out(v) is.
-    val common = o
-      .join(adj.select($"s".as("an"), $"nbrs".as("na")), $"s" === $"an")
-      .join(adj.select($"s".as("bn"), $"nbrs".as("nb")), $"d" === $"bn")
-      .select($"s", $"d", array_intersect($"na", $"nb").as("c"))
+    // out(u) ∩ out(v) is empty when out(v) is. In the sliced branch the
+    // bucket-equality additionally drops (edge, bucket) pairs where
+    // either side has no neighbors in that slice — those contribute 0.
+    val common = (if (nbk == 1) {
+      val adj = o.groupBy($"s").agg(collect_list($"d").as("nbrs"))
+      o.join(adj.select($"s".as("an"), $"nbrs".as("na")), $"s" === $"an")
+        .join(adj.select($"s".as("bn"), $"nbrs".as("nb")), $"d" === $"bn")
+    } else {
+      val adj = o.groupBy($"s", pmod(hash($"d"), lit(nbk)).as("bk"))
+        .agg(collect_list($"d").as("nbrs"))
+      o.join(adj.select($"s".as("an"), $"bk", $"nbrs".as("na")),
+          $"s" === $"an")
+        .join(adj.select($"s".as("bn"), $"bk".as("bb"), $"nbrs".as("nb")),
+          $"d" === $"bn" && $"bk" === $"bb")
+    }).select($"s", $"d", array_intersect($"na", $"nb").as("c"))
       .filter(size($"c") > 0)
     common.select(explode(concat(
         array(struct($"s".as("n"), size($"c").cast("long").as("k")),

@@ -617,10 +617,11 @@ object StreamingWindows {
       .agg(array_sort(collect_list(struct(col("code"), col("cent"))))
         .as("cents"))
       .withColumn("one", lit(1))
-    val embSchema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType)),
-      StructField("label", IntegerType)))
+    // Schema from a one-off batch read, not a hand-written literal
+    // (ADVICE r12): if the testdata generator changes an element type
+    // (e.g. float→double) the batch twin adapts via inference and a
+    // hardcoded stream schema would break alone at runtime.
+    val embSchema = spark.read.parquet(s"$dir/embeddings.parquet").schema
     val stream = readAllParquetStream(spark, s"$dir/embeddings.parquet",
         embSchema)
       .filter(graft.llm.TextOps.hash48(

@@ -41,9 +41,14 @@ class ShardManifestSpec extends SparkSpec {
       .map(r => r._1 -> M(r._2, r._3, r._4, r._5, r._6)).toMap
     val want = replay()
     assert(got == want)
-    // adaptive shard count engaged: 500 docs / 64 = 7 shards at sf0.001
+    // adaptive shard count engaged: ids live in [0, clamp(n/64, 4,
+    // 4096)) — recomputed from the corpus, not hardcoded (ADVICE r12:
+    // the driver regenerates testdata between rounds, so a doc-count
+    // change must not fail this spec without an engine bug).
+    val nDocs = want.values.map(_.nDocs).sum
+    val bound = math.min(math.max(nDocs / 64, 4), 4096)
     assert(got.keySet == want.keySet && want.nonEmpty)
-    assert(got.keySet.forall(s => s >= 0 && s < 7))
+    assert(got.keySet.forall(s => s >= 0 && s < bound))
   }
 
   test("k9 manifest conserves the corpus and is partition-invariant") {

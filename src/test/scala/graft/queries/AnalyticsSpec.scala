@@ -238,6 +238,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("triangles: value-bucket slicing (nbk=4) is exact vs the flat plan") {
+    import spark.implicits._
+    // The sliced branch only engages past ~4G estimated edges in
+    // production (factBytes-derived nbk), so force it here: same
+    // sf0.001 lineitem, nbk=4 vs nbk=1 must agree row-for-row — the
+    // value-space buckets partition each intersection and the per-node
+    // credit sums re-assemble it associatively.
+    val d = "/root/testdata/sf0.001"
+    val flat = Analytics.trianglesPlan(spark, d, Some(1))
+      .as[(Long, Long)].collect().toSeq
+    val sliced = Analytics.trianglesPlan(spark, d, Some(4))
+      .as[(Long, Long)].collect().toSeq
+    assert(flat.nonEmpty && flat == sliced)
+  }
+
   test("hits: hand-computed two-round hubs/authorities on a planted bipartite graph") {
     import spark.implicits._
     // c1 buys {10,11,12}, c2 buys {10}: auth¹ = deg/max → (1e9, 5e8,
