@@ -2,6 +2,8 @@ package graft.llm
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -73,11 +75,39 @@ object AnnIndex {
     * exact, the double multiply+floor are identical IEEE ops, the sum
     * is exact integer arithmetic). */
   def sig(spark: SparkSession, dir: String): String = {
-    val r = Tables.load(spark, dir, "embeddings")
-      .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sv"),
-        sum(floor(col("embedding").getItem(0).cast("double") * 1000000)
-          .cast("long")).as("ev")).head()
-    s"${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
+    // MEMOIZED on the corpus files' metadata fingerprint (r13): the
+    // value-sensitive aggregate is a corpus scan, and every serve-tier
+    // call re-paid it (ensure → sig). Within a JVM the corpus can only
+    // change by its parquet files changing (the driver REGENERATES
+    // testdata between rounds — new sizes/mtimes → new fingerprint →
+    // fresh scan), so keying the memo on (path, size, mtime) of every
+    // data file keeps the staleness guarantee at filesystem-metadata
+    // cost instead of a scan per invocation.
+    val key = (dir, fsFingerprint(dir))
+    sigMemo.getOrElseUpdate(key, {
+      val r = Tables.load(spark, dir, "embeddings")
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sv"),
+          sum(floor(col("embedding").getItem(0).cast("double") * 1000000)
+            .cast("long")).as("ev")).head()
+      s"${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
+    })
+  }
+
+  private val sigMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def fsFingerprint(dir: String): String = {
+    val p = Paths.get(dir, "embeddings.parquet")
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      try st.iterator().asScala.toSeq.sortBy(_.toString)
+        .map(f => s"${f.getFileName}:${Files.size(f)}:" +
+          s"${Files.getLastModifiedTime(f).toMillis}")
+        .mkString("|")
+      finally st.close()
+    } else if (Files.exists(p))
+      s"${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    else "absent"
   }
 
   /** The DuckDB spelling of [[sig]] as a one-row CTE body. */

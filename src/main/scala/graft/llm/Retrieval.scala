@@ -116,7 +116,22 @@ object Retrieval {
     * IVF tier is a drop-in column substitution). Absent ranks
     * contribute 0 exactly (a list that never saw the doc), surfaced as
     * r_sparse/r_dense = 0 in the audit columns. */
-  private val hybridRrf: Q = (spark, dir) => {
+  private val hybridRrf: Q = (spark, dir) =>
+    hybridRrfPlan(spark, dir, served = false)
+
+  /** The SERVED twin (VERDICT r12 #3): identical sparse side and
+    * fusion, dense side ranked by the persisted IVF tier instead of
+    * the brute scan — candidate generation is posting-row work against
+    * the parquet index artifacts, so the dense cost drops from
+    * corpus-scan to serve-scale (the 13.7 s sf10 brute term was the
+    * dominant cost of the fused query). Oracle-checked end-to-end
+    * against the same pinned index parquet; RetrievalSpec floors its
+    * fused-set overlap vs the brute-fused twin. */
+  private val hybridRrfServed: Q = (spark, dir) =>
+    hybridRrfPlan(spark, dir, served = true)
+
+  private def hybridRrfPlan(spark: SparkSession, dir: String,
+                            served: Boolean): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
     // ONE tokenization pass → the (doc, term, tf) postings table, the
@@ -160,7 +175,10 @@ object Retrieval {
       .withColumn("r_sparse", row_number().over(ws).cast("long"))
       .filter($"r_sparse" <= 20)
       .select($"query_id", $"doc_id", $"r_sparse")
-    val dense = Similarity.topkBrute(spark, dir, 20)
+    val dense = (if (served)
+                   Similarity.topkIvf(spark, dir, 20,
+                     nprobe = Similarity.ServedNprobe)
+                 else Similarity.topkBrute(spark, dir, 20))
       .select($"query_id", $"neighbor_id".as("doc_id"),
         $"rank".as("r_dense"))
     def rrfTerm(r: Column): Column =
@@ -242,6 +260,7 @@ object Retrieval {
   val queries: Map[String, Q] = Map(
     "d_bm25_topk" -> bm25,
     "d_hybrid_rrf" -> hybridRrf,
+    "d_hybrid_rrf_served" -> hybridRrfServed,
     "d_retrieval_eval" -> retrievalEval)
 
   val oracles: Map[String, String] = Map(
@@ -352,7 +371,35 @@ object Retrieval {
         """list_reduce(list_prepend(0.0::DOUBLE,
           |    list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2])),
           |    (acc, x) -> acc + x)""".stripMargin
-      s"""WITH t AS (SELECT doc_id, ${TextOps.ToksSql} AS w FROM documents),
+      hybridSql(
+        s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |qv AS (SELECT vec_id AS query_id, v AS qv FROM e
+           |       WHERE vec_id < ${Similarity.NumQueryVecs}),
+           |den0 AS (SELECT q.query_id, e.vec_id AS doc_id, $dotSql AS cosine
+           |         FROM qv q, e WHERE e.vec_id <> q.query_id),
+           |de AS MATERIALIZED (SELECT query_id, doc_id, r_dense FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, doc_id) AS r_dense FROM den0)
+           |  WHERE r_dense <= 20)""".stripMargin)
+    },
+
+    // The served twin: dense ranks come from the IVF candidate scoring
+    // fragment (the sim_topk_ivf routing over the persisted parquet
+    // index), everything else shared with d_hybrid_rrf via hybridSql.
+    "d_hybrid_rrf_served" -> hybridSql(
+      s"""${Similarity.ivfScoredCteSql()},
+         |de AS MATERIALIZED (SELECT query_id, doc_id, r_dense FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, doc_id) AS r_dense FROM i_sc)
+         |  WHERE r_dense <= 20)""".stripMargin))
+
+  /** The hybrid-RRF oracle chain parameterized by the DENSE block
+    * (which must end with a `de(query_id, doc_id, r_dense)` CTE, ranks
+    * 1..20): the sparse BM25 chain, the full-outer fusion, and the
+    * integer RRF floors are generated once for both the brute-dense
+    * and served-IVF-dense variants so they can never drift. */
+  private def hybridSql(denseCtes: String): String = {
+    s"""WITH t AS (SELECT doc_id, ${TextOps.ToksSql} AS w FROM documents),
          |tok AS (SELECT doc_id, unnest(w) AS term FROM t),
          |tok2 AS MATERIALIZED (SELECT doc_id, term FROM tok WHERE length(term) > 0),
          |dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY 1),
@@ -394,15 +441,7 @@ object Retrieval {
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |      ORDER BY s_micro DESC, doc_id) AS r_sparse FROM per)
          |  WHERE r_sparse <= 20),
-         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |qv AS (SELECT vec_id AS query_id, v AS qv FROM e
-         |       WHERE vec_id < ${Similarity.NumQueryVecs}),
-         |den0 AS (SELECT q.query_id, e.vec_id AS doc_id, $dotSql AS cosine
-         |         FROM qv q, e WHERE e.vec_id <> q.query_id),
-         |de AS MATERIALIZED (SELECT query_id, doc_id, r_dense FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cosine DESC, doc_id) AS r_dense FROM den0)
-         |  WHERE r_dense <= 20),
+         |$denseCtes,
          |fu AS (SELECT COALESCE(sp.query_id, de.query_id) AS query_id,
          |              COALESCE(sp.doc_id, de.doc_id) AS doc_id,
          |              sp.r_sparse, de.r_dense
@@ -420,5 +459,5 @@ object Retrieval {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY rrf_micro DESC, doc_id) AS rn FROM sc2)
          |WHERE rn <= 10""".stripMargin
-    })
+  }
 }

@@ -96,4 +96,33 @@ class RetrievalSpec extends SparkSpec {
     assert(out.values.exists(v => v._2 > 0 && v._3 == 0), "sparse-only absent")
     assert(out.values.exists(v => v._2 == 0 && v._3 > 0), "dense-only absent")
   }
+
+  test("served hybrid RRF: IVF dense ranks, recall floor vs the brute-fused twin") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val served = graft.SparkEntry.queries("d_hybrid_rrf_served")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(served.nonEmpty)
+    // (1) dense audit ranks equal the persisted IVF tier's ranking —
+    // the serve-path substitution is exactly a column swap
+    val ivf = graft.llm.Similarity
+      .topkIvf(spark, dir, 20, nprobe = graft.llm.Similarity.ServedNprobe)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    served.foreach { case (q, d, _, _, rd, _) =>
+      if (rd > 0) assert(ivf((q, d)) == rd, s"dense rank ($q,$d)")
+      else assert(!ivf.contains((q, d)), s"missed dense hit ($q,$d)")
+    }
+    // (2) recall floor: the served fused top-10 keeps ≥ 60% of the
+    // brute-fused twin's picks (the IVF pool probes 2 of 16 lists, so
+    // perfect agreement is not expected; wholesale divergence would
+    // mean the serve tier is ranking a different question)
+    val brute = graft.SparkEntry.queries("d_hybrid_rrf")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val hits = served.map(r => (r._1, r._2)).count(brute.contains)
+    assert(hits * 10 >= brute.size * 6,
+      s"served kept $hits of ${brute.size} brute-fused picks")
+  }
 }

@@ -360,4 +360,42 @@ class SimilaritySpec extends SparkSpec {
     assert(diversified,
       "MMR never diverged from pure relevance — diversification vacuous")
   }
+
+  test("served MMR: pool is the IVF tier's candidates; overlap floor vs brute-pool twin") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val served = Similarity.queries("sim_topk_mmr_served")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(served.nonEmpty)
+    // every served pick must come from the served pool (the IVF
+    // tier's top-MmrCandidates) with the pool's own rel_micro
+    def q6(x: Double): Long = new java.math.BigDecimal(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val pool = Similarity
+      .topkIvf(spark, dir, Similarity.MmrCandidates,
+        nprobe = Similarity.ServedNprobe)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> q6(r._3)).toMap
+    served.foreach { case (q, d, rel, _, _) =>
+      assert(pool.get((q, d)).contains(rel), s"pick ($q,$d) not in IVF pool")
+    }
+    // POOL-recall floor vs the brute pool — the serving-quality metric
+    // (pick-set overlap is the wrong law for a greedy diversifier: a
+    // few pool misses cascade through the maxsim folds, so even a
+    // high-recall pool yields moderately different picks by design)
+    val brutePool = Similarity
+      .topkBrute(spark, dir, Similarity.MmrCandidates)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val hits = pool.keysIterator.count(brutePool.contains)
+    assert(hits * 2 >= brutePool.size,
+      s"IVF pool recalled $hits of ${brutePool.size} brute-pool rows")
+    // and the served greedy still diversifies: picks are NOT the pure
+    // relevance order of its own pool
+    val relOrder = served.groupBy(_._1).forall { case (_, rows) =>
+      val byPick = rows.sortBy(_._5).map(_._2).toSeq
+      val byRel = rows.sortBy(r => (-r._3, r._2)).map(_._2).toSeq
+      byPick == byRel
+    }
+    assert(!relOrder, "served MMR never diverged from pure relevance")
+  }
 }
