@@ -59,30 +59,47 @@ object Profile {
       import org.apache.spark.sql.streaming.StreamingQueryListener
       import scala.jdk.CollectionConverters._
       val acc = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, Long]]()
+      val stAcc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
       val listener = new StreamingQueryListener {
         override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit =
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
           acc.add(e.progress.durationMs.asScala.toMap.map {
             case (k, v) => k -> v.toLong })
+          // per-batch state-store occupancy: is state watermark-bounded
+          // (rows total plateaus / drops at finalization) or a leak?
+          e.progress.stateOperators.foreach(s =>
+            stAcc.add((s.numRowsTotal, s.numRowsUpdated)))
+        }
         override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       }
       spark.streams.addListener(listener)
-      println("query                wall_s  trigger_s  addBatch_s  setup_s  batches")
-      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      // UNTIMED WARMUP (r13 — the r12 table was ORDER-BIASED: the
+      // RocksDB loop ran first and its first entries absorbed the
+      // native-lib load + streaming codegen cold start, then the HDFS
+      // comparison ran warm and looked 2-6× faster; warm-vs-warm the
+      // two providers measure EQUAL at this scale): one small stateful
+      // + one stateless drain before anything is timed.
+      for (w <- Seq("st_tumbling", "st_enrich"))
+        SparkEntry.queries(w)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+      println("query                wall_s  trigger_s  addBatch_s  setup_s  batches  state_rows")
+      for (pass <- 1 to 2;
+           (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
            if name.startsWith("st_")) {
-        acc.clear()
+        acc.clear(); stAcc.clear()
         val t0 = System.nanoTime()
         fn(spark, dir).write.mode("overwrite").format("noop").save()
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(500) // progress events post async on the listener bus
         val batches = acc.asScala.toSeq
         def tot(k: String) = batches.map(_.getOrElse(k, 0L)).sum / 1e3
-        println(f"$name%-20s $wall%6.2f  ${tot("triggerExecution")}%9.2f  " +
+        val stRows = stAcc.asScala.toSeq.map(_._1).mkString("/")
+        println(f"[p$pass] $name%-20s $wall%6.2f  ${tot("triggerExecution")}%9.2f  " +
           f"${tot("addBatch")}%10.2f  ${wall - tot("triggerExecution")}%7.2f  " +
-          f"${batches.size}%7d")
+          f"${batches.size}%7d  $stRows")
       }
       // Provider experiment (VERDICT r10 #5, re-pinned per ADVICE r11
       // #4): Sessions.local now defaults to RocksDB session-wide, so the

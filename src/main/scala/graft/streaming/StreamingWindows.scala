@@ -513,7 +513,29 @@ object StreamingWindows {
     * third stateful-operator class (two-sided join state) end-to-end,
     * after aggregation state (st_tumbling/st_sessionize) and keyed
     * update state (st_latest_state). */
-  private val stRangeJoin: Q = (spark, dir) => {
+  /** Run `f` with `spark.sql.shuffle.partitions` sized to the STREAM
+    * STATE volume rather than the session's batch default (r13, VERDICT
+    * r12 #2): a stream-stream join keeps 4 state stores per partition
+    * (two per side), and every micro-batch pays each store's
+    * load/commit lifecycle — with 40 k state rows at sf0.1, a 32-way
+    * layout spends more on 256 store lifecycles than on the join
+    * (measured: 8-10 s at 32 parts vs 3.7-4.0 s at 8, either provider).
+    * Partitions therefore track the event volume (≈ state volume for a
+    * one-batch drain), floored at 8 and capped at the session default —
+    * at sf10 the cap restores full parallelism, and on a real cluster
+    * the cap is the configured executor fan-out. The count is read at
+    * query start against a FRESH checkpoint each drain, so it is free
+    * to differ per corpus; the emitted set is partition-invariant. */
+  private def withStateParts[T](spark: SparkSession, dir: String)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val evBytes = graft.util.Storage.factBytes(dir, "events")
+    val parts = math.max(8L, math.min(prev.toLong, evBytes / (2L << 20)))
+    spark.conf.set(key, parts.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
+  private val stRangeJoin: Q = (spark, dir) => withStateParts(spark, dir) {
     val ev = readAllEventStream(spark, s"$dir/events.parquet")
     val joined = streamStreamRangeJoin(
       ev.filter(col("event_type") === "purchase"),
@@ -533,7 +555,7 @@ object StreamingWindows {
     * boundary are still "maybe matchable" when the drain ends and are
     * deliberately NOT emitted (they'd emit on the next batch of a real
     * continuous run). */
-  private val stLeftJoin: Q = (spark, dir) => {
+  private val stLeftJoin: Q = (spark, dir) => withStateParts(spark, dir) {
     val ev = readAllEventStream(spark, s"$dir/events.parquet")
     val joined = streamStreamLeftJoin(
       ev.filter(col("event_type") === "purchase"),
