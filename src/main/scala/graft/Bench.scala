@@ -67,6 +67,17 @@ object Bench {
       .filter(_.getType == java.lang.management.MemoryType.HEAP)
     def storageBytes: Long =
       spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+    // Host-contention telemetry (r13): this box is a shared VM, and a
+    // fixed 32-way pure-CPU control workload swings ×2 wall with /proc/
+    // stat steal bursts (measured 16% st + 83% sys in vmstat during one
+    // bad patch). An entry with inflated wall, LOW gc_ms, and HIGH
+    // steal_ms is externally contended — distinguishable from an engine
+    // regression in the driver's own record. Col 9 of /proc/stat line 1
+    // is aggregate steal in USER_HZ (=100Hz → ×10 ms) jiffies.
+    def stealMs: Long = try {
+      val l = Files.readAllLines(Paths.get("/proc/stat")).get(0)
+      l.trim.split("\\s+").drop(1).lift(7).map(_.toLong * 10).getOrElse(0L)
+    } catch { case _: Exception => 0L }
 
     // Isolation invariant guard (ADVICE r10): the blanket per-pass
     // unpersist below assumes no entry reuses persisted state set up
@@ -116,6 +127,7 @@ object Bench {
       var i = 0
       var storagePre = 0L
       val gc0 = gcMs
+      val steal0 = stealMs
       heapPools.foreach(_.resetPeakUsage())
       while (i < passes && !errors.contains(name)) {
         isolate()
@@ -137,7 +149,8 @@ object Bench {
       val heapPeakMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
       diags(name) = s"""{"gc_ms":${gcMs - gc0},"heap_peak_mb":$heapPeakMb,""" +
         s""""storage_pre_mb":${storagePre >> 20},""" +
-        s""""storage_post_mb":${storageBytes >> 20}}"""
+        s""""storage_post_mb":${storageBytes >> 20},""" +
+        s""""steal_ms":${stealMs - steal0}}"""
     }
 
     def jstr(s: String): String =
