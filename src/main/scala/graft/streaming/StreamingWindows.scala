@@ -452,7 +452,7 @@ object StreamingWindows {
     * the DuckDB oracle spells. Proves the streaming twin end-to-end
     * (state fold, timeout emission, watermark arithmetic), not just
     * in a unit test. */
-  private val stSessionize: Q = (spark, dir) => {
+  private val stSessionize: Q = (spark, dir) => withStateParts(spark, dir) {
     // sessions are FACT-SCALE (9.5M rows at the sf10 probe) → file
     // sink; the memory-sink + localCheckpoint spelling this replaced
     // still pinned the full emitted set on the driver heap once per
@@ -467,7 +467,7 @@ object StreamingWindows {
     * per-user row with max (ts, event_id) — equal, by the latest-wins
     * contract, to the batch "current row per user", which the oracle
     * recomputes directly. */
-  private val stLatestState: Q = (spark, dir) => {
+  private val stLatestState: Q = (spark, dir) => withStateParts(spark, dir) {
     spark.catalog.dropTempView("st_latest_mem")
     val emitted = runToCompletion(spark,
       latestState(spark, readAllEventStream(spark, s"$dir/events.parquet")),
@@ -490,7 +490,7 @@ object StreamingWindows {
     * makes the boundary land ON a window end). The still-open windows
     * are withheld state, not lost rows — the same finalization contract
     * st_sessionize pins for session windows. */
-  private val stTumbling: Q = (spark, dir) => {
+  private val stTumbling: Q = (spark, dir) => withStateParts(spark, dir) {
     spark.catalog.dropTempView("st_tumb_mem")
     val out = runToCompletion(spark,
       tumbling(readAllEventStream(spark, s"$dir/events.parquet")),
@@ -525,7 +525,17 @@ object StreamingWindows {
     * at sf10 the cap restores full parallelism, and on a real cluster
     * the cap is the configured executor fan-out. The count is read at
     * query start against a FRESH checkpoint each drain, so it is free
-    * to differ per corpus; the emitted set is partition-invariant. */
+    * to differ per corpus; the emitted set is partition-invariant.
+    *
+    * r13 optimization round: extended from the two interval joins to
+    * EVERY stateful drain (tumbling/sliding/session aggregates, keyed
+    * update/fold state, dedup store) — each keeps one store per
+    * partition and pays the same load/commit lifecycle per micro-batch,
+    * so a 32-way layout on ~40k state rows spends its wall on 32–64
+    * RocksDB lifecycles exactly as the joins did on 256. Stateless
+    * drains (st_enrich, st_index_update) are NOT wrapped: no store, and
+    * shrinking their partitions would only serialize the file-sink
+    * write. */
   private def withStateParts[T](spark: SparkSession, dir: String)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
@@ -602,7 +612,7 @@ object StreamingWindows {
     * out-of-order tests, while this drain pins the visible contract.
     * Emitted set is FACT-SCALE (one row per distinct event) → file
     * sink. */
-  private val stDedup: Q = (spark, dir) => {
+  private val stDedup: Q = (spark, dir) => withStateParts(spark, dir) {
     val once = readAllEventStream(spark, s"$dir/events.parquet")
     val redelivered = once.unionAll(
       readAllEventStream(spark, s"$dir/events.parquet"))
@@ -679,7 +689,7 @@ object StreamingWindows {
     * watermark passes ITS end, so the drained set is the 4×-overlapped
     * window table cut by the same non-strict boundary predicate the
     * tumbling oracle pins). */
-  private val stSliding: Q = (spark, dir) => {
+  private val stSliding: Q = (spark, dir) => withStateParts(spark, dir) {
     spark.catalog.dropTempView("st_slide_mem")
     val out = runToCompletion(spark,
       sliding(readAllEventStream(spark, s"$dir/events.parquet")),
@@ -698,7 +708,7 @@ object StreamingWindows {
     * batch reader each user emits once; the max-n compaction makes the
     * contract explicit under any batching. Oracle = the batch
     * count/max — exact because state holds µs, not getTime millis. */
-  private val stRunningCounts: Q = (spark, dir) => {
+  private val stRunningCounts: Q = (spark, dir) => withStateParts(spark, dir) {
     spark.catalog.dropTempView("st_runcnt_mem")
     val emitted = runToCompletion(spark,
       runningCounts(spark, readAllEventStream(spark, s"$dir/events.parquet")),
