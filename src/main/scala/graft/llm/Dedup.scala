@@ -222,22 +222,39 @@ object Dedup {
     // d docs emits d(d-1)/2 pairs. array_distinct guards the rare case
     // of two distinct shingles of ONE doc colliding on the 48-bit hash —
     // without it the expansion could emit a self-pair (id_a == id_b).
-    val posts = sh.select($"doc_id", explode($"sh").as("tok0"))
-      .select($"doc_id", hash48($"tok0").as("tok"))
-      .groupBy($"tok").agg(sort_array(array_distinct(collect_list($"doc_id"))).as("ids"))
+    //
+    // r13 (guide §2.3/§2.4): the posting entry CARRIES the doc's shingle
+    // count as struct(doc_id, n) — n rides the existing postings shuffle
+    // (8 bytes/entry) and the Jaccard denominator is available the
+    // moment a pair is counted. The previous spelling joined the pair
+    // table against a (doc_id, n) side TWICE, and each join side
+    // re-scanned + re-tokenized + re-shingled the documents table (plan:
+    // 2 extra parquet scans + 2 BroadcastExchanges + 2 joins — the
+    // tokenize pass is the expensive part, not the join). Struct order
+    // (doc_id first) keeps sort_array/least/greatest semantics identical
+    // to the plain-id spelling, and n is a function of doc_id, so
+    // grouping on (id, n) pairs cannot merge or split any group.
+    val posts = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("tok0"))
+      .select(struct($"doc_id", $"n").as("dn"), hash48($"tok0").as("tok"))
+      .groupBy($"tok").agg(sort_array(array_distinct(collect_list($"dn"))).as("ids"))
       .filter(size($"ids").between(2, maxShingleDf))
-    val pairs = posts
-      .select(explode(orderedPairs($"ids")).as("p"))
-      .groupBy($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = sh.select($"doc_id", size($"sh").as("n"))
-    pairs
-      .join(sizes.select($"doc_id".as("id_a"), $"n".as("n_a")), "id_a")
-      .join(sizes.select($"doc_id".as("id_b"), $"n".as("n_b")), "id_b")
+    pairs(posts)
       .withColumn("jaccard",
         $"inter".cast("double") / ($"n_a" + $"n_b" - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** Ordered-pair expansion + count over struct(doc_id, n) posting lists
+    * → (id_a, n_a, id_b, n_b, inter). Shared by [[ngramJaccard]] /
+    * [[containment]] so the carried-size spelling cannot drift. */
+  private def pairs(posts: DataFrame): DataFrame = {
+    import posts.sparkSession.implicits._
+    posts
+      .select(explode(orderedPairs($"ids")).as("p"))
+      .groupBy($"p.id_a.doc_id".as("id_a"), $"p.id_a.n".as("n_a"),
+        $"p.id_b.doc_id".as("id_b"), $"p.id_b.n".as("n_b"))
+      .agg(count(lit(1)).as("inter"))
   }
 
   /** Shingle CONTAINMENT — the doc-in-doc detector Jaccard misses: a
@@ -255,18 +272,14 @@ object Dedup {
                   maxShingleDf: Long = 100L): DataFrame = {
     import spark.implicits._
     val sh = docShingles(spark, dir)
-    val posts = sh.select($"doc_id", explode($"sh").as("tok0"))
-      .select($"doc_id", hash48($"tok0").as("tok"))
-      .groupBy($"tok").agg(sort_array(array_distinct(collect_list($"doc_id"))).as("ids"))
+    // Same carried-size postings as [[ngramJaccard]] (r13): n rides the
+    // posting struct, killing the two size joins + their re-tokenizing
+    // document scans.
+    val posts = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("tok0"))
+      .select(struct($"doc_id", $"n").as("dn"), hash48($"tok0").as("tok"))
+      .groupBy($"tok").agg(sort_array(array_distinct(collect_list($"dn"))).as("ids"))
       .filter(size($"ids").between(2, maxShingleDf))
-    val pairs = posts
-      .select(explode(orderedPairs($"ids")).as("p"))
-      .groupBy($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = sh.select($"doc_id", size($"sh").as("n"))
-    pairs
-      .join(sizes.select($"doc_id".as("id_a"), $"n".as("n_a")), "id_a")
-      .join(sizes.select($"doc_id".as("id_b"), $"n".as("n_b")), "id_b")
+    pairs(posts)
       .withColumn("containment",
         $"inter".cast("double") / least($"n_a", $"n_b"))
       .filter($"containment" >= threshold)
@@ -554,29 +567,31 @@ object Dedup {
     import spark.implicits._
     val sh = docShingles(spark, dir)
     // df (the cap) stays corpus-wide — the skew guard must see the true
-    // list size, not the batch's slice of it.
-    val posts = sh.select($"doc_id", explode($"sh").as("tok0"))
-      .select($"doc_id", hash48($"tok0").as("tok"))
-      .groupBy($"tok").agg(sort_array(array_distinct(collect_list($"doc_id"))).as("ids"))
+    // list size, not the batch's slice of it. Postings carry
+    // struct(doc_id, n) like [[ngramJaccard]] (r13): the predicate reads
+    // the struct's doc_id, least/greatest order structs by their first
+    // field (= doc_id, n being functional on it), so pair identity and
+    // ordering are unchanged while the two size joins + their
+    // re-tokenizing scans disappear.
+    val posts = sh.select($"doc_id", size($"sh").as("n"), explode($"sh").as("tok0"))
+      .select(struct($"doc_id", $"n").as("dn"), hash48($"tok0").as("tok"))
+      .groupBy($"tok").agg(sort_array(array_distinct(collect_list($"dn"))).as("ids"))
       .filter(size($"ids").between(2, maxShingleDf))
-      .withColumn("news", filter($"ids", x => isNew(x)))
+      .withColumn("news", filter($"ids", x => isNew(x.getField("doc_id"))))
       .filter(size($"news") >= 1)
-      .withColumn("olds", filter($"ids", x => !isNew(x)))
+      .withColumn("olds", filter($"ids", x => !isNew(x.getField("doc_id"))))
     // old×new cross pairs (ordered via least/greatest — the batch is not
     // an id range in general) + within-batch ordered pairs
     val crossPairs = posts.filter(size($"olds") >= 1)
       .select(explode(flatten(transform($"olds", o =>
-        transform($"news", n =>
-          struct(least(o, n).as("id_a"), greatest(o, n).as("id_b")))))).as("p"))
+        transform($"news", nw =>
+          struct(least(o, nw).as("id_a"), greatest(o, nw).as("id_b")))))).as("p"))
     val newPairs = posts.filter(size($"news") >= 2)
       .select(explode(orderedPairs($"news")).as("p"))
-    val pairs = crossPairs.unionAll(newPairs)
-      .groupBy($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
+    crossPairs.unionAll(newPairs)
+      .groupBy($"p.id_a.doc_id".as("id_a"), $"p.id_a.n".as("n_a"),
+        $"p.id_b.doc_id".as("id_b"), $"p.id_b.n".as("n_b"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = sh.select($"doc_id", size($"sh").as("n"))
-    pairs
-      .join(sizes.select($"doc_id".as("id_a"), $"n".as("n_a")), "id_a")
-      .join(sizes.select($"doc_id".as("id_b"), $"n".as("n_b")), "id_b")
       .withColumn("jaccard",
         $"inter".cast("double") / ($"n_a" + $"n_b" - $"inter"))
       .filter($"jaccard" >= threshold)
