@@ -797,11 +797,28 @@ object Dedup {
     import spark.implicits._
     val L = 40
     val docs = Tables.load(spark, dir, "documents")
+    // Anchor positions = 1 + the position after every space, computed
+    // as a RUNNING OFFSET over split(" ") parts (r13): the previous
+    // spelling filtered sequence(1, n) with a substr(p-1, 1) probe per
+    // position, and UTF8String.substring is O(p) (it walks bytes to
+    // find the char boundary), making anchor extraction O(n²) chars
+    // per doc. The running-offset aggregate touches each token once;
+    // split keeps trailing/consecutive empties (limit = -1), so a run
+    // of spaces yields exactly the same anchor per space as the probe
+    // did. The window hash itself still pays one O(p) substr per
+    // ANCHOR (≈ one per token) — that term is unchanged, but it was
+    // ~1/6 of the old cost, not the bulk.
     val spans = docs
       .filter(length($"text") >= L)
+      .withColumn("parts", split($"text", " "))
       .select($"doc_id", $"text",
-        explode(filter(sequence(lit(1), length($"text") - (L - 1)),
-          p => (p === 1) || ($"text".substr(p - 1, lit(1)) === " "))).as("p"))
+        explode(filter(
+          aggregate(
+            slice($"parts", lit(1), size($"parts") - 1),
+            array(lit(1)),
+            (acc, t) => concat(acc,
+              array(element_at(acc, -1) + length(t) + lit(1)))),
+          p => p <= length($"text") - (L - 1))).as("p"))
       .select($"doc_id", hash48($"text".substr($"p", lit(L))).as("h"))
     // "≥ 2 distinct docs" spelled as min≠max — ONE exchange with
     // map-side partial min/max, where COUNT(DISTINCT doc_id) would
