@@ -782,24 +782,32 @@ object TextOps {
     * < 3 tokens have no shingles and emit nothing (stated in the oracle
     * too).
     *
-    * Scale shape: one shingle-keyed aggregation builds the df table,
-    * then postings re-join it ON THE SAME KEY — the exchange from the
-    * groupBy is reused for the join side (no second shuffle of the
-    * token stream), and the final doc-keyed agg shuffles one narrow
-    * row per posting. No df cap needed: unlike the pair generators, a
-    * hot shingle here costs one counter, not d² pairs. */
+    * Scale shape (r13, guide §2.4): a df = 1 shingle belongs to exactly
+    * ONE document, so min(doc_id) inside the df aggregate IS that
+    * document — the novel count per doc is a second, df-table-sized
+    * aggregate, and the fact-scale postings⋈df join the previous
+    * spelling paid (12M-row SMJ probe at sf0.1) disappears. n_shingles
+    * comes from its own doc-keyed count over the same postings lineage;
+    * the two doc-keyed tables meet in a doc-sized left join (novel = 0
+    * for docs whose every shingle repeats). No df cap needed: unlike
+    * the pair generators, a hot shingle here costs one counter, not d²
+    * pairs. */
   private val novelty: Q = (spark, dir) => {
     import spark.implicits._
     val posts = Tables.load(spark, dir, "documents")
       .select($"doc_id", explode(shingles(toks($"text"))).as("sh0"))
       .select($"doc_id", hash48($"sh0").as("tok"))
-    val df = posts.groupBy($"tok").agg(count(lit(1)).as("df"))
-    posts.join(df, "tok")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when($"df" === 1, 1L).otherwise(0L)).as("n_novel"))
-      .select($"doc_id", $"n_shingles", $"n_novel",
-        ($"n_novel".cast("double") / $"n_shingles").as("novelty"))
+    val novel = posts.groupBy($"tok")
+      .agg(count(lit(1)).as("df"), min($"doc_id").as("d"))
+      .filter($"df" === 1)
+      .groupBy($"d").agg(count(lit(1)).as("n_novel"))
+      .select($"d".as("doc_id"), $"n_novel")
+    posts.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_shingles",
+        coalesce($"n_novel", lit(0L)).as("n_novel"),
+        (coalesce($"n_novel", lit(0L)).cast("double") / $"n_shingles")
+          .as("novelty"))
   }
 
   /** Unigram language-model quality score — the KenLM/CCNet-style
