@@ -428,22 +428,36 @@ object TextOps {
       (a, b) => concat(a, lit(" "), b))
     val tri = filter(zip_with(triPair, slice(w, lit(3), size(w)),
       (ab, c) => concat(ab, lit(" "), c)), x => x.isNotNull)
-    val inRow = docs.select($"doc_id", bi.as("bi"), tri.as("tri"))
-      .select($"doc_id", $"bi",
+    // r13 (guide §2.4): the top-bigram share is a WITHIN-DOC statistic —
+    // max multiplicity of any bigram over the bigram count. The previous
+    // spelling exploded every bigram and paid two fact-scale shuffles
+    // ((doc, bg) count, then doc max/sum) plus a doc-keyed join to
+    // compute a value each row already holds: max multiplicity = the
+    // longest equal-run in the doc's SORTED bigram array, a linear
+    // HOF fold after array_sort. The whole query is now map-side
+    // (zero Exchange — plans/r13/d_repetition_*). Initial prev = ""
+    // is unreachable (a bigram always contains the separator space),
+    // and an empty bigram list yields share 0.0 exactly like the old
+    // left-join + na.fill path.
+    val best = aggregate(array_sort($"bi"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs.select($"doc_id", bi.as("bi"), tri.as("tri"))
+      .select($"doc_id", $"tri",
+        best.as("maxc"), size($"bi").cast("long").as("totc"))
+      .select($"doc_id",
         size($"tri").cast("long").as("n_trigrams"),
         when(size($"tri") > 0,
           round(lit(1.0) - size(array_distinct($"tri")).cast("double") /
-            size($"tri"), 6)).otherwise(lit(0.0)).as("dup_trigram_frac"))
-    val biCounts = inRow
-      .select($"doc_id", explode($"bi").as("bg"))
-      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(max($"c").as("maxc"), sum($"c").as("totc"))
-      .select($"doc_id",
-        round($"maxc".cast("double") / $"totc", 6).as("top_bigram_share"))
-    inRow.select($"doc_id", $"n_trigrams", $"dup_trigram_frac")
-      .join(biCounts, Seq("doc_id"), "left_outer")
-      .na.fill(0.0, Seq("top_bigram_share"))
+            size($"tri"), 6)).otherwise(lit(0.0)).as("dup_trigram_frac"),
+        when($"totc" > 0, round($"maxc".cast("double") / $"totc", 6))
+          .otherwise(lit(0.0)).as("top_bigram_share"))
   }
 
   /** Offset-based SEQUENCE PACKING manifest — the training-data step
