@@ -376,26 +376,45 @@ object TextOps {
 
   /** Token-distribution entropy per document — the information-density
     * quality signal (near-zero entropy = degenerate repetition, the
-    * failure mode uniq_ratio catches only crudely). Two shuffles: term
-    * frequencies by (doc, term), then the entropy fold by doc; both are
-    * plain partial-agg groupBys. The d_lm_score canon (r9): each
-    * tf·ln(tf) term is quantized to integer micro-nats BEFORE the
-    * per-doc sum — a double accumulator's value depends on partial-agg
-    * order, which varies not just across engines but across RUNS of the
-    * same engine, so a rounded double sum can flip at a round boundary
-    * between two executions of identical code. Integer sums are
-    * order-free; the emitted entropy is integer micro-nats. */
+    * failure mode uniq_ratio catches only crudely). The d_lm_score
+    * canon (r9): each tf·ln(tf) term is quantized to integer micro-nats
+    * BEFORE the per-doc sum — a double accumulator's value depends on
+    * partial-agg order, which varies not just across engines but across
+    * RUNS of the same engine, so a rounded double sum can flip at a
+    * round boundary between two executions of identical code. Integer
+    * sums are order-free; the emitted entropy is integer micro-nats.
+    *
+    * Scale shape (r13, guide §2.4): entropy is a WITHIN-DOC statistic,
+    * so the per-(doc, term) frequencies come from an equal-run fold
+    * over the doc's SORTED token array — the same in-row spelling as
+    * d_repetition's top-bigram share — and the query is pure map-side
+    * (ZERO Exchange; the old spelling exploded the token stream through
+    * two fact-scale partial-agg shuffles). Each closed run of length tf
+    * contributes round(tf·ln tf·1e6) as a long, bit-identical to the
+    * old per-(doc, term) quantization; docs with no non-empty tokens
+    * emit nothing, exactly as explode produced no rows for them. */
   private val entropy: Q = (spark, dir) => {
     import spark.implicits._
-    val tf = Tables.load(spark, dir, "documents")
-      .select($"doc_id", explode(toks($"text")).as("term"))
-      .filter(length($"term") > 0)
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      .withColumn("slog_u",
-        round($"tf".cast("double") * log($"tf".cast("double")) * 1e6)
-          .cast("long"))
-    tf.groupBy($"doc_id")
-      .agg(sum($"tf").as("n"), sum($"slog_u").as("slog_u"))
+    def runTerm(r: Column): Column =
+      when(r > 0L, round(r.cast("double") * log(r.cast("double")) * 1e6)
+        .cast("long")).otherwise(lit(0L))
+    val folded = aggregate(array_sort($"ts"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+      (st, x) => {
+        val same = x === st.getField("prev")
+        struct(x.as("prev"),
+          when(same, st.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, st.getField("acc"))
+            .otherwise(st.getField("acc") + runTerm(st.getField("run")))
+            .as("acc"))
+      },
+      st => st.getField("acc") + runTerm(st.getField("run")))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        filter(toks($"text"), t => length(t) > 0).as("ts"))
+      .filter(size($"ts") > 0)
+      .select($"doc_id", size($"ts").cast("long").as("n"),
+        folded.as("slog_u"))
       // H = ln n − (Σ tf·ln tf)/n  (algebraic form of −Σ p·ln p; one
       // pass, no second join against the total), assembled in integer
       // micro-nat space (slog_u ≥ 0, so div == floor on both engines)
@@ -411,12 +430,12 @@ object TextOps {
     *  - dup_trigram_frac: 1 − distinct/total token 3-grams — in-row
     *    HOF over the token array, zero shuffle;
     *  - top_bigram_share: the most frequent bigram's share of all
-    *    bigram occurrences — needs a per-(doc, bigram) count, so one
-    *    explode + two doc-keyed aggregations (both partial-agg'd;
-    *    share only, not the argmax bigram itself, so ties can never
-    *    make the result engine-dependent).
-    * At 100 TB both stay keyed by doc_id — embarrassingly parallel,
-    * fanout bounded by tokens-per-doc. Ratios rounded to 6 dp (the
+    *    bigram occurrences — max multiplicity = longest equal-run of
+    *    the SORTED bigram array, an in-row fold since r13 (share only,
+    *    not the argmax bigram itself, so ties can never make the
+    *    result engine-dependent).
+    * Both signals are pure map-side — zero Exchange at any corpus
+    * size, fanout bounded by tokens-per-doc. Ratios rounded to 6 dp (the
     * a11 double-division treatment). */
   private val repetition: Q = (spark, dir) => {
     import spark.implicits._
