@@ -802,8 +802,13 @@ object Dedup {
     // spelling filtered sequence(1, n) with a substr(p-1, 1) probe per
     // position, and UTF8String.substring is O(p) (it walks bytes to
     // find the char boundary), making anchor extraction O(n²) chars
-    // per doc. The running-offset aggregate touches each token once;
-    // split keeps trailing/consecutive empties (limit = -1), so a run
+    // per doc. The running-offset aggregate reads each token's LENGTH
+    // once, but each fold step's concat(acc, array(...)) copies the
+    // accumulator — O(t²) element copies in the TOKEN count (ADVICE
+    // r13: not linear; a far cheaper constant than the old O(p)
+    // per-char substr probe, and t ≪ n chars, but pathological
+    // 100k-token docs would pay quadratic copies here). Split keeps
+    // trailing/consecutive empties (limit = -1), so a run
     // of spaces yields exactly the same anchor per space as the probe
     // did. The window hash itself still pays one O(p) substr per
     // ANCHOR (≈ one per token) — that term is unchanged, but it was

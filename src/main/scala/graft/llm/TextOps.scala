@@ -398,6 +398,12 @@ object TextOps {
     def runTerm(r: Column): Column =
       when(r > 0L, round(r.cast("double") * log(r.cast("double")) * 1e6)
         .cast("long")).otherwise(lit(0L))
+    // The '' initial `prev` sentinel is UNREACHABLE as a token value —
+    // `ts` is filtered to length > 0 below — and that invariant is
+    // load-bearing (ADVICE r13): the first real token always differs
+    // from the sentinel, opening run #1 instead of extending a phantom
+    // empty run (same contract as d_repetition's bigram fold, where
+    // every element contains a space).
     val folded = aggregate(array_sort($"ts"),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
       (st, x) => {

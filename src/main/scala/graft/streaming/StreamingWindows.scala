@@ -540,7 +540,14 @@ object StreamingWindows {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     val evBytes = graft.util.Storage.factBytes(dir, "events")
-    val parts = math.max(8L, math.min(prev.toLong, evBytes / (2L << 20)))
+    // Defensive parse + floor-vs-cap order (ADVICE r13): a non-numeric
+    // session value falls back to the scheduler's parallelism instead
+    // of throwing, and the 8-floor applies only UP TO the session
+    // default — min(prev, max(8, volume)) — so a session configured
+    // below 8 partitions is never silently raised above its own cap.
+    val prevL = prev.toLongOption
+      .getOrElse(spark.sparkContext.defaultParallelism.toLong)
+    val parts = math.min(prevL, math.max(8L, evBytes / (2L << 20)))
     spark.conf.set(key, parts.toString)
     try f finally spark.conf.set(key, prev)
   }
