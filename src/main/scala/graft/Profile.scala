@@ -47,6 +47,67 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "mlsplit") {
+      // Phase split of the ml_* fit wall (r14, VERDICT r13 #2): where do
+      // the ~55 s quiet-host seconds actually go per family — wide-table
+      // read/split/cache, pipeline front-end (indexer+OHE+assembler fit),
+      // model fit proper, the M7 save+reload round-trip, or scoring?
+      import org.apache.spark.ml.{Pipeline, PipelineModel}
+      def timed[A](body: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = body
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      for (family <- Seq("gbt", "gbt_xgb", "rf", "lr", "fm")) {
+        spark.catalog.clearCache()
+        val (wide, tWide) = timed {
+          val w = graft.ml.ChurnML.wideFrame(spark, dir)
+            .withColumn("label", col("label").cast("double"))
+          w.cache(); w.count(); w
+        }
+        val (trainN, tSplit) = timed {
+          val Array(tr, _) = wide.randomSplit(Array(0.8, 0.2), seed = 123L)
+          tr.cache(); (tr, tr.count())
+        }
+        val train = trainN._1
+        val fitParts = 2
+        val fitInput = train.coalesce(fitParts)
+        val iters = Map("gbt" -> 25, "gbt_xgb" -> 20, "lr" -> 30, "fm" -> 10)
+        val (front, tFront) = timed {
+          val stages = if (family == "gbt_xgb")
+            graft.ml.ChurnML.xgbFeatureStages()
+          else graft.ml.ChurnML.featureStages()
+          new Pipeline().setStages(stages).fit(fitInput)
+        }
+        val (model, tFit) = timed {
+          graft.ml.ChurnML.pipeline(family,
+            gbtIter = iters.getOrElse(family, 0),
+            lrIter = iters.getOrElse(family, 0),
+            fmIter = iters.getOrElse(family, 0)).fit(fitInput)
+        }
+        val (reloaded, tSave) = timed {
+          val d = graft.util.Scratch.dir(s"prof-$family-model")
+          model.write.overwrite().save(d)
+          PipelineModel.load(d)
+        }
+        val Array(_, test) = wide.randomSplit(Array(0.8, 0.2), seed = 123L)
+        val (_, tScore) = timed {
+          val pred = reloaded.transform(test)
+            .withColumn("prob1",
+              graft.eval.Metrics.positiveProb(col("probability")))
+          pred.cache()
+          val a = graft.eval.Metrics.auc(pred)
+          val r = graft.eval.Metrics.classificationReport(pred)
+          pred.unpersist(); (a, r)
+        }
+        println(f"[profile] mlsplit $family%-8s wide=$tWide%5.2f " +
+          f"split=$tSplit%5.2f frontFit=$tFront%5.2f fullFit=$tFit%5.2f " +
+          f"(model=${tFit - tFront}%5.2f) saveReload=$tSave%5.2f " +
+          f"score=$tScore%5.2f")
+        train.unpersist(); wide.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "streams") {
       // Setup-vs-processing split for every declared st_* query (VERDICT
       // r10 #5: st_dedup/st_range_join drifted in the driver run with no
